@@ -1,0 +1,48 @@
+"""Exact cross-engine arithmetic helpers.
+
+Floating-point SUMs are not associative: Spark's partial/final
+aggregation order differs from a single-node engine's, so ``SUM(double)``
+can differ in the last bits and break exact result comparison (and, at
+100 TB, differ run to run). Policy: convert doubles to exact integers
+*before* any cross-row aggregation via ``floor(x * scale + 0.5)`` —
+a deterministic double→int mapping that both Spark and any ANSI SQL
+engine compute identically — then aggregate longs (exact, associative,
+and faster: long sums stay in whole-stage codegen with no Decimal
+overhead). Within-row expressions (a*b+c) are identical IEEE op
+sequences on both engines and need no special handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cents(c: Column | str) -> Column:
+    """Double currency → exact integer cents (round-half-up)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def micros(c: Column | str) -> Column:
+    """Double metric → exact integer micro-units (round-half-up)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+# SQL-side equivalents (DuckDB/ANSI), for oracle queries. ``e0``
+# literals force DOUBLE (a bare ``100.0`` is DECIMAL in DuckDB, which
+# would change the arithmetic type lattice vs Spark).
+SQL_CENTS = "CAST(FLOOR(({x}) * 100e0 + 0.5e0) AS BIGINT)"
+SQL_MICROS = "CAST(FLOOR(({x}) * 1000000e0 + 0.5e0) AS BIGINT)"
+
+
+def lit_ts(df: DataFrame, column: str, value: str) -> Column:
+    """Timestamp literal cast to the column's own timestamp flavor.
+
+    Parquet files may load as TIMESTAMP or TIMESTAMP_NTZ depending on
+    writer metadata; comparing against a literal of the other flavor
+    would inject a timezone conversion. Pinning the literal to the
+    column's type keeps predicates pushdown-eligible and deterministic.
+    """
+    return F.lit(value).cast(df.schema[column].dataType)

@@ -1,0 +1,521 @@
+"""Relational query surface (SURVEY §2.3, §2.5-2.9): projections,
+filters, equi/semi/anti/theta/as-of/range joins, aggregations incl.
+rollup/cube, windows, dedup, set ops, top-k, JSON path extraction.
+
+The reference delegates all of this to Redshift (SURVEY §3.3); here each
+query is a lazy DataFrame plan Catalyst optimizes: filters and column
+pruning reach the parquet scans, small dimensions broadcast, aggregates
+do map-side partial aggregation, AQE coalesces/skew-splits shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakeflow.catalog import load_table
+from lakeflow.functions.exact import SQL_CENTS, SQL_MICROS, cents, lit_ts, micros
+from lakeflow.operators.dedup import latest_wins
+from lakeflow.operators.joins import asof_join, range_self_join
+from lakeflow.plans.registry import query
+
+def _disc_price():
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def _charge():
+    return _disc_price() * (F.lit(1.0) + F.col("l_tax"))
+
+
+_SQL_DISC_PRICE = "l_extendedprice * (1e0 - l_discount)"
+_SQL_CHARGE = f"{_SQL_DISC_PRICE} * (1e0 + l_tax)"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+           CAST(SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)}) AS BIGINT) AS sum_disc_price_micros,
+           CAST(SUM({SQL_MICROS.format(x=_SQL_CHARGE)}) AS BIGINT) AS sum_charge_micros,
+           COUNT(*) AS count_order,
+           SUM({SQL_CENTS.format(x='l_quantity')}) / (100e0 * COUNT(*)) AS avg_qty,
+           SUM({SQL_CENTS.format(x='l_extendedprice')}) / (100e0 * COUNT(*)) AS avg_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-style pricing summary: filtered scan + hash agg "
+    "(map-side partial) over 2 low-cardinality keys.",
+    refs=("A5", "P8", "F5"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= lit_ts(li, "l_shipdate", "1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(micros(_disc_price())).alias("sum_disc_price_micros"),
+            F.sum(micros(_charge())).alias("sum_charge_micros"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.col("sum_qty_cents") / (F.lit(100.0) * F.col("count_order"))
+        )
+        .withColumn(
+            "avg_price", F.col("sum_base_cents") / (F.lit(100.0) * F.col("count_order"))
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)}) AS BIGINT) AS revenue_micros,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-30'
+      AND l_shipdate  > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_micros DESC, l_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3-style shipping priority: 3-way join (customer "
+    "dimension broadcast) + agg + deterministic top-10.",
+    refs=("J2", "A5", "D3", "P4"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff_o = lit_ts(orders, "o_orderdate", "1996-06-30")
+    cutoff_l = lit_ts(li, "l_shipdate", "1996-06-30")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff_l)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff_o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(micros(_disc_price())).alias("revenue_micros"))
+        .select("l_orderkey", "revenue_micros", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_micros"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)}) AS BIGINT) AS revenue_micros
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+    description="TPC-H Q5-style: 6-way join with broadcast dimension chain "
+    "(region→nation→supplier) and a year-range partition-prunable predicate.",
+    refs=("J2", "A5", "P8"),
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    lo = lit_ts(orders, "o_orderdate", "1995-01-01")
+    hi = lit_ts(orders, "o_orderdate", "1996-01-01")
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(micros(_disc_price())).alias("revenue_micros"))
+    )
+
+
+@query(
+    "q_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+    description="Top-3 orders per customer: ranking window (single shuffle "
+    "on the partition key; no global sort).",
+    refs=("§2.9", "D3"),
+)
+def q_topk_orders_per_customer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "q_dedup_latest_event",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+    description="Latest-record-wins dedup (reference kafka_s3_to_silver.py:28-30 "
+    "semantics, D1): order-stable window form, not dropDuplicates.",
+    refs=("D1", "§2.9"),
+)
+def q_dedup_latest_event(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return latest_wins(ev, ["user_id", "event_type"], "ts", ["event_id"]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+@query(
+    "q_rollup_lineitem",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="Hierarchical rollup totals (A5 grouping sets).",
+    refs=("A5",),
+)
+def q_rollup_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS sum_total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description="Full cube over status x priority (A5 grouping sets).",
+    refs=("A5",),
+)
+def q_cube_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("sum_total_cents"),
+    )
+
+
+@query(
+    "q_semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    description="Left-semi join: customers with at least one finished order "
+    "(J3 — the reference's skip-lists were manual anti/semi joins).",
+    refs=("J3",),
+)
+def q_semi_join_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    description="Left-anti join: customers with no orders (J3).",
+    refs=("J3",),
+)
+def q_anti_join_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_intersect_custkeys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    description="Set intersection (D4): customers with both open and "
+    "finished orders.",
+    refs=("D4",),
+)
+def q_intersect_custkeys(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "q_except_custkeys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000e0
+    """,
+    description="Set difference (D4): customers with no order above 150k.",
+    refs=("D4",),
+)
+def q_except_custkeys(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.subtract(big)  # EXCEPT DISTINCT semantics, matching SQL
+
+
+@query(
+    "q_json_extract_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description="JSON path extraction from a string payload column (F7 — "
+    "the reference's SUPER-column pattern) + agg.",
+    refs=("F7", "N3", "N4"),
+)
+def q_json_extract_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "q_window_running",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           row_number() OVER w AS rn,
+           CAST(SUM({SQL_MICROS.format(x='value')}) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_value_micros,
+           lag(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="Analytic windows per user: row_number, running sum, lag "
+    "(§2.9 — absent in reference, exposed by the engine).",
+    refs=("§2.9",),
+)
+def q_window_running(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.sum(micros("value")).over(wsum).alias("run_value_micros"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@query(
+    "q_theta_join_richer",
+    oracle="""
+    SELECT s_suppkey, COUNT(c_custkey) AS n_richer_customers
+    FROM supplier LEFT JOIN customer
+      ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_suppkey
+    """,
+    description="Theta join (J5): equi key + non-equi accrual predicate, "
+    "left-preserving with conditional count.",
+    refs=("J5", "J2"),
+)
+def q_theta_join_richer(spark, sf_dir):
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    j = supp.join(
+        cust,
+        (supp["s_nationkey"] == cust["c_nationkey"])
+        & (cust["c_acctbal"] > supp["s_acctbal"]),
+        "left",
+    )
+    return j.groupBy("s_suppkey").agg(
+        F.count("c_custkey").alias("n_richer_customers")
+    )
+
+
+@query(
+    "q_mode_event_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    GROUP BY event_type ORDER BY n DESC, event_type LIMIT 1
+    """,
+    description="Most frequent value (A1: the reference's "
+    "value_counts().idxmax() topic-naming), deterministic tie-break.",
+    refs=("A1",),
+)
+def q_mode_event_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(1)
+    )
+
+
+@query(
+    "q_asof_latest_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM events e, LATERAL (
+      SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
+    """,
+    description="As-of join (J4): each event gets the latest prior order "
+    "of its user — union+window implementation, single shuffle, no "
+    "row-multiplying join.",
+    refs=("J4",),
+)
+def q_asof_latest_order(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+        )
+    )
+    return asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak_cols=["o_orderkey"],
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+@query(
+    "q_range_pairs_events",
+    oracle="""
+    SELECT e1.user_id, e1.event_id AS event_id_a, e2.event_id AS event_id_b,
+           epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_id < e2.event_id
+     AND abs(epoch_us(e2.ts) - epoch_us(e1.ts)) <= 600000000
+    """,
+    description="Time-range self-join (J4): same-user event pairs within "
+    "10 minutes via bucketed equi-join (no O(n^2) nested loop).",
+    refs=("J4",),
+)
+def q_range_pairs_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return range_self_join(ev, "user_id", "ts", 600, "event_id")
+
+
+@query(
+    "q_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({SQL_MICROS.format(x='value')}) AS BIGINT) AS sum_value_micros
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Tumbling 1-hour event-time window aggregation (§2.10 "
+    "batch form; streaming form in lakeflow.streaming).",
+    refs=("§2.10", "F4"),
+)
+def q_tumbling_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micros("value")).alias("sum_value_micros"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value_micros",
+        )
+    )

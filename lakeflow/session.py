@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs eager single-process pandas (SURVEY §1, §4); here the
+session is configured so Catalyst + AQE do the optimization work:
+
+- AQE on (runtime coalescing, skew-join splitting, join-strategy switch)
+- Arrow on (fast pandas interchange for the Pandas-UDF slow path)
+- session timezone pinned to UTC (deterministic timestamp semantics)
+- shuffle partitions sized from the environment; on a real cluster this
+  would be set per-job (~2-3x total cores) or left to AQE coalescing.
+
+All credentials/config come from the environment — never hardcoded
+(the reference embedded live credentials; see SURVEY.md security note).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lakeflow",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with lakeflow defaults."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("LAKEFLOW_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("LAKEFLOW_SHUFFLE_PARTITIONS")
+            or os.environ.get("SPARK_GRAFT_CPUS")
+            or 32
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("LAKEFLOW_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,25 @@
+"""Differential test of every registered query against its DuckDB
+oracle — the local mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lakeflow.plans import QUERIES
+from lakeflow.testing import compare_to_oracle
+
+SF_DIR = os.environ.get("LAKEFLOW_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    spec = QUERIES[name]
+    df = spec.fn(spark, SF_DIR)
+    if spec.oracle is None:
+        # rows-only check, mirroring the driver's weaker gate
+        assert df.count() >= 0
+        return
+    ok, msg = compare_to_oracle(df, spec.oracle, SF_DIR)
+    assert ok, f"{name}: {msg}"
