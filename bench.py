@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion through the noop sink (full distributed
+execution, no driver-side materialization cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+# Headline set: the heavy scan/join/agg/window/dedup paths. Extended as the
+# registry grows; anything not listed still runs in the driver's t2 gate.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_topk_orders_per_customer",
+    "q_dedup_latest_event",
+    "q_window_running",
+    "q_range_pairs_events",
+    "q_asof_latest_order",
+    "q_rollup_lineitem",
+    "q_json_extract_events",
+    "q_exact_dedup_docs",
+    "q_text_stats",
+    "q_minhash_lsh_pairs",
+    "q_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("LAKEFLOW_MASTER", f"local[{cpus}]")
+    os.environ.setdefault("LAKEFLOW_SHUFFLE_PARTITIONS", cpus)
+
+    from lakeflow import get_spark
+    from lakeflow.plans import QUERIES
+
+    spark = get_spark("lakeflow-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM warm-up outside the measurement
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = QUERIES.get(name)
+        if spec is None:
+            continue
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""Embedding similarity search + MinHash-LSH near-dup detection
+(SURVEY §2.12), designed for 100 TB:
+
+- Vectors are converted ONCE to exact integer micro-units, so dot
+  products are exact (and cross-engine reproducible) — every |v| <= 1
+  gives per-term products < 2^41 and 64-dim sums < 2^47, well inside
+  both long and double exactness.
+- Brute-force top-k broadcasts the (small) query side over the big
+  corpus scan: no shuffle of the corpus, one narrow window on q_id.
+- The scale path (LSH) buckets by deterministic hyperplane signs and
+  joins only within buckets — candidate generation is an equi-join,
+  which Catalyst shuffles hash-partitioned (AQE handles bucket skew).
+- MinHash-LSH candidate pairs: explode shingles -> seeded min-hash
+  signature (one hash-agg) -> banded equi-self-join. The shuffle keys
+  are hashes/bands, never document bodies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakeflow.functions.hashing import seeded_hash
+from lakeflow.operators.text import explode_shingles, shingles_from_tokens, tokens
+
+MICRO = 1_000_000.0
+
+
+def to_micro_ints(arr: Column | str) -> Column:
+    """array<float> -> array<long> exact micro-units."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(
+        arr, lambda x: F.floor(x.cast("double") * F.lit(MICRO) + F.lit(0.5)).cast("long")
+    )
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two long arrays (left fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_micros(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """Cosine similarity scaled to integer micro-units; all inputs are
+    exact ints so the double ops are bit-reproducible everywhere."""
+    cos = dot.cast("double") / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
+    return F.floor(cos * F.lit(MICRO) + F.lit(0.5)).cast("long")
+
+
+def _with_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = to_micro_ints(vec_col)
+    return emb.select(
+        F.col(id_col), v.alias("__v")
+    ).withColumn("__n2", dot_long(F.col("__v"), F.col("__v")))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: corpus scan x broadcast(query rows).
+    Returns (q_id, vec_id, cos_micros, rnk)."""
+    base = _with_vectors(emb, id_col, vec_col)
+    q = (
+        _with_vectors(emb.filter(query_pred), id_col, vec_col)
+        .withColumnRenamed(id_col, "q_id")
+        .withColumnRenamed("__v", "__qv")
+        .withColumnRenamed("__n2", "__qn2")
+    )
+    joined = base.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+    scored = joined.select(
+        "q_id",
+        id_col,
+        cosine_micros(
+            dot_long(F.col("__v"), F.col("__qv")), F.col("__n2"), F.col("__qn2")
+        ).alias("cos_micros"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_micros"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def hyperplane_bucket(v: Column, n_planes: int, dim: int) -> Column:
+    """Deterministic sign-LSH bucket id: plane j's weights are +/-1
+    derived from the seeded hash parity of (j,i); bit j of the bucket is
+    the sign of the exact integer projection."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        # static +/-1 pattern per (plane, dim) — computed in Python,
+        # constant-folded into the plan
+        signs = [
+            1 if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:4], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array([F.lit(s) for s in signs]),
+                lambda x, s: x * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: candidates share the hyperplane-sign bucket, then
+    exact cosine rank within candidates. The corpus is scanned once and
+    joined equi on bucket — at 100 TB this is the difference between a
+    full cross product and a hash-partitioned join."""
+    base = _with_vectors(emb, id_col, vec_col).withColumn(
+        "__bucket", hyperplane_bucket(F.col("__v"), n_planes, dim)
+    )
+    q = (
+        base.filter(query_pred)
+        .withColumnRenamed(id_col, "q_id")
+        .withColumnRenamed("__v", "__qv")
+        .withColumnRenamed("__n2", "__qn2")
+    )
+    joined = base.join(
+        F.broadcast(q.select("q_id", "__qv", "__qn2", "__bucket")),
+        on="__bucket",
+    ).filter(F.col(id_col) != F.col("q_id"))
+    scored = joined.select(
+        "q_id",
+        id_col,
+        cosine_micros(
+            dot_long(F.col("__v"), F.col("__qv")), F.col("__n2"), F.col("__qn2")
+        ).alias("cos_micros"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_micros"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """k min-hashes over word n-gram shingles: explode + single hash-agg
+    (map-side partial min). The k hash functions are md5-digest slices
+    (hash_slices) so only k/4 digests are computed per shingle occurrence
+    — the digest is the dominant cost at scale. Returns (id_col, mh0..)."""
+    from lakeflow.functions.hashing import hash_slices
+
+    assert k % 4 == 0, "k must be a multiple of 4 (4 slices per digest)"
+    seeds = tuple(chr(ord("a") + i) for i in range(k // 4))
+    ex = explode_shingles(df, id_col, text_col, shingle_n)
+    slices = hash_slices(F.col("s"), seeds)
+    return ex.groupBy(id_col).agg(
+        *[F.min(h).alias(f"mh{i}") for i, h in enumerate(slices)]
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, k: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Banded LSH over a minhash signature: hash each band, self-join on
+    (band_id, band_hash), emit each candidate pair once (id_a < id_b)."""
+    n_bands = k // band_size
+    # all bands in ONE pass over the signatures: a per-band UNION would
+    # re-execute the whole upstream signature pipeline n_bands times
+    band_structs = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                seeded_hash(F.concat_ws("|", *cols), f"band{b}").alias("band_hash"),
+            )
+        )
+    all_bands = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("z")
+    ).select(id_col, "z.band_id", "z.band_hash")
+    a = all_bands.select(
+        F.col(id_col).alias(f"{id_col}_a"), "band_id", "band_hash"
+    )
+    b2 = all_bands.select(
+        F.col(id_col).alias(f"{id_col}_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b2, ["band_id", "band_hash"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard_micros: int = 20000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1
+    shingle: distinct-shingle explode, self-join on shingle (equi — the
+    only scalable pair generator), intersection counts, |A|+|B|-∩ union.
+    Returns (id_a, id_b, jaccard_micros)."""
+    sh = explode_shingles(df, id_col, text_col, shingle_n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("ia"), "s")
+    b = sh.select(F.col(id_col).alias("ib"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sizes.select(F.col(id_col).alias("ia"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col(id_col).alias("ib"), F.col("sz").alias("szb"))
+    jm = F.floor(
+        F.col("inter").cast("double")
+        / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double")
+        * F.lit(MICRO)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        inter.join(F.broadcast(sza), "ia")
+        .join(F.broadcast(szb), "ib")
+        .select(
+            F.col("ia").alias(f"{id_col}_a"),
+            F.col("ib").alias(f"{id_col}_b"),
+            jm.alias("jaccard_micros"),
+        )
+        .filter(F.col("jaccard_micros") >= min_jaccard_micros)
+    )

@@ -1,0 +1,387 @@
+"""LLM-training-data pipeline queries (SURVEY §2.12): text analysis,
+exact + fuzzy dedup (MinHash-LSH, SimHash, n-gram Jaccard), embedding
+similarity search, multimodal metadata — each over the driver's
+documents/embeddings tables with a DuckDB oracle (except the ANN path,
+which is approximate-by-design and gets the rows-only check).
+
+DuckDB dialect notes baked into the oracles: regexp_replace needs the
+'g' flag (Spark replaces all matches by default); bare decimal literals
+are DECIMAL not DOUBLE (use e0); SUM(BIGINT) is HUGEINT (cast back).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakeflow.catalog import load_table
+from lakeflow.functions.hashing import SQL_SEEDED_HASH
+from lakeflow.operators.dedup import exact_dedup
+from lakeflow.operators.multimodal import extract_metadata, with_binary_payload
+from lakeflow.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from lakeflow.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_pred,
+    lang_scores,
+    normalized_fingerprint,
+    quality_score,
+    simhash16,
+    token_count,
+    word_hits,
+)
+from lakeflow.plans.registry import query
+
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_hits(words: list[str]) -> str:
+    return (
+        f"CAST(len(list_filter({_SQL_TOKS}, x -> "
+        f"list_contains({_sql_list(words)}, x))) AS BIGINT)"
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_txt,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace_len,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_bad,
+             {_sql_hits(STOPWORDS)} AS stop_hits,
+             CAST(greatest(length(text), 1) AS BIGINT) AS safe_len
+      FROM documents)
+    SELECT doc_id, n_chars_txt, n_tokens,
+           CAST(FLOOR(nonspace_len / CAST(n_tokens AS DOUBLE) * 1000000e0 + 0.5e0) AS BIGINT) AS avg_token_len_micros,
+           stop_hits,
+           CAST(FLOOR((
+             0.4e0 * least(CAST(n_tokens AS DOUBLE) / 100e0, 1e0)
+             + 0.3e0 * (1e0 - (n_bad / CAST(safe_len AS DOUBLE)))
+             + 0.3e0 * least((CAST(stop_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5e0, 1e0)
+           ) * 1000000e0 + 0.5e0) AS BIGINT) AS quality_micros
+    FROM t
+    """,
+    description="Per-document text statistics + heuristic quality score "
+    "(token counting, cleanliness, stopword density) — all JVM built-ins.",
+    refs=("§2.12", "F1", "F8"),
+)
+def q_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    nt = token_count("text")
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_txt"),
+        nt.cast("long").alias("n_tokens"),
+        F.floor(
+            nonspace / nt.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_token_len_micros"),
+        word_hits("text", STOPWORDS).cast("long").alias("stop_hits"),
+        F.floor(quality_score("text") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_micros"),
+    )
+
+
+_LANGS = list(LANG_MARKERS)
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_sql_hits(w)} AS {l}_hits' for l, w in LANG_MARKERS.items())}
+      FROM documents)
+    SELECT doc_id, lang, {', '.join(f'{l}_hits' for l in _LANGS)},
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+             WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+             WHEN fr_hits >= zh_hits THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM t
+    """,
+    description="Heuristic marker-word language ID with deterministic "
+    "tie-break priority (en>de>es>fr>zh).",
+    refs=("§2.12",),
+)
+def q_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[l].cast("long").alias(f"{l}_hits") for l in _LANGS],
+        lang_pred(scores).alias("pred_lang"),
+    )
+
+
+@query(
+    "q_exact_dedup_docs",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    description="Exact content dedup: md5 fingerprint group-by, min-id "
+    "representative — hash is the shuffle key, never the body.",
+    refs=("§2.12", "D1"),
+)
+def q_exact_dedup_docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id")
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    description="Normalized content fingerprint (lowercase, strip "
+    "non-alphanumerics, collapse whitespace, md5).",
+    refs=("§2.12", "F1"),
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
+
+
+def _simhash_oracle() -> str:
+    h = SQL_SEEDED_HASH.format(seed="sim", x="tok")
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)),
+    h AS (SELECT doc_id, {h} AS h FROM tok),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
+    """
+
+
+@query(
+    "q_simhash",
+    oracle=_simhash_oracle(),
+    description="16-bit SimHash signature per document: one explode + "
+    "one hash-agg of per-bit votes.",
+    refs=("§2.12",),
+)
+def q_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return simhash16(d, "doc_id", "text")
+
+
+def _shingle_cte(source: str = "documents") -> str:
+    return f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM {source}),
+    ex AS (
+      SELECT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         for i in generate_series(1, greatest(len(t) - 2, 0))]) AS s
+      FROM toks)
+    """
+
+
+def _minhash_oracle() -> str:
+    from lakeflow.functions.hashing import sql_hash_slices
+
+    slices = sql_hash_slices("s", seeds=("a", "b"))
+    hcols = ", ".join(f"MIN({h}) AS mh{i}" for i, h in enumerate(slices))
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM mh".format(
+            b=b,
+            h=SQL_SEEDED_HASH.format(
+                seed=f"band{b}",
+                x=f"mh{2 * b}::VARCHAR || '|' || mh{2 * b + 1}::VARCHAR",
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH {_shingle_cte()},
+    mh AS (SELECT doc_id, {hcols} FROM ex GROUP BY doc_id),
+    bands AS (
+{band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "q_minhash_lsh_pairs",
+    oracle=_minhash_oracle(),
+    description="MinHash-LSH near-dup candidate pairs: 8 seeded "
+    "min-hashes over word 3-gram shingles, 4 bands of 2, banded "
+    "equi-self-join (shuffle keys are hashes, never bodies).",
+    refs=("§2.12",),
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=8)
+    return lsh_candidate_pairs(sig, "doc_id", k=8, band_size=2)
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    {_shingle_cte('d0')},
+    dsh AS (SELECT DISTINCT doc_id, s FROM ex),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+      FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT * FROM (
+      SELECT ia AS doc_id_a, ib AS doc_id_b,
+             CAST(FLOOR(CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS jaccard_micros
+      FROM inter JOIN sz za ON za.doc_id = ia JOIN sz zb ON zb.doc_id = ib) t
+    WHERE jaccard_micros >= 20000
+    """,
+    description="Exact n-gram Jaccard similarity on a doc sample: "
+    "distinct-shingle self-join pair generation + intersection/union "
+    "counting.",
+    refs=("§2.12",),
+)
+def q_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return ngram_jaccard_pairs(d, "doc_id", "text", min_jaccard_micros=20000)
+
+
+_SQL_VEC = "[CAST(FLOOR(x * 1000000e0 + 0.5e0) AS BIGINT) for x in embedding::DOUBLE[]]"
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 10),
+    s AS (
+      SELECT q.q_id, n.vec_id,
+             CAST(FLOOR(list_dot_product(n.v, q.qv) / (sqrt(n.n2) * sqrt(q.qn2))
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS cos_micros
+      FROM n JOIN q ON n.vec_id <> q.q_id)
+    SELECT q_id, vec_id, cos_micros, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_micros DESC, vec_id) AS rnk
+      FROM s) t
+    WHERE rnk <= 5
+    """,
+    description="Brute-force cosine top-5 for 10 query vectors: corpus "
+    "scan x broadcast(queries), exact integer dot products, window top-k.",
+    refs=("§2.12",),
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@query(
+    "q_embedding_stats",
+    oracle=f"""
+    WITH e AS (SELECT label, {_SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT label,
+                 CAST(FLOOR(sqrt(list_dot_product(v, v)) + 0.5e0) AS BIGINT) AS norm_micros
+          FROM e)
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(SUM(norm_micros) AS BIGINT) AS sum_norm_micros,
+           CAST(SUM(norm_micros) AS BIGINT) / (1000000e0 * COUNT(*)) AS avg_norm,
+           MIN(norm_micros) AS min_norm_micros,
+           MAX(norm_micros) AS max_norm_micros
+    FROM n GROUP BY label
+    """,
+    description="Per-label embedding norm statistics via exact integer "
+    "norms (cross-row aggregation stays in longs).",
+    refs=("§2.12", "A5"),
+)
+def q_embedding_stats(spark, sf_dir):
+    from lakeflow.operators.similarity import dot_long, to_micro_ints
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_micro_ints("embedding")
+    n2 = dot_long(v, v)
+    norm = F.floor(F.sqrt(n2.cast("double")) + F.lit(0.5)).cast("long")
+    return (
+        emb.select("label", norm.alias("norm_micros"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("norm_micros").alias("sum_norm_micros"),
+            F.min("norm_micros").alias("min_norm_micros"),
+            F.max("norm_micros").alias("max_norm_micros"),
+        )
+        .withColumn(
+            "avg_norm",
+            F.col("sum_norm_micros") / (F.lit(1000000.0) * F.col("n_vectors")),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "sum_norm_micros",
+            "avg_norm",
+            "min_norm_micros",
+            "max_norm_micros",
+        )
+    )
+
+
+@query(
+    "q_lsh_ann",
+    oracle=None,  # approximate-by-design: driver records rows-only check
+    description="LSH-bucketed approximate NN (8 hyperplane signs): "
+    "candidates share a bucket, exact cosine rank within — the 100 TB "
+    "scale path where brute force is infeasible.",
+    refs=("§2.12",),
+)
+def q_lsh_ann(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, F.col("vec_id") < 10, k=5, n_planes=8, dim=64)
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           'application/octet-stream' AS media_type
+    FROM documents
+    """,
+    description="Multimodal binary-column plumbing: payload bytes + "
+    "Arrow-batched mapInPandas metadata extraction (md5, byte size).",
+    refs=("§2.12", "§2.11"),
+)
+def q_multimodal_meta(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return extract_metadata(with_binary_payload(d, "text", "doc_id"))
