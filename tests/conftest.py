@@ -6,5 +6,10 @@ from lakeflow import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    return get_spark("lakeflow-tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    return get_spark(
+        "lakeflow-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
