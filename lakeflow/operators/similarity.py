@@ -87,16 +87,19 @@ def brute_force_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def hyperplane_bucket(v: Column, n_planes: int, dim: int) -> Column:
+def hyperplane_bucket(v: Column, n_planes: int, dim: int, table: int = 0) -> Column:
     """Deterministic sign-LSH bucket id: plane j's weights are +/-1
-    derived from the seeded hash parity of (j,i); bit j of the bucket is
-    the sign of the exact integer projection."""
+    derived from the seeded hash parity of (table,j,i); bit j of the
+    bucket is the sign of the exact integer projection."""
     bucket = F.lit(0)
     for j in range(n_planes):
-        # static +/-1 pattern per (plane, dim) — computed in Python,
-        # constant-folded into the plan
+        # static +/-1 pattern per (table, plane, dim) — computed in
+        # Python, constant-folded into the plan
         signs = [
-            1 if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:4], 16) % 2 == 0 else -1
+            1
+            if int(hashlib.md5(f"{table}|{j}|{i}".encode()).hexdigest()[:4], 16) % 2
+            == 0
+            else -1
             for i in range(dim)
         ]
         proj = F.aggregate(
@@ -116,35 +119,59 @@ def lsh_ann_topk(
     emb: DataFrame,
     query_pred: Column,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate NN: candidates share the hyperplane-sign bucket, then
-    exact cosine rank within candidates. The corpus is scanned once and
-    joined equi on bucket — at 100 TB this is the difference between a
-    full cross product and a hash-partitioned join."""
-    base = _with_vectors(emb, id_col, vec_col).withColumn(
-        "__bucket", hyperplane_bucket(F.col("__v"), n_planes, dim)
-    )
+    """Approximate NN via MULTI-TABLE sign-LSH: ``n_tables`` independent
+    hyperplane sets; candidates share a bucket in ANY table (single-
+    table LSH has recall ~= bucket-collision probability — measured 2%
+    at 8 planes; 4 tables x 4 planes reaches usable recall). Exact
+    cosine ranks the candidate union.
+
+    The corpus is scanned once, exploded x n_tables on (table, bucket),
+    and joined equi against the broadcast queries — at 100 TB this is
+    the difference between a full cross product and a hash-partitioned
+    join whose right side is tiny. Tune (n_planes, n_tables): more
+    planes → smaller buckets → cheaper + lower recall; more tables
+    buys recall back at linear candidate cost.
+    """
+    base = _with_vectors(emb, id_col, vec_col)
+    tb = base.select(
+        id_col,
+        "__v",
+        "__n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_bucket(F.col("__v"), n_planes, dim, t).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("z"),
+    ).select(id_col, "__v", "__n2", "z.t", "z.b")
     q = (
-        base.filter(query_pred)
+        tb.filter(query_pred)
         .withColumnRenamed(id_col, "q_id")
         .withColumnRenamed("__v", "__qv")
         .withColumnRenamed("__n2", "__qn2")
     )
-    joined = base.join(
-        F.broadcast(q.select("q_id", "__qv", "__qn2", "__bucket")),
-        on="__bucket",
+    joined = tb.join(
+        F.broadcast(q.select("q_id", "__qv", "__qn2", "t", "b")), on=["t", "b"]
     ).filter(F.col(id_col) != F.col("q_id"))
+    # same pair can collide in several tables: dedupe after cheap scoring
     scored = joined.select(
         "q_id",
         id_col,
         cosine_micros(
             dot_long(F.col("__v"), F.col("__qv")), F.col("__n2"), F.col("__qn2")
         ).alias("cos_micros"),
-    )
+    ).distinct()
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_micros"), F.asc(id_col))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 

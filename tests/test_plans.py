@@ -1,0 +1,96 @@
+"""Physical-plan quality gates (SURVEY §4): these assert the plans we
+WANT at 100 TB, not just correct answers — broadcast joins for small
+dimensions, filter/column pushdown into the parquet scan, no cartesian
+products anywhere in the declared surface, whole-stage codegen on the
+hot relational paths."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from lakeflow.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q3_broadcasts_customer_dimension(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dimension_chain(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # ReadSchema lists only referenced columns — l_orderkey/l_partkey etc
+    # must NOT be read for a 7-column aggregate
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read_schema and "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in _plan(spark, "q_semi_join_customers")
+    assert "LeftAnti" in _plan(spark, "q_anti_join_customers")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_products(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    # codegen stage markers (*(n)) only appear in simple-mode explain
+    # with AQE's deferred planning out of the way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("q1_pricing_summary", "q_text_stats", "q_json_extract_events"):
+            df = QUERIES[name].fn(spark, SF)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain()
+            assert "*(" in buf.getvalue(), name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    # the bucketed range self-join must plan as a hash/sort-merge join on
+    # (key, bucket), never BroadcastNestedLoopJoin over the inequality
+    plan = _plan(spark, "q_range_pairs_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_exchange_reuse_at_runtime(spark):
+    # both self-join sides are the same signature pipeline; the planner
+    # must reuse one exchange, not run the expensive shingle+hash scan
+    # twice (visible statically with AQE's deferred planning disabled)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["q_minhash_lsh_pairs"].fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "ReusedExchange" in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

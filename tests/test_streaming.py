@@ -1,0 +1,185 @@
+"""Structured Streaming tests (SURVEY §5.5): availableNow incremental
+loads, exactly-once restart from checkpoint, watermarked windows,
+streaming dedup, foreachBatch upsert."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeflow.streaming import (
+    dedup_within_watermark,
+    sessionized_counts,
+    stream_ndjson,
+    upsert_foreach_batch,
+    windowed_counts,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_events(d: str, name: str, events: list[dict]) -> None:
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as fh:
+        fh.write("\n".join(json.dumps(e) for e in events) + "\n")
+
+
+def _ev(i: int, ts: str, user: int = 1, etype: str = "click") -> dict:
+    return {
+        "event_id": i,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": float(i),
+    }
+
+
+def _run_to_memory(stream_df, name: str, output_mode: str = "append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_complete_mode(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(
+        src,
+        "a.json",
+        [
+            _ev(1, "2024-01-01 10:05:00"),
+            _ev(2, "2024-01-01 10:55:00"),
+            _ev(3, "2024-01-01 11:05:00"),
+        ],
+    )
+    stream = stream_ndjson(spark, src, SCHEMA)
+    agg = windowed_counts(stream, "ts", window="1 hour", watermark="1 day")
+    _run_to_memory(agg, "win_counts", output_mode="complete")
+    rows = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.table("win_counts").collect()
+    }
+    assert rows == {10: 2, 11: 1}
+
+
+def test_incremental_and_restart_exactly_once(spark, tmp_path):
+    src, ckpt, tgt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "tgt"),
+    )
+    _write_events(src, "a.json", [_ev(1, "2024-01-01 10:00:00")])
+    q = upsert_foreach_batch(
+        stream_ndjson(spark, src, SCHEMA), tgt, ["event_id"], "ts", ckpt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(tgt).count() == 1
+
+    # second batch: one new file + a duplicate event with a newer ts
+    _write_events(
+        src,
+        "b.json",
+        [_ev(1, "2024-01-01 12:00:00"), _ev(2, "2024-01-01 11:00:00")],
+    )
+    q = upsert_foreach_batch(
+        stream_ndjson(spark, src, SCHEMA), tgt, ["event_id"], "ts", ckpt
+    )
+    q.awaitTermination(120)
+    out = {r["event_id"]: r for r in spark.read.parquet(tgt).collect()}
+    assert len(out) == 2
+    # latest-wins upsert: event 1 now carries the 12:00 timestamp
+    assert out[1]["ts"].hour == 12
+
+    # restart with NO new files: checkpoint replays nothing (exactly-once)
+    q = upsert_foreach_batch(
+        stream_ndjson(spark, src, SCHEMA), tgt, ["event_id"], "ts", ckpt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(tgt).count() == 2
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(
+        src,
+        "a.json",
+        [
+            _ev(1, "2024-01-01 10:00:00"),
+            _ev(1, "2024-01-01 10:01:00"),  # dup key within watermark
+            _ev(2, "2024-01-01 10:02:00"),
+        ],
+    )
+    stream = stream_ndjson(spark, src, SCHEMA)
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    _run_to_memory(deduped, "dedup_stream")
+    assert spark.table("dedup_stream").count() == 2
+
+
+def test_session_windows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(
+        src,
+        "a.json",
+        [
+            _ev(1, "2024-01-01 10:00:00"),
+            _ev(2, "2024-01-01 10:10:00"),  # same session (gap < 30m)
+            _ev(3, "2024-01-01 12:00:00"),  # new session
+        ],
+    )
+    stream = stream_ndjson(spark, src, SCHEMA)
+    agg = sessionized_counts(stream, "ts", "user_id", gap="30 minutes")
+    _run_to_memory(agg, "sessions", output_mode="complete")
+    rows = sorted(
+        (r["session_start"].hour, r["n_events"])
+        for r in spark.table("sessions").collect()
+    )
+    assert rows == [(10, 2), (12, 1)]
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Watermark semantics: an event older than (max seen ts - watermark)
+    arriving in a LATER batch is dropped from append-mode windows."""
+    src, ckpt, out = (
+        str(tmp_path / "src"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+
+    def run_once():
+        q = (
+            stream_ndjson(spark, src, SCHEMA)
+            .transform(
+                lambda s: windowed_counts(s, "ts", window="1 hour", watermark="1 hour")
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_events(src, "a.json", [_ev(1, "2024-01-01 10:00:00"),
+                                  _ev(2, "2024-01-02 10:00:00")])
+    run_once()
+    # late event: far older than watermark cutoff (Jan 2 max - 1h)
+    _write_events(src, "b.json", [_ev(3, "2024-01-01 09:00:00")])
+    run_once()
+    # one more tick so any state from batch 2 could flush
+    _write_events(src, "c.json", [_ev(4, "2024-01-03 10:00:00")])
+    run_once()
+    emitted = [
+        r["window_start"].hour for r in spark.read.parquet(out).collect()
+    ]
+    # the 09:00 window was never emitted: the watermark had already passed it
+    assert 9 not in emitted
+    assert 10 in emitted  # the on-time Jan-1 10:00 window did emit
