@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "q_text_stats",
     "q_minhash_lsh_pairs",
     "q_cosine_topk",
+    "q_lsh_ann",
+    "q_simhash",
+    "q_multimodal_meta",
+    "q_sessionize_batch",
+    "q_pivot_event_types",
+    "q_lang_id",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Property-based tests (SURVEY §5.4, hypothesis): dedup idempotence,
+sanitize idempotence, union/filter commutation, drift-union null-fill."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakeflow.operators.dedup import latest_wins
+from lakeflow.operators.flatten import sanitize_name
+from lakeflow.operators.union import union_drifting
+
+slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+records = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(0, 5),  # ts
+        st.integers(0, 1000),  # uid / payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@slow
+@given(records)
+def test_latest_wins_idempotent_and_deterministic(spark, recs):
+    df = spark.createDataFrame(
+        [Row(k=k, ts=ts, uid=i * 10_000 + uid) for i, (k, ts, uid) in enumerate(recs)]
+    )
+    once = latest_wins(df, ["k"], "ts", ["uid"])
+    twice = latest_wins(once, ["k"], "ts", ["uid"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b  # idempotent
+    # deterministic winner: max (ts, uid) per key, computed independently
+    expect = {}
+    for i, (k, ts, uid) in enumerate(recs):
+        u = i * 10_000 + uid
+        if k not in expect or (ts, u) > (expect[k][1], expect[k][2]):
+            expect[k] = (k, ts, u)
+    assert a == sorted(expect.values())
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_sanitize_idempotent(name):
+    assert sanitize_name(sanitize_name(name)) == sanitize_name(name)
+
+
+@slow
+@given(records, st.integers(0, 5))
+def test_filter_union_commutes(spark, recs, cutoff):
+    half = len(recs) // 2 or 1
+    d1 = spark.createDataFrame([Row(k=k, ts=ts, uid=u) for k, ts, u in recs[:half]])
+    d2 = spark.createDataFrame(
+        [Row(k=k, ts=ts, uid=u) for k, ts, u in recs[half:]] or
+        [Row(k=0, ts=0, uid=0)]
+    )
+    pred = F.col("ts") >= cutoff
+    a = sorted(map(tuple, d1.unionByName(d2).filter(pred).collect()))
+    b = sorted(map(tuple, d1.filter(pred).unionByName(d2.filter(pred)).collect()))
+    assert a == b
+
+
+def test_union_drifting_nullfills(spark):
+    d1 = spark.createDataFrame([Row(a=1, b="x")])
+    d2 = spark.createDataFrame([Row(a=2, c=3.5)])
+    out = union_drifting([d1, d2]).orderBy("a").collect()
+    assert out[0]["b"] == "x" and out[0]["c"] is None
+    assert out[1]["b"] is None and out[1]["c"] == 3.5
+    with pytest.raises(ValueError):
+        union_drifting([])
