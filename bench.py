@@ -62,15 +62,21 @@ def main() -> None:
     # JVM warm-up outside the measurement
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # steady-state timing: min of 2 runs per query — the first run pays
+    # one-time whole-stage-codegen JIT compilation (~1s/query), which at
+    # sf0.1 would swamp the actual execution being measured
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-        df = spec.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            df = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

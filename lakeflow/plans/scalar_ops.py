@@ -350,3 +350,47 @@ def q_sessionize_batch(spark, sf_dir):
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    description="Open-schema semi-structured access via Spark 4 VARIANT "
+    "(parse_json + variant_get) — the typed replacement for the "
+    "reference's Redshift SUPER columns (SURVEY §1.2).",
+    refs=("F7", "§1.2"),
+)
+def q_variant_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.try_variant_get("v", "$.k", "long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific: rows-only check
+    description="approx_count_distinct (HyperLogLog++) per priority — "
+    "the constant-memory distinct estimator for 100 TB cardinalities "
+    "(A5); exact twin is q_count_distinct.",
+    refs=("A5",),
+)
+def q_approx_distinct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
