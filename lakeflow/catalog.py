@@ -41,7 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # only when the file really is ns-longs — a re-materialized copy
+        # already carries a proper timestamp column
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )

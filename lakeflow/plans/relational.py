@@ -519,3 +519,73 @@ def q_tumbling_hourly(spark, sf_dir):
             "sum_value_micros",
         )
     )
+
+
+@query(
+    "q_correlated_subquery",
+    oracle=f"""
+    SELECT l.l_partkey,
+           CAST(SUM({SQL_CENTS.format(x='l.l_extendedprice')}) AS BIGINT) AS small_order_revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.5e0 * (SUM({SQL_CENTS.format(x='l2.l_quantity')}) / (100e0 * COUNT(*)))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    """,
+    description="TPC-H Q17-style correlated scalar subquery (below half "
+    "the part's average quantity) — Catalyst decorrelates to an "
+    "aggregate+join; no per-row re-execution (SURVEY §4).",
+    refs=("J2", "A5", "§4"),
+)
+def q_correlated_subquery(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    # expressed as the decorrelated form directly: per-part exact average
+    # (integer cents keep it oracle-exact), broadcast back onto the scan
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(cents("l_quantity")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "pk",
+            (F.lit(0.5) * (F.col("sq") / (F.lit(100.0) * F.col("n")))).alias(
+                "half_avg"
+            ),
+        )
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li["l_partkey"] == avg_qty["pk"])
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("small_order_revenue_cents"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "q_having",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    """,
+    description="Aggregate + HAVING group filter (large customers).",
+    refs=("A5",),
+)
+def q_having(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )

@@ -394,3 +394,57 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "q_median_price",
+    oracle=f"""
+    SELECT l_returnflag,
+           quantile_cont({SQL_CENTS.format(x='l_extendedprice')}, 0.5e0) AS median_price_cents,
+           quantile_cont({SQL_CENTS.format(x='l_extendedprice')}, 0.9e0) AS p90_price_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Exact interpolated percentiles over integer cents "
+    "(both engines linear-interpolate identically on exact ints); the "
+    "100 TB variant is percentile_approx (see q_approx_distinct notes).",
+    refs=("A5",),
+)
+def q_median_price(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    c = cents("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(c, 0.5).alias("median_price_cents"),
+        F.percentile(c, 0.9).alias("p90_price_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_unpivot_metrics",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+           {SQL_CENTS.format(x='l_quantity')} AS value_cents FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price',
+           {SQL_CENTS.format(x='l_extendedprice')} FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount',
+           {SQL_CENTS.format(x='l_discount')} FROM lineitem
+    """,
+    description="Unpivot (wide -> long metric rows) via stack() — one "
+    "scan, no join, the inverse of q_pivot_event_types.",
+    refs=("A5", "P1"),
+)
+def q_unpivot_metrics(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'qty', CAST(FLOOR(l_quantity * 100e0 + 0.5e0) AS BIGINT), "
+            "'price', CAST(FLOOR(l_extendedprice * 100e0 + 0.5e0) AS BIGINT), "
+            "'discount', CAST(FLOOR(l_discount * 100e0 + 0.5e0) AS BIGINT)) "
+            "AS (metric, value_cents)"
+        ),
+    )

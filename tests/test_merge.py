@@ -1,0 +1,64 @@
+"""Batch upsert + SCD2 merge semantics (CDC emulation on parquet)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+
+from lakeflow.sinks.merge import merge_upsert, scd2_merge
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_merge_upsert(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [Row(k=1, v="a", ts=_ts("2024-01-01")), Row(k=2, v="b", ts=_ts("2024-01-01"))]
+        ),
+        ["k"],
+        "ts",
+    )
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([Row(k=1, v="a2", ts=_ts("2024-02-01"))]),
+        ["k"],
+        "ts",
+    )
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {1: "a2", 2: "b"}
+
+
+def test_scd2_merge_history_and_idempotence(spark, tmp_path):
+    tgt = str(tmp_path / "scd2")
+    first = spark.createDataFrame(
+        [
+            Row(k=1, v="a", ts=_ts("2024-01-01")),
+            Row(k=2, v="b", ts=_ts("2024-01-01")),
+        ]
+    )
+    scd2_merge(spark, tgt, first, ["k"], "ts")
+    update = spark.createDataFrame([Row(k=1, v="a2", ts=_ts("2024-02-01"))])
+    scd2_merge(spark, tgt, update, ["k"], "ts")
+
+    hist = spark.read.parquet(tgt).collect()
+    assert len(hist) == 3
+    k1 = sorted(
+        [r for r in hist if r["k"] == 1], key=lambda r: r["valid_from"]
+    )
+    assert k1[0]["v"] == "a" and k1[0]["valid_to"] == _ts("2024-02-01")
+    assert not k1[0]["is_current"]
+    assert k1[1]["v"] == "a2" and k1[1]["valid_to"] is None and k1[1]["is_current"]
+    k2 = [r for r in hist if r["k"] == 2][0]
+    assert k2["is_current"] and k2["valid_to"] is None
+
+    # replaying the same update changes nothing (idempotent CDC)
+    scd2_merge(spark, tgt, update, ["k"], "ts")
+    hist2 = spark.read.parquet(tgt).collect()
+    assert sorted(map(tuple, hist2)) == sorted(map(tuple, hist))

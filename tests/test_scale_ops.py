@@ -1,0 +1,94 @@
+"""Skew mitigation + bucketing: correctness AND plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakeflow.catalog import load_table
+from lakeflow.operators.skew import salted_aggregate, salted_shuffle_join
+from lakeflow.sinks.tables import save_bucketed_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skewed_df(spark):
+    # key 0 holds 90% of rows — the hot-key shape
+    hot = spark.range(900).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    )
+    rest = spark.range(100).select(
+        (F.col("id") % 10 + 1).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionByName(rest)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = _skewed_df(spark)
+    plain = {
+        (r["k"]): (r["s"], r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["n"], r["mn"], r["mx"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {
+                "s": ("v", "sum"),
+                "n": ("v", "count"),
+                "mn": ("v", "min"),
+                "mx": ("v", "max"),
+            },
+            n_salts=7,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_shuffle_join_matches_plain(spark):
+    big = _skewed_df(spark)
+    small = spark.createDataFrame([Row(k=i, name=f"dim{i}") for i in range(11)])
+    plain = sorted(map(tuple, big.join(small, "k").select("k", "v", "name").collect()))
+    salted = sorted(
+        map(tuple, salted_shuffle_join(big, small, "k", n_salts=5)
+            .select("k", "v", "name").collect())
+    )
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    save_bucketed_table(orders, "b_orders", ["o_orderkey"], 4, ["o_orderkey"])
+    save_bucketed_table(lineitem, "b_lineitem", ["l_orderkey"], 4, ["l_orderkey"])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        plan = buf.getvalue()
+        # co-located buckets: join without any shuffle exchange
+        assert "Exchange" not in plan, plan
+        # and correct results
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
