@@ -448,3 +448,74 @@ def q_unpivot_metrics(spark, sf_dir):
             "AS (metric, value_cents)"
         ),
     )
+
+
+@query(
+    "q_trailing_window",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(SUM({SQL_MICROS.format(x='value')}) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trailing_1h_value_micros,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trailing_1h_events
+    FROM events
+    """,
+    description="Time-range window frame (RANGE BETWEEN 1h PRECEDING): "
+    "trailing per-user activity — value-based frames, not row counts "
+    "(§2.9).",
+    refs=("§2.9", "F4"),
+)
+def q_trailing_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(micros("value")).over(w).alias("trailing_1h_value_micros"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           toks[1:3] AS first3,
+           list_contains(toks, 'spark') AS has_spark,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           list_sort(list_distinct(toks))[1] AS first_alpha
+    FROM t
+    """,
+    description="Array function family (F8): size, slice, membership, "
+    "distinct, sort — the typed form of the reference's positional "
+    "tag expansion (P6/N7).",
+    refs=("F8", "P6", "N7"),
+)
+def q_array_ops(spark, sf_dir):
+    from lakeflow.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    pre = d.select("doc_id", tokens("text").alias("toks"))
+    return pre.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.slice("toks", 1, 3).alias("first3"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.get(F.array_sort(F.array_distinct("toks")), 0).alias("first_alpha"),
+    )
