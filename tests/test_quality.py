@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakeflow.catalog import load_table
+from lakeflow.operators.quality import QualityError, enforce, run_checks
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_checks_pass_on_clean_table(spark):
+    orders = load_table(spark, SF, "orders")
+    results = run_checks(
+        orders,
+        not_null=["o_orderkey", "o_custkey"],
+        unique=["o_orderkey"],
+        min_rows=100,
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        custom={"positive_price": F.col("o_totalprice") > 0},
+    )
+    assert all(r.passed for r in results), [r for r in results if not r.passed]
+    enforce(results)  # no raise
+
+
+def test_checks_fail_and_enforce_raises(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, s="ok"), Row(k=1, s="dup"), Row(k=None, s="bad")]
+    )
+    results = {r.name: r for r in run_checks(
+        df,
+        not_null=["k"],
+        unique=["k"],
+        min_rows=10,
+        accepted_values={"s": ["ok"]},
+    )}
+    assert not results["not_null:k"].passed
+    assert not results["unique:k"].passed
+    assert not results["min_rows"].passed
+    assert not results["accepted_values:s"].passed
+    with pytest.raises(QualityError) as e:
+        enforce(list(results.values()))
+    assert "not_null:k" in str(e.value)
