@@ -44,6 +44,8 @@ def read_double_encoded_ndjson(
     spark: SparkSession,
     path: str | list[str],
     schema: StructType | str | None = None,
+    on_corrupt: str = "drop",
+    corrupt_observation=None,
 ) -> DataFrame:
     """Double-encoded NDJSON (S5: `utils/s3_utils.py:73-78`): each line
     is a JSON *string* whose content is the event JSON —
@@ -58,7 +60,16 @@ def read_double_encoded_ndjson(
     cannot target directly (struct/array/map only) — wrapping the line
     in ``[...]`` and parsing as ``array<string>`` performs the exact
     JSON string-unescape.
+
+    Corrupt lines (not a valid JSON string): ``on_corrupt='drop'``
+    silently filters them (the reference would have crashed mid-loop);
+    ``'fail'`` raises at execution time with the offending line. Either
+    way, pass a ``pyspark.sql.Observation`` as ``corrupt_observation``
+    to count dropped lines IN the same pass (no rescan) — silent data
+    loss at 100 TB must at least be a metric.
     """
+    if on_corrupt not in ("drop", "fail"):
+        raise ValueError(f"on_corrupt must be 'drop' or 'fail', got {on_corrupt!r}")
     raw = spark.read.text(path)
     inner = F.get(
         F.from_json(
@@ -66,7 +77,26 @@ def read_double_encoded_ndjson(
         ),
         0,
     ).alias("j")
-    decoded = raw.select(inner).filter(F.col("j").isNotNull())
+    decoded = raw.select(inner, F.col("value").alias("__raw"))
+    if corrupt_observation is not None:
+        decoded = decoded.observe(
+            corrupt_observation,
+            F.sum(F.col("j").isNull().cast("long")).alias("corrupt_lines"),
+            F.count(F.lit(1)).alias("total_lines"),
+        )
+    if on_corrupt == "fail":
+        decoded = decoded.select(
+            F.when(
+                F.col("j").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("corrupt double-encoded NDJSON line: "),
+                        F.col("__raw"),
+                    )
+                ),
+            ).otherwise(F.col("j")).alias("j")
+        )
+    decoded = decoded.select("j").filter(F.col("j").isNotNull())
     if schema is None:
         schema = (
             spark.read.json(decoded.rdd.map(lambda r: r.j)).schema

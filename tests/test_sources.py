@@ -96,3 +96,31 @@ def test_mongo_export_parse(spark, froot):
     assert df.count() == 3 * 40
     # notificationData stays a JSON string for downstream path extraction
     assert dict(df.dtypes)["notificationData"] == "string"
+
+
+def test_double_encoded_corrupt_observability(spark, froot, tmp_path):
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Observation
+
+    d = str(tmp_path / "bad" / "partition=0")
+    _os.makedirs(d)
+    with open(_os.path.join(d, "mailgun_x.json"), "w") as fh:
+        fh.write(_json.dumps(_json.dumps({"a": 1})) + "\n")
+        fh.write("NOT JSON AT ALL\n")
+        fh.write(_json.dumps(_json.dumps({"a": 2})) + "\n")
+    base = str(tmp_path / "bad")
+
+    obs = Observation("corrupt")
+    df = read_double_encoded_ndjson(spark, base, corrupt_observation=obs)
+    assert df.count() == 2
+    assert obs.get == {"corrupt_lines": 1, "total_lines": 3}
+
+    # fail mode surfaces the offending line
+    with pytest.raises(Exception) as e:
+        read_double_encoded_ndjson(spark, base, on_corrupt="fail").count()
+    assert "NOT JSON AT ALL" in str(e.value)
+
+    with pytest.raises(ValueError):
+        read_double_encoded_ndjson(spark, base, on_corrupt="explode")
