@@ -267,3 +267,45 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_micros") >= min_jaccard_micros)
     )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard_micros: int = 300_000,
+    k: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Complete near-duplicate pipeline: MinHash-LSH generates candidate
+    pairs, exact n-gram Jaccard verifies them — the verification join
+    touches ONLY candidates (never all pairs), which is what makes
+    near-dup dedup tractable at corpus scale. Returns
+    (id_a, id_b, jaccard_micros) for confirmed pairs."""
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, k, band_size)
+    dsh = explode_shingles(df, id_col, text_col, shingle_n).distinct()
+    sizes = dsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = dsh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("s"))
+    b = dsh.select(F.col(id_col).alias(f"{id_col}_b"), F.col("s"))
+    inter = (
+        cand.join(a, f"{id_col}_a")
+        .join(b, [f"{id_col}_b", "s"])
+        .groupBy(f"{id_col}_a", f"{id_col}_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sizes.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sz").alias("szb"))
+    jm = F.floor(
+        F.col("inter").cast("double")
+        / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double")
+        * F.lit(MICRO)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        inter.join(sza, f"{id_col}_a")
+        .join(szb, f"{id_col}_b")
+        .select(f"{id_col}_a", f"{id_col}_b", jm.alias("jaccard_micros"))
+        .filter(F.col("jaccard_micros") >= min_jaccard_micros)
+    )

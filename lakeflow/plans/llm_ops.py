@@ -388,3 +388,64 @@ def q_lsh_ann(spark, sf_dir):
 def q_multimodal_meta(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return extract_metadata(with_binary_payload(d, "text", "doc_id"))
+
+
+def _near_dup_oracle() -> str:
+    # minhash candidate CTEs (same as q_minhash_lsh_pairs) + exact
+    # jaccard verification over candidates only
+    from lakeflow.functions.hashing import sql_hash_slices
+
+    slices = sql_hash_slices("s", seeds=("a", "b"))
+    hcols = ", ".join(f"MIN({h}) AS mh{i}" for i, h in enumerate(slices))
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM mh".format(
+            b=b,
+            h=SQL_SEEDED_HASH.format(
+                seed=f"band{b}",
+                x=f"mh{2 * b}::VARCHAR || '|' || mh{2 * b + 1}::VARCHAR",
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH {_shingle_cte()},
+    mh AS (SELECT doc_id, {hcols} FROM ex GROUP BY doc_id),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    dsh AS (SELECT DISTINCT doc_id, s FROM ex),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS inter
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.da
+      JOIN dsh y ON y.doc_id = c.db AND y.s = x.s
+      GROUP BY c.da, c.db)
+    SELECT * FROM (
+      SELECT i.da AS doc_id_a, i.db AS doc_id_b,
+             CAST(FLOOR(CAST(i.inter AS DOUBLE)
+                        / CAST(za.sz + zb.sz - i.inter AS DOUBLE)
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS jaccard_micros
+      FROM inter i JOIN sz za ON za.doc_id = i.da JOIN sz zb ON zb.doc_id = i.db) t
+    WHERE jaccard_micros >= 10000
+    """
+
+
+@query(
+    "q_near_dup_pipeline",
+    oracle=_near_dup_oracle(),
+    description="End-to-end near-dup dedup: MinHash-LSH candidate "
+    "generation + exact Jaccard verification computed ONLY on candidates "
+    "— the composition that scales to full corpora.",
+    refs=("§2.12",),
+)
+def q_near_dup_pipeline(spark, sf_dir):
+    from lakeflow.operators.similarity import near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(d, "doc_id", "text", min_jaccard_micros=10_000)

@@ -589,3 +589,148 @@ def q_having(spark, sf_dir):
         )
         .filter(F.col("n_orders") >= 8)
     )
+
+
+@query(
+    "q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4-style: correlated EXISTS (any lineitem shipped "
+    "after order date) -> left-semi join + agg.",
+    refs=("J3", "A5", "P8"),
+)
+def q4_priority_check(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lo = lit_ts(orders, "o_orderdate", "1996-01-01")
+    hi = lit_ts(orders, "o_orderdate", "1996-10-01")
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    late = filtered.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q12_shipmode_buckets",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+    description="TPC-H Q12-style: join + conditional-sum bucketing by "
+    "priority class.",
+    refs=("J2", "A5", "F6"),
+)
+def q12_shipmode_buckets(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = lit_ts(li, "l_shipdate", "1996-01-01")
+    hi = lit_ts(li, "l_shipdate", "1997-01-01")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN {SQL_MICROS.format(x=_SQL_DISC_PRICE)} ELSE 0 END) AS BIGINT)
+             AS promo_revenue_micros,
+           CAST(SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)}) AS BIGINT)
+             AS total_revenue_micros,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN {SQL_MICROS.format(x=_SQL_DISC_PRICE)} ELSE 0 END) AS BIGINT)
+             / (0.01e0 * SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)})) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    description="TPC-H Q14-style promo revenue share: broadcast part "
+    "dimension, conditional aggregation, exact-int ratio.",
+    refs=("J2", "A5", "F6"),
+)
+def q14_promo_share(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = lit_ts(li, "l_shipdate", "1996-03-01")
+    hi = lit_ts(li, "l_shipdate", "1996-04-01")
+    rev = micros(_disc_price())
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    agg = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_revenue_micros"),
+            F.sum(rev).alias("total_revenue_micros"),
+        )
+    )
+    return agg.withColumn(
+        "promo_pct",
+        F.col("promo_revenue_micros")
+        / (F.lit(0.01) * F.col("total_revenue_micros")),
+    )
+
+
+@query(
+    "q_sliding_2h",
+    oracle=f"""
+    WITH starts AS (
+      SELECT event_id, event_type, value, date_trunc('hour', ts) AS w FROM events
+      UNION ALL
+      SELECT event_id, event_type, value,
+             date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+    SELECT w AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({SQL_MICROS.format(x='value')}) AS BIGINT) AS sum_value_micros
+    FROM starts GROUP BY w, event_type
+    """,
+    description="Sliding 2h/1h event-time windows (each event in exactly "
+    "two windows) — batch twin of the streaming sliding window.",
+    refs=("§2.10", "F4"),
+)
+def q_sliding_2h(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micros("value")).alias("sum_value_micros"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_micros",
+        )
+    )
