@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q_sessionize_batch",
     "q_pivot_event_types",
     "q_lang_id",
+    "q_near_dup_pipeline",
+    "q_correlated_subquery",
 ]
 
 
