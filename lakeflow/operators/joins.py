@@ -43,16 +43,28 @@ def asof_join(
     (the later-sorted one wins — pass e.g. a monotonically increasing id
     for deterministic latest-wins).
 
+    The payload travels as ONE struct column: match detection is the
+    struct's own nullness (never a payload field's — a right row whose
+    payload columns are all legitimately NULL still matches), and the
+    carried payload is atomic (all fields from the SAME right row —
+    per-column last(ignorenulls) could stitch fields from different
+    rows when some fields are null).
+
     Single shuffle on ``on``; scales linearly in |left|+|right|.
     """
+    from pyspark.sql.types import StructField, StructType
+
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns]
+    pay_type = StructType(
+        [StructField(p, right.schema[p].dataType, True) for p in payload_cols]
+    )
 
     l_tag = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload_cols],
+        F.lit(None).cast(pay_type).alias("__pay"),
         *[F.lit(None).cast(right.schema[t].dataType).alias(f"__t_{t}") for t in tiebreak_cols],
     )
     r_tag = right.select(
@@ -60,7 +72,7 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(p).alias(f"__p_{p}") for p in payload_cols],
+        F.struct(*[F.col(p) for p in payload_cols]).alias("__pay"),
         *[F.col(t).alias(f"__t_{t}") for t in tiebreak_cols],
     ).select(*l_tag.columns)  # align column order for unionByName-safety
 
@@ -73,12 +85,15 @@ def asof_join(
     carried = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
-        *[F.last(F.col(f"__p_{p}"), ignorenulls=True).over(w).alias(p) for p in payload_cols],
+        F.last(F.col("__pay"), ignorenulls=True).over(w).alias("__pay"),
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col(payload_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__pay").isNotNull())
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col("__pay").getField(p).alias(p) for p in payload_cols],
+    )
 
 
 def range_self_join(

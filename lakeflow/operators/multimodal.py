@@ -45,23 +45,17 @@ def with_binary_payload(df: DataFrame, content_col: str, id_col: str) -> DataFra
 
 
 def extract_metadata(df: DataFrame) -> DataFrame:
-    """Arrow-batched metadata extraction over binary payloads —
-    the mapInPandas pattern every real decoder below follows."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "content_md5": pdf["payload"].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                    "media_type": pdf["media_type"],
-                }
-            )
-
-    return df.mapInPandas(fn, META_SCHEMA)
+    """Metadata extraction over binary payloads — pure JVM built-ins
+    (``md5`` and ``octet_length`` both accept binary), so 100 TB of
+    media never crosses the Arrow boundary just to be sized and hashed.
+    Python enters only where a real decoder is needed
+    (``decode_features``)."""
+    return df.select(
+        F.col("id").cast("long").alias("id"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        "media_type",
+    )
 
 
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:

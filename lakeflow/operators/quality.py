@@ -50,10 +50,19 @@ def run_checks(
         bad = ~F.col(col).isin(list(vals)) & F.col(col).isNotNull()
         aggs.append(F.sum(bad.cast("long")).alias(f"__badval_{col}"))
     for name, cond in (custom or {}).items():
-        aggs.append(F.sum((~cond).cast("long")).alias(f"__custom_{name}"))
+        # a condition that evaluates to NULL (e.g. comparison on a null
+        # column) is a violation, not a silent pass: coalesce to False
+        # before negating so sum() counts it
+        bad_cond = ~F.coalesce(cond, F.lit(False))
+        aggs.append(F.sum(bad_cond.cast("long")).alias(f"__custom_{name}"))
     if unique:
+        # count_distinct over the bare columns drops rows with NULL in
+        # any key column (falsely reporting duplicates); a struct is
+        # itself non-null, so this counts NULL keys null-safely
         aggs.append(
-            F.count_distinct(*[F.col(c) for c in unique]).alias("__distinct")
+            F.count_distinct(F.struct(*[F.col(c) for c in unique])).alias(
+                "__distinct"
+            )
         )
     row = df.agg(*aggs).collect()[0]
 

@@ -176,29 +176,52 @@ def lsh_ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
-) -> DataFrame:
-    """k min-hashes over word n-gram shingles: explode + single hash-agg
-    (map-side partial min). The k hash functions are md5-digest slices
-    (hash_slices) so only k/4 digests are computed per shingle occurrence
-    — the digest is the dominant cost at scale. Returns (id_col, mh0..)."""
+def minhash_from_shingles(sh: DataFrame, id_col: str, k: int = 8) -> DataFrame:
+    """k min-hashes from an already-exploded (id, s) shingle relation:
+    one hash-agg with map-side partial min. The k hash functions are
+    md5-digest slices (hash_slices) so only k/4 digests are computed per
+    shingle — the digest is the dominant cost at scale. min() is
+    duplicate-insensitive, so distinct and multiset shingle inputs give
+    identical signatures (which is what lets near_dup_pairs share ONE
+    distinct-shingle scan between signatures and verification).
+    Returns (id_col, mh0..)."""
     from lakeflow.functions.hashing import hash_slices
 
     assert k % 4 == 0, "k must be a multiple of 4 (4 slices per digest)"
     seeds = tuple(chr(ord("a") + i) for i in range(k // 4))
-    ex = explode_shingles(df, id_col, text_col, shingle_n)
     slices = hash_slices(F.col("s"), seeds)
-    return ex.groupBy(id_col).agg(
+    return sh.groupBy(id_col).agg(
         *[F.min(h).alias(f"mh{i}") for i, h in enumerate(slices)]
     )
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """k min-hashes over word n-gram shingles: explode + single hash-agg
+    (map-side partial min). Returns (id_col, mh0..)."""
+    ex = explode_shingles(df, id_col, text_col, shingle_n)
+    return minhash_from_shingles(ex, id_col, k)
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, k: int = 8, band_size: int = 2
+    sig: DataFrame,
+    id_col: str,
+    k: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH over a minhash signature: hash each band, self-join on
-    (band_id, band_hash), emit each candidate pair once (id_a < id_b)."""
+    (band_id, band_hash), emit each candidate pair once (id_a < id_b).
+
+    ``max_bucket_size`` is the skew guard for the self-join: a bucket of
+    n docs emits n^2/2 pairs, so one degenerate hot bucket (boilerplate
+    docs, empty docs, a template cluster) dominates the whole stage at
+    scale. Buckets above the cap are dropped via a broadcast anti-join
+    (the oversized-bucket list is tiny) — standard MinHashLSH practice:
+    a bucket that big is not "near-duplicate pairs", it's an exact-dup
+    cluster that the cheaper exact_dedup pass should own. Default None
+    keeps exact oracle parity."""
     n_bands = k // band_size
     # all bands in ONE pass over the signatures: a per-band UNION would
     # re-execute the whole upstream signature pipeline n_bands times
@@ -214,6 +237,16 @@ def lsh_candidate_pairs(
     all_bands = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("z")
     ).select(id_col, "z.band_id", "z.band_hash")
+    if max_bucket_size is not None:
+        hot = (
+            all_bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        all_bands = all_bands.join(
+            F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+        )
     a = all_bands.select(
         F.col(id_col).alias(f"{id_col}_a"), "band_id", "band_hash"
     )
@@ -234,15 +267,34 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     min_jaccard_micros: int = 20000,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1
     shingle: distinct-shingle explode, self-join on shingle (equi — the
     only scalable pair generator), intersection counts, |A|+|B|-∩ union.
-    Returns (id_a, id_b, jaccard_micros)."""
+    Returns (id_a, id_b, jaccard_micros).
+
+    ``max_shingle_doc_freq`` is the skew guard for the shingle self-join:
+    a shingle present in n docs emits n^2/2 join rows, so one stop-phrase
+    shingle ("click here to unsubscribe") dominates the shuffle at
+    corpus scale. Shingles above the doc-frequency cap are dropped from
+    pair generation AND intersection counting (broadcast anti-join on
+    the tiny hot list) but still count toward |A|,|B|, so reported
+    Jaccard is a conservative underestimate — the standard recall/cost
+    trade. Default None keeps exact oracle parity."""
     sh = explode_shingles(df, id_col, text_col, shingle_n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("ia"), "s")
-    b = sh.select(F.col(id_col).alias("ib"), "s")
+    pair_src = sh
+    if max_shingle_doc_freq is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_doc_freq)
+            .select("s")
+        )
+        pair_src = sh.join(F.broadcast(hot), "s", "left_anti")
+    a = pair_src.select(F.col(id_col).alias("ia"), "s")
+    b = pair_src.select(F.col(id_col).alias("ib"), "s")
     inter = (
         a.join(b, "s")
         .filter(F.col("ia") < F.col("ib"))
@@ -277,15 +329,31 @@ def near_dup_pairs(
     k: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Complete near-duplicate pipeline: MinHash-LSH generates candidate
     pairs, exact n-gram Jaccard verifies them — the verification join
     touches ONLY candidates (never all pairs), which is what makes
     near-dup dedup tractable at corpus scale. Returns
-    (id_a, id_b, jaccard_micros) for confirmed pairs."""
-    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
-    cand = lsh_candidate_pairs(sig, id_col, k, band_size)
+    (id_a, id_b, jaccard_micros) for confirmed pairs.
+
+    The distinct-shingle relation is computed ONCE and shared by both
+    consumers — min() is duplicate-insensitive, so signatures over
+    distinct shingles equal signatures over the raw multiset — which
+    halves the corpus scans AND computes each shingle's md5 once
+    instead of once per occurrence (the dominant cost). At corpus scale
+    the persisted relation is (doc_id, shingle) — far smaller than the
+    corpus when shingles repeat; set ``persist_shingles=False`` to trade
+    recompute for memory. ``max_bucket_size`` forwards the LSH skew
+    guard (see lsh_candidate_pairs)."""
     dsh = explode_shingles(df, id_col, text_col, shingle_n).distinct()
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        dsh = dsh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_from_shingles(dsh, id_col, k)
+    cand = lsh_candidate_pairs(sig, id_col, k, band_size, max_bucket_size)
     sizes = dsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = dsh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("s"))
     b = dsh.select(F.col(id_col).alias(f"{id_col}_b"), F.col("s"))

@@ -26,15 +26,16 @@ EXCLUDED_STATUSES = ("INITIAL", "DEPRECATED")
 
 
 def topic_table_name(df: DataFrame) -> str:
-    """A1 (`kafka_s3_to_silver.py:15`): table name = most frequent topic,
-    deterministic tie-break."""
+    """A1 (`kafka_s3_to_silver.py:15`): table name = most frequent topic
+    with the reference's ``_topic`` suffix (it derives
+    ``f'{topic.replace(".", "_")}_topic'``), deterministic tie-break."""
     row = (
         df.groupBy("topic")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("topic"))
         .first()
     )
-    return row["topic"].replace(".", "_")
+    return row["topic"].replace(".", "_") + "_topic"
 
 
 def import_topic_dump(

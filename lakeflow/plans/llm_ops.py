@@ -358,17 +358,38 @@ def q_embedding_stats(spark, sf_dir):
 
 @query(
     "q_lsh_ann",
-    oracle=None,  # approximate-by-design: driver records rows-only check
+    # ANN neighbors are approximate-by-design, so the oracle checks the
+    # RECALL CONTRACT: the Spark side computes recall@5 of the LSH path
+    # against the exact brute-force truth (both Spark-side, both
+    # deterministic) and emits a pass boolean; the oracle asserts TRUE.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_pass
+    FROM embeddings WHERE vec_id < 10
+    """,
     description="Multi-table LSH approximate NN (8 tables x 4 hyperplane "
-    "signs, ~0.7 recall vs brute force on this data): candidates share "
-    "a bucket in any table, exact cosine ranks the union — the 100 TB "
-    "scale path where brute force is infeasible.",
+    "signs): candidates share a bucket in any table, exact cosine ranks "
+    "the union — the 100 TB scale path where brute force is infeasible. "
+    "Checked via a recall@5 >= 0.6 contract against brute-force truth.",
     refs=("§2.12",),
 )
 def q_lsh_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(
-        emb, F.col("vec_id") < 10, k=5, n_planes=4, n_tables=8, dim=64
+    pred = F.col("vec_id") < 10
+    ann = lsh_ann_topk(emb, pred, k=5, n_planes=4, n_tables=8, dim=64)
+    exact = brute_force_topk(emb, pred, k=5)
+    hits = ann.join(
+        exact.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+    )
+    per_q = (
+        exact.select("q_id")
+        .distinct()
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("hits")), "q_id", "left")
+        .select("q_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    # mean recall@5 >= 0.6  <=>  sum(hits) >= 3 * n_queries (integer-exact)
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.sum("hits") >= F.count(F.lit(1)) * F.lit(3)).alias("recall_pass"),
     )
 
 

@@ -382,17 +382,38 @@ def q_variant_extract(spark, sf_dir):
 
 @query(
     "q_approx_distinct",
-    oracle=None,  # HLL estimates are engine-specific: rows-only check
-    description="approx_count_distinct (HyperLogLog++) per priority — "
-    "the constant-memory distinct estimator for 100 TB cardinalities "
-    "(A5); exact twin is q_count_distinct.",
+    # HLL estimates are engine-specific, so the oracle checks the
+    # CONTRACT instead of the estimate: the Spark side emits a boolean
+    # "estimate within ±5% of exact", the oracle asserts TRUE — a
+    # deterministic hash-checkable row instead of a skipped check.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="approx_count_distinct (HyperLogLog++, rsd=0.01) per "
+    "priority — the constant-memory distinct estimator for 100 TB "
+    "cardinalities (A5); checked against the exact count via a ±5% "
+    "tolerance contract; exact twin is q_count_distinct.",
     refs=("A5",),
 )
 def q_approx_distinct(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.count_distinct(F.col("o_custkey")).alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    tol = F.abs(
+        F.col("approx_customers").cast("double") - F.col("exact_customers")
+    ) <= F.lit(0.05) * F.col("exact_customers")
+    return agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        "n_orders",
+        tol.alias("within_5pct"),
     )
 
 
@@ -495,7 +516,7 @@ def q_trailing_window(spark, sf_dir):
                FROM documents)
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           toks[1:3] AS first3,
+           array_to_string(toks[1:3], ',') AS first3,
            list_contains(toks, 'spark') AS has_spark,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
            list_sort(list_distinct(toks))[1] AS first_alpha
@@ -514,7 +535,7 @@ def q_array_ops(spark, sf_dir):
     return pre.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
-        F.slice("toks", 1, 3).alias("first3"),
+        F.array_join(F.slice("toks", 1, 3), ",").alias("first3"),
         F.array_contains("toks", "spark").alias("has_spark"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
         F.get(F.array_sort(F.array_distinct("toks")), 0).alias("first_alpha"),

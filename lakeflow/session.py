@@ -36,6 +36,12 @@ def get_spark(
             or os.environ.get("SPARK_GRAFT_CPUS")
             or 32
         )
+    # driver memory must reach the JVM before it launches (builder-time
+    # spark.driver.memory is silently ignored for Python-launched local
+    # drivers); no-op if a JVM or explicit submit args already exist
+    mem = os.environ.get("LAKEFLOW_DRIVER_MEM")
+    if mem and not os.environ.get("PYSPARK_SUBMIT_ARGS"):
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -46,7 +52,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("LAKEFLOW_DRIVER_MEM", "8g"))
+        # NOTE: spark.driver.memory only takes effect when the JVM is
+        # launched by spark-submit; for a Python-launched local driver
+        # the JVM already exists before builder configs apply, so
+        # LAKEFLOW_DRIVER_MEM is injected via PYSPARK_SUBMIT_ARGS below
+        # (must happen before the first SparkSession in the process)
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.ui.enabled", "false")
         # split size: 128MB is right for a cluster reading real lake files;

@@ -2,8 +2,28 @@
 
 The reference's "upsert" was drop-and-recreate or append-only tables
 (SURVEY §2.10); Delta/Iceberg ``MERGE INTO`` is the production path.
-On plain parquet (this environment) the guide-standard emulation is
-anti-join + union + window, which these helpers implement:
+
+ACID LIMITATION (documented, by environment): delta-spark / Iceberg
+JVM packages are not installable in this sandbox, so these helpers
+emulate MERGE over plain parquet with the guide-standard anti-join +
+union + window rewrite. The API shape is MERGE-compatible on purpose —
+(target, updates, keys, ordering) maps 1:1 onto
+``DeltaTable.merge(updates, keys).whenMatchedUpdateAll()
+.whenNotMatchedInsertAll()`` — so swapping in a real ACID table format
+changes only the body of these two functions. What the emulation does
+and does not guarantee:
+
+- idempotent under replay: re-applying a batch is a no-op (tested).
+- failure-atomic per write: the overwrite goes through Spark's commit
+  protocol (_temporary staging + rename), so readers never see a
+  half-written table; ``localCheckpoint`` materializes the merged
+  result BEFORE the target is truncated.
+- NOT multi-writer safe: two concurrent mergers can interleave
+  read-modify-write and lose one side's rows (parquet has no
+  optimistic concurrency control). Single-writer-per-target is the
+  operating assumption; Delta/Iceberg lifts it.
+- a failed READ of an existing target aborts the merge instead of
+  silently overwriting history (``read_target_if_exists``).
 
 - ``merge_upsert``: latest-wins row replacement per key (same semantics
   as the streaming foreachBatch sink, batch-callable).
@@ -23,6 +43,24 @@ from pyspark.sql import functions as F
 from lakeflow.operators.dedup import latest_wins
 
 
+def read_target_if_exists(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """Read an existing merge target, returning None ONLY when the path
+    genuinely does not exist yet. Any other read failure (transient S3
+    error, permissions, corrupt footer) propagates: the merge writers
+    below OVERWRITE the target with existing ∪ updates, so silently
+    treating a failed read as an empty target would replace the whole
+    history with just the incoming batch."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(target_path)
+    except AnalysisException as e:
+        msg = f"{getattr(e, 'getCondition', lambda: '')() or ''} {e}"
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -30,10 +68,10 @@ def merge_upsert(
     keys: Sequence[str],
     order_col: str,
 ) -> None:
-    try:
-        existing = spark.read.parquet(target_path)
+    existing = read_target_if_exists(spark, target_path)
+    if existing is not None:
         merged = existing.unionByName(updates, allowMissingColumns=True)
-    except Exception:
+    else:
         merged = updates
     out = latest_wins(merged, list(keys), order_col)
     out.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
@@ -53,13 +91,11 @@ def scd2_merge(
     version's valid_from (null while current), is_current.
     """
     versions = updates.withColumn("valid_from", F.col(change_ts))
-    try:
-        existing = spark.read.parquet(target_path).drop(
-            "valid_to", "is_current"
+    existing = read_target_if_exists(spark, target_path)
+    if existing is not None:
+        versions = existing.drop("valid_to", "is_current").unionByName(
+            versions, allowMissingColumns=True
         )
-        versions = existing.unionByName(versions, allowMissingColumns=True)
-    except Exception:
-        pass
     # idempotence: identical (key, valid_from) replays collapse
     versions = latest_wins(versions, [*keys, "valid_from"], change_ts)
     w = Window.partitionBy(*keys).orderBy("valid_from")

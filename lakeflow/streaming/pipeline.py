@@ -120,14 +120,15 @@ def upsert_foreach_batch(
     column). Returns the started StreamingQuery.
     """
     from lakeflow.operators.dedup import latest_wins
+    from lakeflow.sinks.merge import read_target_if_exists
 
     spark = stream.sparkSession
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        try:
-            existing = spark.read.parquet(target_path)
+        existing = read_target_if_exists(spark, target_path)
+        if existing is not None:
             merged = existing.unionByName(batch, allowMissingColumns=True)
-        except Exception:  # first batch: target does not exist yet
+        else:  # first batch: target does not exist yet
             merged = batch
         out = latest_wins(merged, list(keys), order_col)
         # localCheckpoint breaks lineage so the read-then-overwrite of the

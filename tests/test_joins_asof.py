@@ -1,0 +1,47 @@
+"""asof_join payload semantics: match detection and payload atomicity
+must not depend on payload-column nullability (the struct-carry fix)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from lakeflow.operators.joins import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lts=10), Row(k=1, lts=25), Row(k=2, lts=10)]
+    )
+    # right row at ts=20 has a legitimately NULL first payload column —
+    # it must still match left rows with lts >= 20
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=5, a="a5", b="b5"),
+            Row(k=1, rts=20, a=None, b="b20"),
+            Row(k=2, rts=50, a="a50", b="b50"),
+        ]
+    )
+    return left, right
+
+
+def test_null_first_payload_column_still_matches(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "lts", "rts", ["a", "b"], how="inner")
+    rows = {(r["k"], r["lts"]): (r["a"], r["b"]) for r in out.collect()}
+    # k=1, lts=25: latest right at rts=20 — a is NULL but the row matches
+    assert rows[(1, 25)] == (None, "b20")
+    # k=1, lts=10: right at rts=5
+    assert rows[(1, 10)] == ("a5", "b5")
+    # k=2, lts=10: no right row at or before — dropped in inner mode
+    assert (2, 10) not in rows
+
+
+def test_payload_is_atomic_not_stitched(spark):
+    # per-column last(ignorenulls) would stitch a="a5" (from rts=5) with
+    # b="b20" (from rts=20); the payload must come from ONE right row
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "lts", "rts", ["a", "b"], how="left")
+    rows = {(r["k"], r["lts"]): (r["a"], r["b"]) for r in out.collect()}
+    assert rows[(1, 25)] == (None, "b20")  # NOT ("a5", "b20")
+    assert rows[(2, 10)] == (None, None)  # unmatched left row kept in left mode
+    assert len(rows) == 3

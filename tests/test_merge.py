@@ -62,3 +62,39 @@ def test_scd2_merge_history_and_idempotence(spark, tmp_path):
     scd2_merge(spark, tgt, update, ["k"], "ts")
     hist2 = spark.read.parquet(tgt).collect()
     assert sorted(map(tuple, hist2)) == sorted(map(tuple, hist))
+
+
+def test_read_target_missing_returns_none(spark, tmp_path):
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    assert read_target_if_exists(spark, str(tmp_path / "does_not_exist")) is None
+
+
+def test_read_target_corrupt_raises_not_empty(spark, tmp_path):
+    # a failed read of an EXISTING target must propagate — treating it as
+    # an empty target would make the subsequent overwrite silently
+    # destroy all prior history
+    import pytest as _pytest
+
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    with _pytest.raises(Exception):
+        df = read_target_if_exists(spark, str(bad))
+        assert df is not None  # if the read itself was lazy-lenient
+        df.collect()
+
+
+def test_merge_upsert_idempotent_replay(spark, tmp_path):
+    # re-applying the same batch is a no-op (safe under at-least-once
+    # delivery / foreachBatch replays)
+    tgt = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [Row(k=1, v="a", ts=_ts("2024-01-01")), Row(k=2, v="b", ts=_ts("2024-01-02"))]
+    )
+    merge_upsert(spark, tgt, batch, ["k"], "ts")
+    before = sorted(map(tuple, spark.read.parquet(tgt).collect()))
+    merge_upsert(spark, tgt, batch, ["k"], "ts")
+    assert sorted(map(tuple, spark.read.parquet(tgt).collect())) == before

@@ -127,7 +127,8 @@ def test_mongo_end_to_end(spark, froot):
 
 def test_kafka_dedup_end_to_end(spark, froot):
     name, out = import_topic_dump(spark, froot["kafka"]["applications"])
-    assert name == "card_applications"
+    # reference naming: f'{topic.replace(".", "_")}_topic'
+    assert name == "card_applications_topic"
     rows = out.collect()
     # expected: python recomputation — latest ts per (id,status), ties by
     # offset (file order), then status NOT-IN filter

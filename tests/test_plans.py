@@ -74,6 +74,14 @@ def test_whole_stage_codegen_on_hot_paths(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_multimodal_meta_is_pure_jvm(spark):
+    # md5 + octet_length over binary payloads are built-ins: 100 TB of
+    # media must never cross the Arrow boundary just to be sized/hashed
+    plan = _plan(spark, "q_multimodal_meta")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert marker not in plan, f"q_multimodal_meta plans {marker}"
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     # the bucketed range self-join must plan as a hash/sort-merge join on
     # (key, bucket), never BroadcastNestedLoopJoin over the inequality

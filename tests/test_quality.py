@@ -42,3 +42,23 @@ def test_checks_fail_and_enforce_raises(spark):
     with pytest.raises(QualityError) as e:
         enforce(list(results.values()))
     assert "not_null:k" in str(e.value)
+
+
+def test_unique_check_null_safe(spark):
+    # all-distinct keys including a NULL: count_distinct over bare
+    # columns would drop the NULL row and falsely report a duplicate
+    df = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=None)])
+    res = {r.name: r for r in run_checks(df, unique=["k"])}
+    assert res["unique:k"].passed, res["unique:k"].detail
+
+
+def test_custom_check_null_condition_is_violation(spark):
+    # v > 0 on a NULL v evaluates to NULL; sum() skips NULLs, so the
+    # naive form silently passes — NULL must count as a violation
+    df = spark.createDataFrame([Row(v=5), Row(v=None)])
+    res = {
+        r.name: r
+        for r in run_checks(df, custom={"v_pos": F.col("v") > 0})
+    }
+    assert not res["custom:v_pos"].passed
+    assert "1 violation" in res["custom:v_pos"].detail

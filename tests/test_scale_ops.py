@@ -92,3 +92,50 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+def test_lsh_bucket_cap_drops_degenerate_hot_bucket(spark):
+    # 40 byte-identical docs form one hot bucket per band -> n^2/2 pair
+    # blowup; the cap drops those buckets (exact_dedup owns that
+    # cluster) while a small genuine near-dup bucket survives
+    from lakeflow.operators.similarity import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rare = "completely different content words appear here for testing only"
+    rows = [Row(id=i, text=hot) for i in range(40)]
+    rows += [Row(id=100, text=rare), Row(id=101, text=rare)]
+    df = spark.createDataFrame(rows)
+    sig = minhash_signatures(df, "id", "text")
+
+    uncapped = lsh_candidate_pairs(sig, "id").count()
+    assert uncapped == 40 * 39 // 2 + 1
+
+    capped = lsh_candidate_pairs(sig, "id", max_bucket_size=10).collect()
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(100, 101)]
+
+
+def test_ngram_hot_shingle_guard(spark):
+    # one stop-phrase shingle shared by 30 docs generates 30*29/2 join
+    # rows; the doc-frequency cap removes it from pair generation while
+    # a genuine near-dup pair (several rare shared shingles) survives
+    from lakeflow.operators.similarity import ngram_jaccard_pairs
+
+    rows = [
+        Row(id=i, text=f"common shared phrase tail{i} unique{i} word{i}")
+        for i in range(30)
+    ]
+    rows += [
+        Row(id=100, text="alpha beta gamma delta epsilon zeta"),
+        Row(id=101, text="alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    uncapped = ngram_jaccard_pairs(df, "id", "text", min_jaccard_micros=1)
+    assert uncapped.count() == 30 * 29 // 2 + 1
+
+    capped = ngram_jaccard_pairs(
+        df, "id", "text", min_jaccard_micros=1, max_shingle_doc_freq=10
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(100, 101)]
