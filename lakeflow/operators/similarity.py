@@ -87,21 +87,25 @@ def brute_force_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def plane_signs(table: int, j: int, dim: int) -> list[int]:
+    """Static +/-1 hyperplane weights for (table, plane): derived from
+    md5 parity, computed in Python and constant-folded into the plan —
+    and reproducible verbatim inside a SQL oracle as a literal list."""
+    return [
+        1
+        if int(hashlib.md5(f"{table}|{j}|{i}".encode()).hexdigest()[:4], 16) % 2 == 0
+        else -1
+        for i in range(dim)
+    ]
+
+
 def hyperplane_bucket(v: Column, n_planes: int, dim: int, table: int = 0) -> Column:
     """Deterministic sign-LSH bucket id: plane j's weights are +/-1
     derived from the seeded hash parity of (table,j,i); bit j of the
     bucket is the sign of the exact integer projection."""
     bucket = F.lit(0)
     for j in range(n_planes):
-        # static +/-1 pattern per (table, plane, dim) — computed in
-        # Python, constant-folded into the plan
-        signs = [
-            1
-            if int(hashlib.md5(f"{table}|{j}|{i}".encode()).hexdigest()[:4], 16) % 2
-            == 0
-            else -1
-            for i in range(dim)
-        ]
+        signs = plane_signs(table, j, dim)
         proj = F.aggregate(
             F.zip_with(
                 v,
@@ -174,6 +178,68 @@ def lsh_ann_topk(
     ).distinct()
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_micros"), F.asc(id_col))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    min_cos_micros: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale: sign-LSH
+    buckets generate candidates (equi-self-join on (table, bucket) —
+    never an all-pairs product), exact integer cosine verifies each
+    candidate, threshold filters. Deterministic end-to-end (static
+    hyperplanes, exact arithmetic), so a SQL oracle replaying the same
+    planes reproduces it bit-for-bit. Returns
+    (id_a, id_b, cos_micros) with id_a < id_b."""
+    base = _with_vectors(emb, id_col, vec_col)
+    tb = base.select(
+        id_col,
+        "__v",
+        "__n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_bucket(F.col("__v"), n_planes, dim, t).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("z"),
+    ).select(id_col, "__v", "__n2", "z.t", "z.b")
+    a = tb.select(
+        F.col(id_col).alias(f"{id_col}_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n2").alias("__n2a"),
+        "t",
+        "b",
+    )
+    bb = tb.select(
+        F.col(id_col).alias(f"{id_col}_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__n2b"),
+        "t",
+        "b",
+    )
+    pairs = a.join(bb, ["t", "b"]).filter(
+        F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    )
+    # same pair can collide in several tables: score (cheap, exact),
+    # then distinct collapses duplicates before the threshold filter
+    scored = pairs.select(
+        f"{id_col}_a",
+        f"{id_col}_b",
+        cosine_micros(
+            dot_long(F.col("__va"), F.col("__vb")), F.col("__n2a"), F.col("__n2b")
+        ).alias("cos_micros"),
+    ).distinct()
+    return scored.filter(F.col("cos_micros") >= min_cos_micros)
 
 
 def minhash_from_shingles(sh: DataFrame, id_col: str, k: int = 8) -> DataFrame:

@@ -125,6 +125,81 @@ def explode_shingles(
     )
 
 
+# BPE-ish pre-tokenization classes (GPT-2-style split minus lookaheads,
+# which RE2-based oracle engines lack): letter runs, digit runs,
+# non-alphanumeric-non-space runs. ASCII classes on both engines.
+BPE_WORD_RE = "[A-Za-z]+"
+BPE_NUM_RE = "[0-9]+"
+BPE_PUNCT_RE = r"[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_counts(c: Column | str) -> dict[str, Column]:
+    """Per-class token counts under a BPE-style pre-tokenizer — the
+    cheap JVM-side proxy for 'how many subword tokens will this doc
+    cost' (letter runs then split into ~1.3 subwords each; the class
+    mix is the useful scan-time signal)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return {
+        "word": F.size(F.regexp_extract_all(c, F.lit(BPE_WORD_RE), 0)),
+        "num": F.size(F.regexp_extract_all(c, F.lit(BPE_NUM_RE), 0)),
+        "punct": F.size(F.regexp_extract_all(c, F.lit(BPE_PUNCT_RE), 0)),
+    }
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every token k-gram (rolling the document), take the min hash
+    of each sliding window of ``w`` consecutive k-gram hashes, keep the
+    distinct selected hashes — a position-robust fingerprint set whose
+    size is ~1/w of the shingle count. Docs with fewer than ``k``
+    tokens produce no shingles and are excluded.
+
+    Formulation is the explode + hash-agg shape (NOT array transforms
+    over a hash array: lambda-inlined array exprs re-evaluate the md5
+    transform per element — the measured-60x-slower trap): posexplode
+    shingles, one window for n per-doc shingle counts, explode each
+    hash into the <= w windows containing it, min per (doc, window),
+    collect per doc. Shuffle keys are (id, window), never text.
+    Returns (id_col, n_fingerprints, fp_digest)."""
+    from pyspark.sql import Window as W
+
+    pre = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    sh = pre.select(
+        F.col(id_col),
+        F.posexplode(shingles_from_tokens("__t", k)).alias("p", "s"),
+    )
+    h = sh.select(
+        F.col(id_col), "p", seeded_hash(F.col("s"), "wn").alias("h")
+    ).withColumn("n", F.max("p").over(W.partitionBy(id_col)) + 1)
+    bound = F.when(F.col("n") >= w, F.col("n") - w + 1).otherwise(
+        F.least(F.col("n"), F.lit(1))
+    )
+    ex = (
+        h.select(
+            F.col(id_col),
+            "h",
+            "n",
+            "p",
+            F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("j"),
+        )
+        .withColumn("wid", F.col("p") - F.col("j"))
+        .filter((F.col("wid") >= 0) & (F.col("wid") < bound))
+    )
+    wm = ex.groupBy(id_col, "wid").agg(F.min("h").alias("mh"))
+    fps = wm.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("mh")).alias("__fps")
+    )
+    return fps.select(
+        F.col(id_col),
+        F.size("__fps").cast("long").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(",", F.transform("__fps", lambda x: x.cast("string")))
+        ).alias("fp_digest"),
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document over distinct tokens: per-bit +/-1
     votes from a seeded token hash, sign-aggregated. One explode + one

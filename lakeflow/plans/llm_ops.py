@@ -411,6 +411,129 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_metadata(with_binary_payload(d, "text", "doc_id"))
 
 
+@query(
+    "q_token_classes",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_punct_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+              + len(regexp_extract_all(text, '[0-9]+'))
+              + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    description="BPE-style pre-tokenization counts (GPT-2 class split "
+    "minus lookaheads): letter/digit/punctuation runs per document — "
+    "the scan-time proxy for subword token cost, pure codegen regex.",
+    refs=("§2.12", "F1"),
+)
+def q_token_classes(spark, sf_dir):
+    from lakeflow.operators.text import bpe_ish_token_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_ish_token_counts("text")
+    total = counts["word"] + counts["num"] + counts["punct"]
+    return d.select(
+        "doc_id",
+        counts["word"].cast("long").alias("n_word_tokens"),
+        counts["num"].cast("long").alias("n_num_tokens"),
+        counts["punct"].cast("long").alias("n_punct_tokens"),
+        total.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _winnow_oracle(k: int = 3, w: int = 4) -> str:
+    h = SQL_SEEDED_HASH.format(seed="wn", x="x")
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              for i in generate_series(1, greatest(len(t) - {k - 1}, 0))] AS s
+      FROM toks),
+    hs AS (SELECT doc_id, [{h} for x in s] AS h FROM sh WHERE len(s) > 0),
+    wm AS (
+      SELECT doc_id,
+             [list_min(h[i:i+{w - 1}]) for i in generate_series(1,
+                CASE WHEN len(h) >= {w} THEN len(h) - {w - 1} ELSE 1 END)] AS m
+      FROM hs),
+    fp AS (SELECT doc_id, list_sort(list_distinct(m)) AS fps FROM wm)
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM fp
+    """
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=_winnow_oracle(),
+    description="Winnowing rolling-hash fingerprints (Schleimer et al. "
+    "SIGMOD'03): min-hash of each sliding window over token 3-gram "
+    "hashes, distinct selected hashes per doc — position-robust "
+    "plagiarism/overlap fingerprints at ~1/w the shingle count.",
+    refs=("§2.12",),
+)
+def q_winnow_fingerprint(spark, sf_dir):
+    from lakeflow.operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+
+
+def _embedding_near_dup_oracle(
+    min_cos_micros: int, n_planes: int = 4, n_tables: int = 8, dim: int = 64
+) -> str:
+    from lakeflow.operators.similarity import plane_signs
+
+    table_rows = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_signs(t, j, dim)}) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        table_rows.append(
+            f"      SELECT vec_id, v, n2, {t} AS t, {bits} AS b FROM n"
+        )
+    union = "\n      UNION ALL\n".join(table_rows)
+    return f"""
+    WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+    tb AS (
+{union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM tb a JOIN tb b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+    s AS (
+      SELECT ia AS vec_id_a, ib AS vec_id_b,
+             CAST(FLOOR(list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2))
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS cos_micros
+      FROM cand JOIN n x ON x.vec_id = ia JOIN n y ON y.vec_id = ib)
+    SELECT * FROM s WHERE cos_micros >= {min_cos_micros}
+    """
+
+
+@query(
+    "q_embedding_near_dup",
+    oracle=_embedding_near_dup_oracle(400_000),
+    description="Embedding-cosine near-duplicate pairs: sign-LSH bucket "
+    "candidates (equi-self-join on (table,bucket), never all-pairs) + "
+    "exact integer-cosine verification >= 0.4 — deterministic, so the "
+    "oracle replays the identical hyperplanes.",
+    refs=("§2.12",),
+)
+def q_embedding_near_dup(spark, sf_dir):
+    from lakeflow.operators.similarity import embedding_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(
+        emb, min_cos_micros=400_000, n_planes=4, n_tables=8, dim=64
+    )
+
+
 def _near_dup_oracle() -> str:
     # minhash candidate CTEs (same as q_minhash_lsh_pairs) + exact
     # jaccard verification over candidates only
