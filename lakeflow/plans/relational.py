@@ -734,3 +734,422 @@ def q_sliding_2h(spark, sf_dir):
             "sum_value_micros",
         )
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_MICROS.format(x='l_extendedprice * l_discount')}) AS BIGINT)
+             AS revenue_micros,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 5e-2 AND 7e-2
+      AND l_quantity < 24e0
+    """,
+    description="TPC-H Q6-style forecasting revenue: pure scan-filter-agg"
+    " — every predicate pushes to the parquet scan, no shuffle beyond "
+    "the final single-row agg.",
+    refs=("A5", "P8", "P11"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lit_ts(li, "l_shipdate", "1996-01-01"))
+            & (F.col("l_shipdate") < lit_ts(li, "l_shipdate", "1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(micros(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_micros"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)}) AS BIGINT) AS revenue_micros
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+    description="TPC-H Q7-style volume shipping: 6-way join with a "
+    "cross-nation OR predicate — dimensions broadcast, the one real "
+    "shuffle is lineitem-orders on orderkey.",
+    refs=("J2", "A5", "F4"),
+)
+def q7_volume_shipping(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                lit_ts(li, "l_shipdate", "1996-01-01"),
+                lit_ts(li, "l_shipdate", "1997-12-31"),
+            )
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.sum(micros(_disc_price())).alias("revenue_micros"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             {SQL_MICROS.format(x=_SQL_DISC_PRICE)} AS v,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA')
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS BIGINT)
+             AS nation_revenue_micros,
+           CAST(SUM(v) AS BIGINT) AS total_revenue_micros,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS BIGINT)
+             / CAST(SUM(v) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY order_year
+    """,
+    description="TPC-H Q8-style market share: one nation's revenue share "
+    "within a customer region by year — conditional aggregation over a "
+    "broadcast-dimension join tree; the share divides two exact BIGINTs.",
+    refs=("J2", "A5", "F6"),
+)
+def q8_market_share(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    v = micros(_disc_price())
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(reg), F.col("n2_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", v).otherwise(F.lit(0))
+            ).alias("nation_revenue_micros"),
+            F.sum(v).alias("total_revenue_micros"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.col("nation_revenue_micros")
+            / F.col("total_revenue_micros").cast("double"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)}) AS BIGINT) AS revenue_micros,
+           {SQL_CENTS.format(x='c_acctbal')} AS acctbal_cents,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, acctbal_cents, n_name
+    ORDER BY revenue_micros DESC, c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10-style returned-item report: top-20 customers "
+    "by lost revenue in a quarter — join + agg + TakeOrderedAndProject.",
+    refs=("J2", "A5", "D3"),
+)
+def q10_returned_items(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= lit_ts(orders, "o_orderdate", "1996-01-01"))
+                & (F.col("o_orderdate") < lit_ts(orders, "o_orderdate", "1996-04-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey", "c_name", cents("c_acctbal").alias("acctbal_cents"), "n_name"
+        )
+        .agg(F.sum(micros(_disc_price())).alias("revenue_micros"))
+        .select("c_custkey", "c_name", "revenue_micros", "acctbal_cents", "n_name")
+        .orderBy(F.desc("revenue_micros"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13-style order-count distribution: left outer "
+    "join with an extra join-condition predicate, two-level aggregation "
+    "(per-customer count, then histogram).",
+    refs=("J2", "A5"),
+)
+def q13_order_distribution(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q17_small_quantity_parts",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_cents,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT)
+             AS small_qty_revenue_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN pa ON pk = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND {SQL_CENTS.format(x='l_quantity')} * 5 * cnt < sum_qty_cents
+    """,
+    description="TPC-H Q17-style small-quantity revenue: correlated "
+    "per-part average rewritten as an aggregate-then-join (qty < 0.2*avg"
+    " compared in exact integers: cents*5*count < sum_cents).",
+    refs=("J2", "A5", "§2.8"),
+)
+def q17_small_quantity_parts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(cents("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty_cents"))
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("small_qty_revenue_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey AS bk,
+             CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_cents
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM({SQL_CENTS.format(x='l_quantity')}) > 25000)
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           {SQL_CENTS.format(x='o_totalprice')} AS totalprice_cents,
+           sum_qty_cents
+    FROM big
+    JOIN orders ON o_orderkey = bk
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY totalprice_cents DESC, o_orderkey
+    LIMIT 50
+    """,
+    description="TPC-H Q18-style large-volume orders: HAVING on a "
+    "grouped sum feeding a join — the aggregate prunes before the "
+    "customer join touches anything.",
+    refs=("A5", "J2", "D3"),
+)
+def q18_large_volume_orders(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.sum(cents("l_quantity")).alias("sum_qty_cents"))
+        .filter(F.col("sum_qty_cents") > 25000)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("bk"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            cents("o_totalprice").alias("totalprice_cents"),
+            "sum_qty_cents",
+        )
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)}) AS BIGINT) AS revenue_micros,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1e0 AND 11e0)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10e0 AND 20e0)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20e0 AND 30e0)
+    """,
+    description="TPC-H Q19-style disjunctive predicates: OR-of-ANDs "
+    "across both join sides — Catalyst still broadcasts the part "
+    "dimension and evaluates the residual predicate post-join.",
+    refs=("J2", "P11", "A5"),
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & q.between(20.0, 30.0)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(micros(_disc_price())).alias("revenue_micros"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(SUM({SQL_CENTS.format(x='c_acctbal')}) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0e0)
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM({SQL_CENTS.format(x='c_acctbal')}) AS BIGINT) AS total_bal_cents
+    FROM customer, pos
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE {SQL_CENTS.format(x='c_acctbal')} * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY n_name
+    """,
+    description="TPC-H Q22-style dormant high-balance customers: "
+    "above-average positive balance (exact integer comparison "
+    "cents*count > sum_cents against a 1-row broadcast aggregate) with "
+    "no recent orders (anti-join), grouped by nation.",
+    refs=("J3", "A5", "§2.8"),
+)
+def q22_dormant_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= lit_ts(orders, "o_orderdate", "2001-01-01")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(cents("c_acctbal") * F.col("n") > F.col("s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents("c_acctbal")).alias("total_bal_cents"),
+        )
+    )
