@@ -46,6 +46,15 @@ BENCH_QUERIES = [
     "q_lang_id",
     "q_near_dup_pipeline",
     "q_correlated_subquery",
+    # round 2 additions
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "q_token_classes",
+    "q_winnow_fingerprint",
+    "q_embedding_near_dup",
+    "q_ivf_ann",
 ]
 
 

@@ -30,6 +30,8 @@ META_SCHEMA = (
     "id long, n_bytes long, content_md5 string, media_type string"
 )
 FEATURE_SCHEMA = "id long, feature array<double>, width int, height int"
+RESIZE_SCHEMA = "id long, width int, height int, resized binary"
+FRAME_SCHEMA = "id long, frame_idx int, frame_ts_ms long, frame binary"
 
 
 def with_binary_payload(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -87,3 +89,81 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Image resize over binary payloads. STUB decode (no PIL-class
+    library in this environment); ``fake=True`` emits a deterministic
+    ``width*height``-byte pseudo-bitmap derived from the payload md5 so
+    the 1:1 mapInPandas plumbing (schema, Arrow batching, output size ∝
+    target dims not input size) is exercised for real. At scale the
+    win is that resize happens WHERE the bytes are scanned — payloads
+    never shuffle; output partitions shrink to thumbnail size."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv-class libraries; "
+                    "run with fake=True for the deterministic stub"
+                )
+            out = []
+            for b in pdf["payload"]:
+                digest = hashlib.md5(bytes(b)).digest()
+                # deterministic pseudo-bitmap: digest tiled to w*h bytes
+                n = width * height
+                out.append((digest * (n // 16 + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resized": out,
+                }
+            )
+
+    return df.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = False
+) -> DataFrame:
+    """Video frame sampling: one input row fans out to N frame rows —
+    the 1:N mapInPandas shape (output batches are NOT row-aligned with
+    input batches, which is exactly what mapInPandas allows and a
+    pandas_udf does not). STUB decode; ``fake=True`` derives a
+    deterministic frame count (1..max_frames from the payload md5) and
+    per-frame bytes so partitioning/row-expansion is exercised. At
+    scale: frames inherit the scan's partitioning, no shuffle; a
+    downstream repartition only if frame-level grouping follows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires ffmpeg-class libraries; "
+                    "run with fake=True for the deterministic stub"
+                )
+            ids, idxs, tss, frames = [], [], [], []
+            for i, b in zip(pdf["id"], pdf["payload"]):
+                digest = hashlib.md5(bytes(b)).digest()
+                n_frames = digest[0] % max_frames + 1
+                for j in range(n_frames):
+                    ids.append(i)
+                    idxs.append(j)
+                    tss.append(j * every_ms)
+                    frames.append(
+                        hashlib.md5(digest + j.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)

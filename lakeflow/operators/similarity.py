@@ -180,6 +180,98 @@ def lsh_ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate NN: partition the corpus into ``n_cells``
+    Voronoi cells around deterministic centroids, probe the ``n_probe``
+    nearest cells per query, rank candidates by exact cosine.
+
+    Centroids are corpus vectors picked by seeded-hash order (a
+    deterministic k-means++-style seeding without iterative refinement —
+    trained centroids would be nondeterministic across runs, which
+    breaks reproducible gates; swap in saved k-means centroids in
+    production). The centroid list is bounded (``n_cells`` rows) so the
+    driver-side collect is a broadcast-sized constant, folded into the
+    plan as literals — cell assignment is then a narrow map over the
+    scan (no shuffle), and the probe join is an equi-join on cell id
+    against a broadcast query side: the 100 TB shape where the corpus
+    never moves. Returns (q_id, vec_id, cos_micros, rnk)."""
+    base = _with_vectors(emb, id_col, vec_col)
+    picked = (
+        base.select(
+            id_col,
+            "__v",
+            seeded_hash(F.col(id_col).cast("string"), "ivf").alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [[int(x) for x in r["__v"]] for r in picked]
+    c2s = [sum(x * x for x in c) for c in cents]
+
+    def cell_scores(v: Column) -> Column:
+        # argmin ||v-c||^2 == argmax 2*v.c - c.c (exact longs)
+        return F.array(
+            *[
+                F.struct(
+                    (
+                        dot_long(v, F.array([F.lit(x) for x in cents[c]]))
+                        * F.lit(2)
+                        - F.lit(c2s[c])
+                    ).alias("s"),
+                    F.lit(c).alias("i"),
+                )
+                for c in range(n_cells)
+            ]
+        )
+
+    corpus = base.select(
+        id_col,
+        "__v",
+        "__n2",
+        F.array_max(cell_scores(F.col("__v"))).getField("i").alias("cell"),
+    )
+    probes = (
+        base.filter(query_pred)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__n2").alias("__qn2"),
+            F.slice(
+                F.reverse(F.array_sort(cell_scores(F.col("__v")))), 1, n_probe
+            ).alias("__cells"),
+        )
+        .select(
+            "q_id",
+            "__qv",
+            "__qn2",
+            F.explode(F.transform("__cells", lambda s: s.getField("i"))).alias(
+                "cell"
+            ),
+        )
+    )
+    joined = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    scored = joined.select(
+        "q_id",
+        id_col,
+        cosine_micros(
+            dot_long(F.col("__v"), F.col("__qv")), F.col("__n2"), F.col("__qn2")
+        ).alias("cos_micros"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_micros"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def embedding_near_dup(
     emb: DataFrame,
     min_cos_micros: int,
@@ -188,6 +280,7 @@ def embedding_near_dup(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_buckets: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale: sign-LSH
     buckets generate candidates (equi-self-join on (table, bucket) —
@@ -195,12 +288,21 @@ def embedding_near_dup(
     candidate, threshold filters. Deterministic end-to-end (static
     hyperplanes, exact arithmetic), so a SQL oracle replaying the same
     planes reproduces it bit-for-bit. Returns
-    (id_a, id_b, cos_micros) with id_a < id_b."""
+    (id_a, id_b, cos_micros) with id_a < id_b.
+
+    ``persist_buckets`` caches the (id, table, bucket) relation — rows
+    are 3 longs regardless of embedding width, so even corpus-scale it
+    is far smaller than the vectors — which keeps the n_planes*n_tables
+    projection folds computed (and codegen'd) once instead of once per
+    self-join side."""
     base = _with_vectors(emb, id_col, vec_col)
+    # candidate generation carries IDS ONLY: buckets + the banded
+    # self-join shuffle narrow (id, table, bucket) rows, and distinct
+    # collapses multi-table collisions BEFORE any dot product — vectors
+    # rejoin per distinct pair afterwards (two equi-joins on id; the
+    # corpus side is hash-partitioned once, never broadcast-dependent)
     tb = base.select(
         id_col,
-        "__v",
-        "__n2",
         F.explode(
             F.array(
                 *[
@@ -212,33 +314,42 @@ def embedding_near_dup(
                 ]
             )
         ).alias("z"),
-    ).select(id_col, "__v", "__n2", "z.t", "z.b")
-    a = tb.select(
+    ).select(id_col, "z.t", "z.b")
+    if persist_buckets:
+        from pyspark import StorageLevel
+
+        tb = tb.persist(StorageLevel.MEMORY_AND_DISK)
+    a = tb.select(F.col(id_col).alias(f"{id_col}_a"), "t", "b")
+    bb = tb.select(F.col(id_col).alias(f"{id_col}_b"), "t", "b")
+    cand = (
+        a.join(bb, ["t", "b"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b")
+        .distinct()
+    )
+    va = base.select(
         F.col(id_col).alias(f"{id_col}_a"),
         F.col("__v").alias("__va"),
         F.col("__n2").alias("__n2a"),
-        "t",
-        "b",
     )
-    bb = tb.select(
+    vb = base.select(
         F.col(id_col).alias(f"{id_col}_b"),
         F.col("__v").alias("__vb"),
         F.col("__n2").alias("__n2b"),
-        "t",
-        "b",
     )
-    pairs = a.join(bb, ["t", "b"]).filter(
-        F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    scored = (
+        cand.join(va, f"{id_col}_a")
+        .join(vb, f"{id_col}_b")
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            cosine_micros(
+                dot_long(F.col("__va"), F.col("__vb")),
+                F.col("__n2a"),
+                F.col("__n2b"),
+            ).alias("cos_micros"),
+        )
     )
-    # same pair can collide in several tables: score (cheap, exact),
-    # then distinct collapses duplicates before the threshold filter
-    scored = pairs.select(
-        f"{id_col}_a",
-        f"{id_col}_b",
-        cosine_micros(
-            dot_long(F.col("__va"), F.col("__vb")), F.col("__n2a"), F.col("__n2b")
-        ).alias("cos_micros"),
-    ).distinct()
     return scored.filter(F.col("cos_micros") >= min_cos_micros)
 
 

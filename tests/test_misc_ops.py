@@ -52,3 +52,63 @@ def test_multimodal_fake_features_deterministic(spark):
     a = {r["id"]: r["feature"] for r in decode_features(d, fake=True).collect()}
     b = {r["id"]: r["feature"] for r in decode_features(d, fake=True).collect()}
     assert a == b and all(len(v) == 4 for v in a.values())
+
+
+def test_multimodal_resize_stub_plumbing(spark):
+    import pytest as _pytest
+
+    from lakeflow.operators.multimodal import resize_images
+
+    d = with_binary_payload(
+        load_table(spark, SF, "documents").limit(10), "text", "doc_id"
+    )
+    out = resize_images(d, 8, 6, fake=True).collect()
+    assert len(out) == 10
+    # output size tracks target dims, not input payload size
+    assert all(len(r["resized"]) == 8 * 6 for r in out)
+    assert all(r["width"] == 8 and r["height"] == 6 for r in out)
+    # determinism
+    again = resize_images(d, 8, 6, fake=True).collect()
+    assert sorted(r["resized"] for r in out) == sorted(r["resized"] for r in again)
+    # real path declares itself unimplemented instead of faking silently
+    with _pytest.raises(Exception, match="NotImplementedError|resize requires"):
+        resize_images(d, 8, 6, fake=False).collect()
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    from lakeflow.operators.multimodal import sample_frames
+
+    d = with_binary_payload(
+        load_table(spark, SF, "documents").limit(10), "text", "doc_id"
+    )
+    out = sample_frames(d, every_ms=500, max_frames=4, fake=True).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    # 1:N fan-out: every doc produces 1..max_frames rows, contiguously indexed
+    assert set(by_id) == {r["id"] for r in d.select("id").collect()}
+    for rows in by_id.values():
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert 1 <= len(idxs) <= 4 and idxs == list(range(len(idxs)))
+        for r in rows:
+            assert r["frame_ts_ms"] == r["frame_idx"] * 500
+            assert len(r["frame"]) == 16
+
+
+def test_ivf_ann_candidates_subset_and_recall(spark):
+    from lakeflow.operators.similarity import brute_force_topk, ivf_ann_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    pred = F.col("vec_id") < 10
+    ann = ivf_ann_topk(emb, pred, k=5, n_cells=16, n_probe=8)
+    rows = ann.collect()
+    # top-k contract: <= k rows per query, ranks contiguous from 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # recall contract vs exact truth
+    ex = brute_force_topk(emb, pred, k=5)
+    hits = ann.join(ex.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi").count()
+    n_q = ex.select("q_id").distinct().count()
+    assert hits >= 3 * n_q  # recall@5 >= 0.6
