@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "q_winnow_fingerprint",
     "q_embedding_near_dup",
     "q_ivf_ann",
+    "q_edit_distance_pairs",
+    "q_drift_tvd",
 ]
 
 

@@ -573,9 +573,10 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
-def _near_dup_oracle() -> str:
-    # minhash candidate CTEs (same as q_minhash_lsh_pairs) + exact
-    # jaccard verification over candidates only
+def _lsh_cand_cte() -> str:
+    """Shared oracle fragment: shingles -> minhash signature -> banded
+    buckets -> distinct candidate pairs (da < db). Mirrors
+    minhash_signatures + lsh_candidate_pairs exactly."""
     from lakeflow.functions.hashing import sql_hash_slices
 
     slices = sql_hash_slices("s", seeds=("a", "b"))
@@ -590,8 +591,7 @@ def _near_dup_oracle() -> str:
         )
         for b in range(4)
     )
-    return f"""
-    WITH {_shingle_cte()},
+    return f"""{_shingle_cte()},
     mh AS (SELECT doc_id, {hcols} FROM ex GROUP BY doc_id),
     bands AS (
 {band_rows}
@@ -600,7 +600,14 @@ def _near_dup_oracle() -> str:
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id),
+       AND a.doc_id < b.doc_id)"""
+
+
+def _near_dup_oracle() -> str:
+    # minhash candidate CTEs (same as q_minhash_lsh_pairs) + exact
+    # jaccard verification over candidates only
+    return f"""
+    WITH {_lsh_cand_cte()},
     dsh AS (SELECT DISTINCT doc_id, s FROM ex),
     sz AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
     inter AS (
@@ -632,3 +639,109 @@ def q_near_dup_pipeline(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return near_dup_pairs(d, "doc_id", "text", min_jaccard_micros=10_000)
+
+
+@query(
+    "q_edit_distance_pairs",
+    oracle=f"""
+    WITH {_lsh_cand_cte()}
+    SELECT c.da AS doc_id_a, c.db AS doc_id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           CAST(FLOOR((1e0 - levenshtein(a.text, b.text)
+                        / CAST(greatest(length(a.text), length(b.text), 1) AS DOUBLE))
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS sim_micros
+    FROM cand c
+    JOIN documents a ON a.doc_id = c.da
+    JOIN documents b ON b.doc_id = c.db
+    """,
+    description="Edit-distance verification on MinHash-LSH candidates: "
+    "levenshtein + normalized similarity computed ONLY for candidate "
+    "pairs (the O(len^2)-per-pair metric is affordable exactly because "
+    "the equi-join pair generator bounds the pair count).",
+    refs=("§2.12", "F1"),
+)
+def q_edit_distance_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=8)
+    cand = lsh_candidate_pairs(sig, "doc_id", k=8, band_size=2)
+    ta = d.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("__ta"))
+    tb = d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("__tb"))
+    lev = F.levenshtein("__ta", "__tb")
+    maxlen = F.greatest(F.length("__ta"), F.length("__tb"), F.lit(1))
+    return (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            lev.cast("long").alias("edit_dist"),
+            F.floor(
+                (F.lit(1.0) - lev / maxlen.cast("double")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sim_micros"),
+        )
+    )
+
+
+@query(
+    "q_drift_tvd",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(FLOOR(value / 50e0) AS BIGINT), 9) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS first_half
+      FROM events),
+    c AS (
+      SELECT bin,
+             CAST(SUM(first_half) AS BIGINT) AS n_first,
+             CAST(SUM(1 - first_half) AS BIGINT) AS n_second
+      FROM b GROUP BY bin),
+    t AS (SELECT CAST(SUM(n_first) AS BIGINT) AS tf,
+                 CAST(SUM(n_second) AS BIGINT) AS ts2 FROM c)
+    SELECT bin, n_first, n_second,
+           n_first * 1000000 // tf AS p_micros,
+           n_second * 1000000 // ts2 AS q_micros,
+           abs(n_first * 1000000 // tf - n_second * 1000000 // ts2) AS diff_micros
+    FROM c, t
+    """,
+    description="Training-data distribution drift: value histogram of "
+    "the first vs second half of the event stream in fixed bins, "
+    "per-bin proportions and |p-q| in exact integer micros (total "
+    "variation distance = sum(diff)/2) — the scan-time drift monitor "
+    "for pipeline data quality; all integer arithmetic, no log calls "
+    "whose libm rounding could diverge across engines.",
+    refs=("§2.12", "A5", "F6"),
+)
+def q_drift_tvd(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    from lakeflow.functions.exact import lit_ts
+
+    first = (
+        F.col("ts") < lit_ts(ev, "ts", "2024-01-16")
+    ).cast("long")
+    binned = ev.select(
+        F.least(F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        first.alias("first_half"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum("first_half").alias("n_first"),
+        F.sum(F.lit(1) - F.col("first_half")).alias("n_second"),
+    )
+    t = c.agg(
+        F.sum("n_first").alias("tf"), F.sum("n_second").alias("ts2")
+    )
+    p = (F.col("n_first") * F.lit(1000000)).cast("long") / F.col("tf")
+    q = (F.col("n_second") * F.lit(1000000)).cast("long") / F.col("ts2")
+    pf = F.floor(p).cast("long")
+    qf = F.floor(q).cast("long")
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_first",
+        "n_second",
+        pf.alias("p_micros"),
+        qf.alias("q_micros"),
+        F.abs(pf - qf).alias("diff_micros"),
+    )
