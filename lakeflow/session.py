@@ -38,8 +38,14 @@ def get_spark(
         )
     # driver memory must reach the JVM before it launches (builder-time
     # spark.driver.memory is silently ignored for Python-launched local
-    # drivers); no-op if a JVM or explicit submit args already exist
-    mem = os.environ.get("LAKEFLOW_DRIVER_MEM")
+    # drivers); no-op if a JVM or explicit submit args already exist.
+    # In local mode the driver heap IS the executor heap, so the 1g
+    # default is far too small for 32 concurrent tasks + broadcasts +
+    # cached relations — measured: a 10x-scale near-dup run dies in
+    # BroadcastExchange at 1g, runs at 8g.
+    mem = os.environ.get(
+        "LAKEFLOW_DRIVER_MEM", "8g" if master.startswith("local") else None
+    )
     if mem and not os.environ.get("PYSPARK_SUBMIT_ARGS"):
         os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
 

@@ -139,3 +139,49 @@ def test_ngram_hot_shingle_guard(spark):
         df, "id", "text", min_jaccard_micros=1, max_shingle_doc_freq=10
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in capped] == [(100, 101)]
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from lakeflow.sinks.tables import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # simulate a fragmented streaming sink: 40 tiny files
+    spark.range(40_000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(path)
+    import os as _os
+
+    def n_files():
+        return sum(
+            1
+            for f in _os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    before = n_files()
+    assert before >= 40
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n_files() == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 40_000
+    assert out.agg(F.sum("v")).first()[0] == 2 * (39_999 * 40_000 // 2)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    import contextlib
+    import io
+
+    path = str(tmp_path / "byflag")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.partitionBy("l_returnflag").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the partition filter must reach the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
