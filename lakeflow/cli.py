@@ -64,7 +64,10 @@ def cmd_import(args) -> int:
 
     spark = _spark(f"lakeflow-import-{args.source}")
     if args.source == "mailgun":
-        df = import_mailgun_events(spark, args.path)
+        if not args.tags:
+            print("--tags required for mailgun (deployment-specific)", file=sys.stderr)
+            return 2
+        df = import_mailgun_events(spark, args.path, args.tags.split(","))
     elif args.source == "iterable":
         df = import_iterable_events(spark, args.path)
     elif args.source == "mongo":
@@ -112,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--path", required=True)
     im.add_argument("--table", default=None)
     im.add_argument("--mode", default="overwrite")
+    im.add_argument(
+        "--tags",
+        default=None,
+        help="comma-separated relevant-tag list (mailgun; deployment config)",
+    )
     im.set_defaults(fn=cmd_import)
 
     g = sub.add_parser("gold-create")

@@ -38,7 +38,14 @@ def run_checks(
     """Evaluate all expectations with one aggregate job.
 
     - ``not_null``: columns that must contain no nulls
-    - ``unique``: column set that must form a unique key
+    - ``unique``: column set that must form a unique key. NULL keys use
+      struct equality, so NULL == NULL: two rows that are both NULL in
+      a key column count as duplicates of each other. This is
+      grouping/distinct semantics (what a latest-wins dedup or groupBy
+      would collapse), intentionally STRICTER than a SQL UNIQUE
+      constraint, which admits any number of NULLs. Combine with
+      ``not_null`` on the key columns when you want the SQL behavior's
+      preconditions enforced instead.
     - ``min_rows``: minimum row count
     - ``accepted_values``: column -> allowed value list
     - ``custom``: name -> boolean Column that must hold for EVERY row

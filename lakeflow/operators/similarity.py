@@ -123,7 +123,7 @@ def lsh_ann_topk(
     emb: DataFrame,
     query_pred: Column,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int = 8,
     n_tables: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -141,6 +141,13 @@ def lsh_ann_topk(
     join whose right side is tiny. Tune (n_planes, n_tables): more
     planes → smaller buckets → cheaper + lower recall; more tables
     buys recall back at linear candidate cost.
+
+    Sizing rule: 2^n_planes buckets per table, so expected bucket size
+    is corpus/2^n_planes — pick n_planes ≈ log2(corpus / target bucket
+    size) (e.g. 1 B docs, ~1 k-doc buckets → 20 planes), then raise
+    n_tables until measured recall clears the contract. The default
+    n_planes=8 (256 buckets/table) is the floor below which the
+    self-join degenerates toward all-pairs at corpus scale.
     """
     base = _with_vectors(emb, id_col, vec_col)
     tb = base.select(
@@ -275,7 +282,7 @@ def ivf_ann_topk(
 def embedding_near_dup(
     emb: DataFrame,
     min_cos_micros: int,
-    n_planes: int = 4,
+    n_planes: int = 8,
     n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -294,7 +301,14 @@ def embedding_near_dup(
     are 3 longs regardless of embedding width, so even corpus-scale it
     is far smaller than the vectors — which keeps the n_planes*n_tables
     projection folds computed (and codegen'd) once instead of once per
-    self-join side."""
+    self-join side. The cache lives until the session ends or the
+    caller runs ``spark.catalog.clearCache()`` — long-lived sessions
+    issuing many near-dup jobs should clear between jobs (the returned
+    DataFrame is lazy, so this function cannot unpersist for you).
+
+    Bucket sizing: 2^n_planes buckets per table; see lsh_ann_topk's
+    sizing rule. Default n_planes=8 = 256 buckets/table — the floor
+    for corpus-scale self-joins."""
     base = _with_vectors(emb, id_col, vec_col)
     # candidate generation carries IDS ONLY: buckets + the banded
     # self-join shuffle narrow (id, table, bucket) rows, and distinct
@@ -415,6 +429,14 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("z")
     ).select(id_col, "z.band_id", "z.band_hash")
     if max_bucket_size is not None:
+        # the hot-bucket aggregate is a SECOND consumer of all_bands —
+        # without a persist it would re-execute the entire upstream
+        # signature pipeline (shingle explode + md5 + hash-agg) twice.
+        # Cache lifetime is the session's (the result is lazy); callers
+        # running many jobs should spark.catalog.clearCache() between.
+        from pyspark import StorageLevel
+
+        all_bands = all_bands.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             all_bands.groupBy("band_id", "band_hash")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -486,9 +508,12 @@ def ngram_jaccard_pairs(
         * F.lit(MICRO)
         + F.lit(0.5)
     ).cast("long")
+    # NOTE: no broadcast hint on the size tables — they have one row per
+    # document, so at corpus scale they are far beyond broadcast range.
+    # AQE picks broadcast at small SF on its own; sort-merge otherwise.
     return (
-        inter.join(F.broadcast(sza), "ia")
-        .join(F.broadcast(szb), "ib")
+        inter.join(sza, "ia")
+        .join(szb, "ib")
         .select(
             F.col("ia").alias(f"{id_col}_a"),
             F.col("ib").alias(f"{id_col}_b"),
@@ -522,8 +547,11 @@ def near_dup_pairs(
     instead of once per occurrence (the dominant cost). At corpus scale
     the persisted relation is (doc_id, shingle) — far smaller than the
     corpus when shingles repeat; set ``persist_shingles=False`` to trade
-    recompute for memory. ``max_bucket_size`` forwards the LSH skew
-    guard (see lsh_candidate_pairs)."""
+    recompute for memory. The cache lives until the session ends or the
+    caller runs ``spark.catalog.clearCache()`` (the returned DataFrame
+    is lazy, so this function cannot unpersist for you).
+    ``max_bucket_size`` forwards the LSH skew guard (see
+    lsh_candidate_pairs)."""
     dsh = explode_shingles(df, id_col, text_col, shingle_n).distinct()
     if persist_shingles:
         from pyspark import StorageLevel

@@ -25,22 +25,19 @@ from lakeflow.operators.flatten import (
 from lakeflow.pipelines._common import require_columns
 from lakeflow.sources.ndjson import read_double_encoded_ndjson
 
-# emails_import_mailgun.py:13-15
-RELEVANT_TAGS = [
-    "com.sunbit.notification.purchase.payment.OnSchedule",
-    "com.sunbit.notification.purchase.PaidOff",
-    "com.sunbit.notification.purchase.Agreement.TAB",
-]
-
-
 def import_mailgun_events(
     spark: SparkSession,
     path: str | list[str],
+    relevant_tags: list[str],
     start: datetime | None = None,
     schema=None,
-    relevant_tags: list[str] | None = None,
 ) -> DataFrame:
-    tags = relevant_tags if relevant_tags is not None else RELEVANT_TAGS
+    """``relevant_tags`` is deployment config with no default: the
+    reference hardcodes its own three notification-event tag strings
+    (emails_import_mailgun.py:13-15); each deployment passes its own."""
+    if not relevant_tags:
+        raise ValueError("relevant_tags is required (deployment-specific)")
+    tags = relevant_tags
     # S5 double-decode scan (emails_import_mailgun.py:20 via s3_utils.py:73-78)
     df = read_double_encoded_ndjson(spark, path, schema)
     require_columns(df, ["tags", "timestamp"], "mailgun import")

@@ -334,6 +334,73 @@ def q_except_custkeys(spark, sf_dir):
 
 
 @query(
+    "q_set_ops",
+    oracle="""
+    SELECT 'semi' AS setop, c_custkey AS custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'anti' AS setop, c_custkey AS custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'intersect' AS setop, custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'except' AS setop, custkey FROM (
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000e0
+    )
+    """,
+    description="Consolidated set-operator coverage (J3 semi/anti, D4 "
+    "intersect/except) in one driver-window query: each branch keeps its "
+    "native Spark operator (LeftSemi, LeftAnti, Intersect, Except) and is "
+    "tagged so the oracle compares all four result sets at once. Granular "
+    "single-op variants remain registered outside the driver window.",
+    refs=("J3", "D4"),
+)
+def q_set_ops(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    semi = (
+        cust.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            cust["c_custkey"] == orders["o_custkey"],
+            "left_semi",
+        )
+        .select(F.lit("semi").alias("setop"), F.col("c_custkey").alias("custkey"))
+    )
+    anti = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select(F.lit("anti").alias("setop"), F.col("c_custkey").alias("custkey"))
+    )
+    inter = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+        .intersect(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("custkey")
+            )
+        )
+        .select(F.lit("intersect").alias("setop"), "custkey")
+    )
+    exc = (
+        cust.select(F.col("c_custkey").alias("custkey"))
+        .subtract(
+            orders.filter(F.col("o_totalprice") > 150000.0).select(
+                F.col("o_custkey").alias("custkey")
+            )
+        )
+        .select(F.lit("except").alias("setop"), "custkey")
+    )
+    return semi.unionByName(anti).unionByName(inter).unionByName(exc)
+
+
+@query(
     "q_json_extract_events",
     oracle="""
     SELECT event_type,
@@ -541,7 +608,10 @@ def q_tumbling_hourly(spark, sf_dir):
 def q_correlated_subquery(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     # expressed as the decorrelated form directly: per-part exact average
-    # (integer cents keep it oracle-exact), broadcast back onto the scan
+    # (integer cents keep it oracle-exact). No broadcast hint: the
+    # aggregate has one row per partkey — scan-proportional at scale —
+    # so the join must stay shuffle-based (AQE may still pick broadcast
+    # at small SF where it genuinely fits).
     avg_qty = (
         li.groupBy(F.col("l_partkey").alias("pk"))
         .agg(
@@ -556,7 +626,7 @@ def q_correlated_subquery(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(avg_qty), li["l_partkey"] == avg_qty["pk"])
+        li.join(avg_qty, li["l_partkey"] == avg_qty["pk"])
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .groupBy("l_partkey")
         .agg(
@@ -997,13 +1067,24 @@ def q13_order_distribution(spark, sf_dir):
 def q17_small_quantity_parts(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
-    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    # The per-part average only matters for partkeys that survive the
+    # brand filter, so semi-join the scan to the filtered part FIRST:
+    # the aggregate then reads ~1/25 of lineitem instead of all of it.
+    # Both the semi-join and the groupBy hash on l_partkey, so the agg
+    # reuses the join's shuffle partitioning (one shuffle, not two).
+    # No broadcast hint: filtered part is still scan-proportional at
+    # large SF; AQE picks broadcast where it genuinely fits.
+    li_brand = li.join(
+        part.select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    pa = li_brand.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(cents("l_quantity")).alias("sum_qty_cents"),
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(pa, F.col("pk") == F.col("l_partkey"))
+        li_brand.join(pa, F.col("pk") == F.col("l_partkey"))
         .filter(cents("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty_cents"))
         .agg(
             F.sum(cents("l_extendedprice")).alias("small_qty_revenue_cents"),

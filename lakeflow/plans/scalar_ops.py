@@ -200,6 +200,111 @@ def q_conditional_null(spark, sf_dir):
 
 
 @query(
+    "q_scalar_funcs_wide",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS pri_upper,
+           lower(o_orderpriority) AS pri_lower,
+           substr(o_orderpriority, 3, 6) AS pri_word,
+           CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+           replace(o_orderpriority, '-', '_') AS pri_snake,
+           regexp_replace(o_orderpriority, '[0-9]+', '#', 'g') AS pri_nodigit,
+           concat(o_orderstatus, ':', o_orderpriority) AS tagged,
+           CASE WHEN o_orderpriority LIKE '%URGENT' THEN 'urgent' ELSE 'other' END AS is_urgent,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,  -- DuckDB Sun=0, Spark Sun=1
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(FLOOR(sqrt(o_totalprice) * 1000000e0 + 0.5e0) AS BIGINT) AS sqrt_price_micros,
+           CAST(FLOOR(ln(o_totalprice + 1e0) * 1000000e0 + 0.5e0) AS BIGINT) AS log_price_micros,
+           CAST(FLOOR(power(o_totalprice / 100000e0, 2e0) * 1000000e0 + 0.5e0) AS BIGINT) AS price_sq_micros,
+           abs(o_totalprice - 150000e0) >= 50000e0 AS far_from_mid,
+           o_orderkey % 7 AS key_mod7,
+           greatest(o_totalprice, 100000e0) AS price_floor,
+           round(o_totalprice / 1000e0) AS price_k,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'REDACTED') AS display_pri,
+           CASE WHEN o_totalprice < 50000e0 THEN 'low'
+                WHEN o_totalprice < 200000e0 THEN 'mid'
+                ELSE 'high' END AS price_tier,
+           nullif(o_orderstatus, 'F') IS NULL AS is_finished,
+           ifnull(o_custkey, -1) AS cust_or_default
+    FROM orders
+    """,
+    description="Consolidated scalar-function coverage (F1-F6) in one "
+    "driver-window query over orders: string family (upper/lower/substr/"
+    "length/replace/regex/concat/LIKE), date family (extract/trunc/interval/"
+    "diff/format), math family (sqrt/ln/power/abs/mod/greatest/round at "
+    "micro-int boundaries), conditional/null family (coalesce/nullif/CASE/"
+    "null probes). Granular per-family variants remain registered outside "
+    "the driver window.",
+    refs=("F1", "F2", "F3", "F4", "F5", "F6"),
+)
+def q_scalar_funcs_wide(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.lower("o_orderpriority").alias("pri_lower"),
+        F.substring("o_orderpriority", 3, 6).alias("pri_word"),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "pri_snake"
+        ),
+        F.regexp_replace("o_orderpriority", "[0-9]+", "#").alias("pri_nodigit"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit(":"), F.col("o_orderpriority")
+        ).alias("tagged"),
+        F.when(F.col("o_orderpriority").like("%URGENT"), F.lit("urgent"))
+        .otherwise(F.lit("other"))
+        .alias("is_urgent"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast(o.schema["o_orderdate"].dataType)
+        .alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("days_since_95"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        micros(F.sqrt(F.col("o_totalprice"))).alias("sqrt_price_micros"),
+        micros(F.log(F.col("o_totalprice") + F.lit(1.0))).alias(
+            "log_price_micros"
+        ),
+        micros(F.pow(F.col("o_totalprice") / F.lit(100000.0), F.lit(2.0))).alias(
+            "price_sq_micros"
+        ),
+        (F.abs(F.col("o_totalprice") - F.lit(150000.0)) >= F.lit(50000.0)).alias(
+            "far_from_mid"
+        ),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor"),
+        F.round(F.col("o_totalprice") / F.lit(1000.0)).alias("price_k"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+            F.lit("REDACTED"),
+        ).alias("display_pri"),
+        F.when(F.col("o_totalprice") < 50000.0, "low")
+        .when(F.col("o_totalprice") < 200000.0, "mid")
+        .otherwise("high")
+        .alias("price_tier"),
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).isNull().alias(
+            "is_finished"
+        ),
+        F.coalesce(F.col("o_custkey"), F.lit(-1)).alias("cust_or_default"),
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,

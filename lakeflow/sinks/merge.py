@@ -18,10 +18,15 @@ and does not guarantee:
   protocol (_temporary staging + rename), so readers never see a
   half-written table; ``localCheckpoint`` materializes the merged
   result BEFORE the target is truncated.
-- NOT multi-writer safe: two concurrent mergers can interleave
-  read-modify-write and lose one side's rows (parquet has no
-  optimistic concurrency control). Single-writer-per-target is the
-  operating assumption; Delta/Iceberg lifts it.
+- multi-writer conflicts are DETECTED (not prevented) on local
+  filesystems: each merge claims a monotonically-increasing version
+  marker via POSIX exclusive-create (an atomic CAS) before
+  overwriting, so of two interleaved mergers exactly one commits and
+  the other raises ``ConcurrentMergeError`` and can retry from a
+  fresh read — a lost update becomes a loud failure. On object-store
+  paths (``s3a://`` etc.) exclusive-create is not atomic, so fencing
+  is skipped and single-writer-per-target remains the operating
+  assumption; Delta/Iceberg lifts it properly.
 - a failed READ of an existing target aborts the merge instead of
   silently overwriting history (``read_target_if_exists``).
 
@@ -35,12 +40,64 @@ and does not guarantee:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeflow.operators.dedup import latest_wins
+
+
+class ConcurrentMergeError(RuntimeError):
+    """Another merge committed between this merge's read and its write.
+
+    The caller's merged result is based on a stale snapshot; committing
+    it would silently drop the other writer's rows. Retry the whole
+    merge from a fresh read of the target."""
+
+
+def _versions_dir(target_path: str) -> str:
+    return target_path.rstrip("/") + "._versions"
+
+
+def _fencing_enabled(target_path: str) -> bool:
+    # POSIX exclusive-create is only atomic on a real filesystem;
+    # object stores get no fencing (documented limitation above)
+    return "://" not in target_path or target_path.startswith("file://")
+
+
+def _current_version(target_path: str) -> int:
+    d = _versions_dir(target_path)
+    if not os.path.isdir(d):
+        return 0
+    ns = [int(f[1:]) for f in os.listdir(d) if f[:1] == "v" and f[1:].isdigit()]
+    return max(ns, default=0)
+
+
+def _fenced_overwrite(df: DataFrame, target_path: str, expected_version: int) -> None:
+    """Commit ``df`` (already materialized) over ``target_path`` iff no
+    other merge committed since ``expected_version`` was observed. The
+    claim is ``open(vN+1, 'x')`` — atomic on POSIX, so exactly one of
+    two racing writers wins; the loser raises ConcurrentMergeError
+    BEFORE touching the data files."""
+    if _fencing_enabled(target_path):
+        if _current_version(target_path) != expected_version:
+            raise ConcurrentMergeError(
+                f"{target_path}: version moved past {expected_version} "
+                "during merge; retry from a fresh read"
+            )
+        d = _versions_dir(target_path)
+        os.makedirs(d, exist_ok=True)
+        try:
+            with open(os.path.join(d, f"v{expected_version + 1}"), "x"):
+                pass
+        except FileExistsError:
+            raise ConcurrentMergeError(
+                f"{target_path}: a concurrent merge claimed version "
+                f"{expected_version + 1}; retry from a fresh read"
+            ) from None
+    df.write.mode("overwrite").parquet(target_path)
 
 
 def read_target_if_exists(spark: SparkSession, target_path: str) -> DataFrame | None:
@@ -68,13 +125,15 @@ def merge_upsert(
     keys: Sequence[str],
     order_col: str,
 ) -> None:
+    v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
     existing = read_target_if_exists(spark, target_path)
     if existing is not None:
         merged = existing.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
     out = latest_wins(merged, list(keys), order_col)
-    out.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+    # materialize BEFORE the fence check + truncation (failure atomicity)
+    _fenced_overwrite(out.localCheckpoint(eager=True), target_path, v0)
 
 
 def scd2_merge(
@@ -90,6 +149,7 @@ def scd2_merge(
     values. History rows carry valid_from = change_ts, valid_to = next
     version's valid_from (null while current), is_current.
     """
+    v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
     versions = updates.withColumn("valid_from", F.col(change_ts))
     existing = read_target_if_exists(spark, target_path)
     if existing is not None:
@@ -102,4 +162,4 @@ def scd2_merge(
     out = versions.withColumn(
         "valid_to", F.lead("valid_from").over(w)
     ).withColumn("is_current", F.col("valid_to").isNull())
-    out.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+    _fenced_overwrite(out.localCheckpoint(eager=True), target_path, v0)

@@ -30,9 +30,12 @@ def read_mongo_export(
     deferred to the caller — here we simply keep them as strings."""
     pq = spark.read.parquet(*path) if isinstance(path, list) else spark.read.parquet(path)
     if doc_schema is None:
-        doc_schema = spark.read.json(
-            pq.select(doc_col).rdd.map(lambda r: r[0])
-        ).schema  # inference pass only
+        # bounded-sample inference — never a full extra scan at 100 TB;
+        # pin an explicit doc_schema in production paths (SURVEY §1.3).
+        from lakeflow.sources.ndjson import INFER_SAMPLE_ROWS
+
+        sample = pq.select(doc_col).limit(INFER_SAMPLE_ROWS)
+        doc_schema = spark.read.json(sample.rdd.map(lambda r: r[0])).schema
     parsed = pq.withColumn("__doc", F.from_json(F.col(doc_col), doc_schema)).drop(
         doc_col
     )

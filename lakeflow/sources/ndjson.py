@@ -14,6 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+#: Rows sampled for schema inference when no explicit schema is given.
+#: Inference must NEVER scan the full dataset (see SURVEY §1.3: pin
+#: explicit StructTypes in production paths).
+INFER_SAMPLE_ROWS = 10_000
+
 
 def read_ndjson(
     spark: SparkSession,
@@ -98,8 +103,12 @@ def read_double_encoded_ndjson(
         )
     decoded = decoded.select("j").filter(F.col("j").isNotNull())
     if schema is None:
-        schema = (
-            spark.read.json(decoded.rdd.map(lambda r: r.j)).schema
-        )  # inference only; the data path below stays DataFrame-native
+        # inference reads a BOUNDED sample, never the full dataset (an
+        # unbounded .rdd inference is an extra 100 TB scan through
+        # Python serialization). Fields appearing only past the sample
+        # are dropped by from_json — pin an explicit schema in
+        # production paths (SURVEY §1.3).
+        sample = decoded.limit(INFER_SAMPLE_ROWS)
+        schema = spark.read.json(sample.rdd.map(lambda r: r.j)).schema
     parsed = decoded.select(F.from_json(F.col("j"), schema).alias("rec"))
     return parsed.select("rec.*")

@@ -17,10 +17,12 @@ import random
 
 import pandas as pd
 
+# neutral fixture tags — the reference's production tag strings are
+# deployment config, passed explicitly to import_mailgun_events
 RELEVANT_TAGS = [
-    "com.sunbit.notification.purchase.payment.OnSchedule",
-    "com.sunbit.notification.purchase.PaidOff",
-    "com.sunbit.notification.purchase.Agreement.TAB",
+    "example.notification.payment.OnSchedule",
+    "example.notification.PaidOff",
+    "example.notification.Agreement.TAB",
 ]
 OTHER_TAGS = ["marketing.weekly", "ops.digest", "misc"]
 

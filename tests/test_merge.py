@@ -81,9 +81,15 @@ def test_read_target_corrupt_raises_not_empty(spark, tmp_path):
     bad = tmp_path / "bad"
     bad.mkdir()
     (bad / "part-00000.parquet").write_bytes(b"this is not a parquet file")
-    with _pytest.raises(Exception):
+    # the probe must NOT report "no target" for a corrupt-but-existing
+    # one (that would route the caller to a fresh overwrite) ...
+    try:
         df = read_target_if_exists(spark, str(bad))
-        assert df is not None  # if the read itself was lazy-lenient
+    except Exception:
+        return  # eager read already propagated the corruption — fine
+    assert df is not None, "corrupt existing target misreported as absent"
+    # ... and if the read is lazy-lenient, materializing must raise
+    with _pytest.raises(Exception, match="(?i)parquet|footer|magic"):
         df.collect()
 
 
@@ -98,3 +104,79 @@ def test_merge_upsert_idempotent_replay(spark, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(tgt).collect()))
     merge_upsert(spark, tgt, batch, ["k"], "ts")
     assert sorted(map(tuple, spark.read.parquet(tgt).collect())) == before
+
+
+def test_concurrent_merge_detected_not_lost(spark, tmp_path):
+    # Interleave two mergers the way the documented hazard describes:
+    # A snapshots the target, B commits a full merge, then A tries to
+    # commit its (now stale) result. A must raise ConcurrentMergeError
+    # — committing would silently drop B's row — and B's commit must
+    # survive intact.
+    import pytest as _pytest
+
+    from lakeflow.sinks.merge import (
+        ConcurrentMergeError,
+        _current_version,
+        _fenced_overwrite,
+        read_target_if_exists,
+    )
+    from lakeflow.operators.dedup import latest_wins
+
+    tgt = str(tmp_path / "t")
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([Row(k=1, v="a", ts=_ts("2024-01-01"))]),
+        ["k"],
+        "ts",
+    )
+
+    # writer A begins: observes version + reads the target
+    v0 = _current_version(tgt)
+    a_base = read_target_if_exists(spark, tgt)
+    a_updates = spark.createDataFrame([Row(k=1, v="A2", ts=_ts("2024-03-01"))])
+    a_merged = latest_wins(
+        a_base.unionByName(a_updates), ["k"], "ts"
+    ).localCheckpoint(eager=True)
+
+    # writer B lands a complete merge in between
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([Row(k=2, v="b", ts=_ts("2024-02-01"))]),
+        ["k"],
+        "ts",
+    )
+
+    # writer A's commit is fenced off
+    with _pytest.raises(ConcurrentMergeError):
+        _fenced_overwrite(a_merged, tgt, v0)
+
+    # nothing lost: B's merge result is intact
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {1: "a", 2: "b"}
+
+    # A retries from a fresh read (the documented recovery) and wins
+    merge_upsert(spark, tgt, a_updates, ["k"], "ts")
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {1: "A2", 2: "b"}
+
+
+def test_concurrent_claim_exactly_one_winner(spark, tmp_path):
+    # two writers that both pass the version check race on the atomic
+    # exclusive-create claim: exactly one succeeds
+    import pytest as _pytest
+
+    from lakeflow.sinks.merge import (
+        ConcurrentMergeError,
+        _current_version,
+        _fenced_overwrite,
+    )
+
+    tgt = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(k=1, v="a", ts=_ts("2024-01-01"))])
+    chk = df.localCheckpoint(eager=True)
+    v0 = _current_version(tgt)
+    _fenced_overwrite(chk, tgt, v0)  # writer 1 claims v1
+    with _pytest.raises(ConcurrentMergeError):
+        _fenced_overwrite(chk, tgt, v0)  # writer 2, same snapshot, loses

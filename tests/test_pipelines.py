@@ -42,7 +42,7 @@ def _mailgun_raw_events(base: str):
 
 
 def test_mailgun_end_to_end(spark, froot):
-    out = import_mailgun_events(spark, froot["mailgun"])
+    out = import_mailgun_events(spark, froot["mailgun"], fixtures.RELEVANT_TAGS)
     expected = [
         e
         for e in _mailgun_raw_events(froot["mailgun"])
@@ -75,7 +75,9 @@ def test_mailgun_incremental_cutoff(spark, froot):
     ]
     cut_epoch = sorted(e["timestamp"] for e in all_ev)[len(all_ev) // 2]
     cutoff = datetime.fromtimestamp(cut_epoch, tz=timezone.utc)
-    out = import_mailgun_events(spark, froot["mailgun"], start=cutoff)
+    out = import_mailgun_events(
+        spark, froot["mailgun"], fixtures.RELEVANT_TAGS, start=cutoff
+    )
     assert out.count() == sum(1 for e in all_ev if e["timestamp"] >= cut_epoch)
 
 

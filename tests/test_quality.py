@@ -52,6 +52,16 @@ def test_unique_check_null_safe(spark):
     assert res["unique:k"].passed, res["unique:k"].detail
 
 
+def test_unique_check_two_nulls_are_duplicates(spark):
+    # pinned semantics: struct equality treats NULL == NULL, so two
+    # all-NULL keys are duplicates (stricter than SQL UNIQUE, which
+    # admits multiple NULLs) — see run_checks docstring
+    df = spark.createDataFrame([Row(k=1), Row(k=None), Row(k=None)])
+    res = {r.name: r for r in run_checks(df, unique=["k"])}
+    assert not res["unique:k"].passed
+    assert "1 duplicate" in res["unique:k"].detail
+
+
 def test_custom_check_null_condition_is_violation(spark):
     # v > 0 on a NULL v evaluates to NULL; sum() skips NULLs, so the
     # naive form silently passes — NULL must count as a violation
