@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "q_ivf_ann",
     "q_edit_distance_pairs",
     "q_drift_tvd",
+    # round 3 additions (driver-window consolidations + reworked q17)
+    "q_scalar_funcs_wide",
+    "q_set_ops",
+    "q17_small_quantity_parts",
 ]
 
 
