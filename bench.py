@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "q_scalar_funcs_wide",
     "q_set_ops",
     "q17_small_quantity_parts",
+    # round 3 training-pipeline additions
+    "q_hash_sample",
+    "q_repetition_metrics",
+    "q_corpus_prep",
+    "q_dup_clusters",
 ]
 
 

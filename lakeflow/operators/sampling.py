@@ -1,0 +1,60 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` draws from a per-partition RNG: results change with
+partitioning, task retries, and engine — unusable when a 100 TB corpus
+must be sampled REPRODUCIBLY (same doc always in or out, across reruns
+and across engines checking each other). Content-hash sampling fixes
+that: keep a row iff ``seeded_hash(key) % 1e6 < rate_ppm``. The
+predicate is a narrow, codegen'd filter evaluated at the scan — no
+shuffle, no state, trivially parallel — and the kept set is a stable
+function of the data itself.
+
+Rates are parts-per-million integers (the exact-arithmetic policy:
+no float thresholds that could round differently across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakeflow.functions.hashing import SQL_SEEDED_HASH, seeded_hash
+
+PPM = 1_000_000
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate_ppm: int, seed: str = "smp"
+) -> DataFrame:
+    """Keep rows whose seeded key hash lands under ``rate_ppm``.
+    Expected fraction = rate_ppm/1e6; membership is deterministic per
+    (seed, key) — disjoint seeds give independent samples, and a
+    smaller rate's sample is a SUBSET of a larger rate's (nested
+    samples for scaling-law runs)."""
+    h = seeded_hash(F.col(key_col).cast("string"), seed)
+    return df.filter(h % PPM < F.lit(rate_ppm))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates_ppm: dict[str, int],
+    default_ppm: int = 0,
+    seed: str = "smp",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing primitive
+    (e.g. keep 100% of books, 5% of crawl). Strata not listed fall back
+    to ``default_ppm`` (0 = drop). Same nested-sample property per
+    stratum as :func:`hash_sample`."""
+    rate = F.lit(default_ppm)
+    for value, ppm in rates_ppm.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(ppm)).otherwise(rate)
+    h = seeded_hash(F.col(key_col).cast("string"), seed)
+    return df.filter(h % PPM < rate)
+
+
+def sql_hash_sample_pred(key_expr: str, rate_sql: str, seed: str = "smp") -> str:
+    """DuckDB mirror of the sampling predicate, for oracles."""
+    h = SQL_SEEDED_HASH.format(seed=seed, x=key_expr)
+    return f"({h} % {PPM}) < ({rate_sql})"

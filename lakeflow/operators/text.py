@@ -200,6 +200,44 @@ def winnow_fingerprints(
     )
 
 
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher/C4-style within-document repetition metrics over word
+    n-grams: total shingles, distinct shingles, duplicate-shingle
+    fraction (1 - distinct/total) and top-shingle fraction (count of
+    the most frequent shingle / total), both in exact integer micros.
+    High values flag boilerplate/listing/spam documents for the quality
+    filter. Docs with fewer than ``n`` tokens emit no shingles and are
+    excluded (nothing to measure).
+
+    Shape: explode + two hash-aggs keyed on (id, shingle) then (id) —
+    map-side partial aggregation does most of the work; the shuffle
+    carries (id, shingle-count) rows, never document bodies."""
+    sh = explode_shingles(df, id_col, text_col, n)
+    per = sh.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_shingles"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    total = F.col("n_shingles").cast("double")
+    return agg.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_distinct",
+        F.floor(
+            (F.lit(1.0) - F.col("n_distinct") / total) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dup_fraction_micros"),
+        F.floor(F.col("top_count") / total * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("top_fraction_micros"),
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document over distinct tokens: per-bit +/-1
     votes from a seeded token hash, sign-aggregated. One explode + one

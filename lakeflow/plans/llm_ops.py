@@ -693,6 +693,220 @@ def q_edit_distance_pairs(spark, sf_dir):
     )
 
 
+_SAMPLE_RATES = {"src0": 1_000_000, "src1": 500_000, "src2": 250_000}
+_SAMPLE_DEFAULT = 100_000
+
+
+def _hash_sample_oracle() -> str:
+    from lakeflow.operators.sampling import sql_hash_sample_pred
+
+    rate = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {ppm}" for s, ppm in _SAMPLE_RATES.items()
+    ) + f" ELSE {_SAMPLE_DEFAULT} END"
+    pred = sql_hash_sample_pred("doc_id::VARCHAR", rate)
+    return f"SELECT doc_id, source, lang FROM documents WHERE {pred}"
+
+
+@query(
+    "q_hash_sample",
+    oracle=_hash_sample_oracle(),
+    description="Deterministic stratified content-hash sampling (the "
+    "domain-mixing primitive): keep a doc iff seeded_hash(doc_id) mod "
+    "1e6 falls under its source's ppm rate. Reproducible across runs, "
+    "engines and partitionings — unlike RNG-based df.sample — and "
+    "nested (a 5% sample is a subset of the 10% sample). Narrow "
+    "codegen'd scan filter: no shuffle, no state.",
+    refs=("§2.12", "P11"),
+)
+def q_hash_sample(spark, sf_dir):
+    from lakeflow.operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "source", _SAMPLE_RATES, default_ppm=_SAMPLE_DEFAULT
+    ).select("doc_id", "source", "lang")
+
+
+@query(
+    "q_repetition_metrics",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(
+        [t[i] || ' ' || t[i+1]
+         for i in generate_series(1, greatest(len(t) - 1, 0))]) AS s
+      FROM toks),
+    per AS (SELECT doc_id, s, COUNT(*) AS c FROM ex GROUP BY doc_id, s),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_shingles,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM per GROUP BY doc_id)
+    SELECT doc_id, n_shingles, n_distinct,
+           CAST(FLOOR((1e0 - n_distinct / CAST(n_shingles AS DOUBLE))
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS dup_fraction_micros,
+           CAST(FLOOR(top_count / CAST(n_shingles AS DOUBLE)
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS top_fraction_micros
+    FROM agg
+    """,
+    description="Gopher/C4-style within-document repetition metrics "
+    "over word 2-grams: duplicate-shingle fraction and top-shingle "
+    "fraction in exact micros — the boilerplate/spam signal for quality "
+    "filtering. Explode + two hash-aggs; shuffle carries (id, count) "
+    "rows, never bodies.",
+    refs=("§2.12", "A5"),
+)
+def q_repetition_metrics(spark, sf_dir):
+    from lakeflow.operators.text import repetition_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_profile(d, "doc_id", "text", n=2)
+
+
+def _quality_lang_cte() -> str:
+    # per-doc stats shared by q_corpus_prep: token count, quality score
+    # (q_text_stats formula), predicted language (q_lang_id CASE)
+    hits = ", ".join(
+        f"{_sql_hits(w)} AS {l}_hits" for l, w in LANG_MARKERS.items()
+    )
+    return f"""
+    s0 AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_bad,
+             CAST(greatest(length(text), 1) AS BIGINT) AS safe_len,
+             {_sql_hits(STOPWORDS)} AS stop_hits,
+             {hits}
+      FROM documents),
+    s1 AS (
+      SELECT doc_id, source, fp, n_tokens,
+             CAST(FLOOR((
+               0.4e0 * least(CAST(n_tokens AS DOUBLE) / 100e0, 1e0)
+               + 0.3e0 * (1e0 - (n_bad / CAST(safe_len AS DOUBLE)))
+               + 0.3e0 * least((CAST(stop_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5e0, 1e0)
+             ) * 1000000e0 + 0.5e0) AS BIGINT) AS quality_micros,
+             CASE
+               WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+               WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+               WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+               WHEN fr_hits >= zh_hits THEN 'fr'
+               ELSE 'zh'
+             END AS pred_lang
+      FROM s0)
+    """
+
+
+@query(
+    "q_corpus_prep",
+    oracle=f"""
+    WITH {_quality_lang_cte()},
+    kept AS (
+      SELECT * FROM s1 WHERE pred_lang = 'en' AND quality_micros >= 500000),
+    uniq AS (
+      SELECT k.* FROM kept k
+      JOIN (SELECT fp, MIN(doc_id) AS m FROM kept GROUP BY fp) w
+        ON k.fp = w.fp AND k.doc_id = w.m),
+    a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s1 GROUP BY source),
+    b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY source),
+    c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unique,
+                 CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM uniq GROUP BY source)
+    SELECT a.source, a.n_docs,
+           COALESCE(b.n_kept, 0) AS n_kept,
+           COALESCE(c.n_unique, 0) AS n_unique,
+           COALESCE(c.sum_tokens, 0) AS sum_tokens
+    FROM a LEFT JOIN b ON a.source = b.source
+           LEFT JOIN c ON a.source = c.source
+    """,
+    description="Composed training-corpus prep pipeline per source: "
+    "language-ID filter (predicted en) → quality threshold → exact "
+    "dedup (min-id per content hash) → surviving doc/token counts. The "
+    "one-pass funnel a pretraining data pipeline runs at intake; every "
+    "stage is a reused, independently-oracled operator.",
+    refs=("§2.12", "D1", "A5"),
+)
+def q_corpus_prep(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    stats = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        token_count("text").cast("long").alias("n_tokens"),
+        F.floor(quality_score("text") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_micros"),
+        lang_pred(scores).alias("pred_lang"),
+    )
+    kept = stats.filter(
+        (F.col("pred_lang") == "en") & (F.col("quality_micros") >= 500000)
+    )
+    winners = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    uniq = kept.join(winners, ["fp", "doc_id"])
+    zero = F.lit(0).cast("long")
+    a = stats.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    b = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    c = uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    return (
+        a.join(b, "source", "left")
+        .join(c, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", zero).alias("n_kept"),
+            F.coalesce("n_unique", zero).alias("n_unique"),
+            F.coalesce("sum_tokens", zero).alias("sum_tokens"),
+        )
+    )
+
+
+@query(
+    "q_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_cand_cte()},
+    e AS (SELECT da AS src, db AS dst FROM cand
+          UNION SELECT db, da FROM cand),
+    reach AS (
+      SELECT src AS id, src AS r FROM e
+      UNION
+      SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id),
+    lbl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+    FROM lbl
+    """,
+    description="Keep-one-per-cluster dedup assignment: connected "
+    "components over MinHash-LSH candidate pairs via min-label "
+    "propagation (operators/clusters.py) — each doc in a near-dup "
+    "cluster gets the cluster's min doc_id as representative. The "
+    "oracle computes the same transitive closure with a recursive CTE.",
+    refs=("§2.12",),
+)
+def q_dup_clusters(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from lakeflow.operators.clusters import min_label_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=8)
+    cand = lsh_candidate_pairs(sig, "doc_id", k=8, band_size=2)
+    lbl = min_label_components(
+        cand, "doc_id_a", "doc_id_b", out_id="doc_id", out_label="cluster_id"
+    )
+    return lbl.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(W.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("n_members"),
+    )
+
+
 @query(
     "q_drift_tvd",
     oracle="""

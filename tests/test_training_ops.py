@@ -1,0 +1,87 @@
+"""Training-pipeline operators: deterministic sampling, repetition
+metrics, connected-component dup clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from lakeflow.operators.clusters import min_label_components
+from lakeflow.operators.sampling import hash_sample, stratified_hash_sample
+from lakeflow.operators.text import repetition_profile
+
+
+def _docs(spark, n=200):
+    return spark.createDataFrame(
+        [Row(doc_id=i, source=f"src{i % 4}") for i in range(n)]
+    )
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = _docs(spark)
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", 100_000).collect()}
+    small2 = {r["doc_id"] for r in hash_sample(df, "doc_id", 100_000).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, "doc_id", 500_000).collect()}
+    assert small == small2  # same data -> same sample, no RNG
+    assert small <= big  # nested: lower rate is a subset of higher
+    # rate is approximately honored (loose bound on 200 keys)
+    assert 0.02 * 200 < len(big) < 0.9 * 200
+
+
+def test_hash_sample_seed_independence(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 300_000, seed="s1").collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 300_000, seed="s2").collect()}
+    assert a != b  # different seeds draw different members
+
+
+def test_stratified_hash_sample_rates(spark):
+    df = _docs(spark)
+    out = stratified_hash_sample(
+        df, "doc_id", "source", {"src0": 1_000_000, "src1": 0}, default_ppm=200_000
+    )
+    by_src = {
+        r["source"]: r["count"] for r in out.groupBy("source").count().collect()
+    }
+    assert by_src.get("src0") == 50  # ppm=1e6 keeps every row
+    assert "src1" not in by_src  # ppm=0 drops the stratum
+    # default applies to unlisted strata
+    assert 0 < by_src.get("src2", 0) + by_src.get("src3", 0) < 100
+
+
+def test_min_label_components_two_clusters(spark):
+    pairs = spark.createDataFrame(
+        [Row(a=2, b=1), Row(a=2, b=3), Row(a=3, b=4), Row(a=10, b=11)]
+    )
+    out = {
+        r["member_id"]: r["cluster_id"]
+        for r in min_label_components(pairs, "a", "b").collect()
+    }
+    # chain 1-2-3-4 collapses to min id 1 (transitive, not just neighbors)
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_min_label_components_nonconvergence_raises(spark):
+    # a 6-node path needs more than one round; max_iter=1 must fail loudly
+    pairs = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(5)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(pairs, "a", "b", max_iter=1)
+
+
+def test_repetition_profile_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a"),  # 2-grams: ab ba ab ba
+            Row(doc_id=2, text="w x y z"),  # all distinct
+            Row(doc_id=3, text="solo"),  # < n tokens: excluded
+        ]
+    )
+    out = {r["doc_id"]: r for r in repetition_profile(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["n_shingles"], r1["n_distinct"]) == (4, 2)
+    assert r1["dup_fraction_micros"] == 500_000
+    assert r1["top_fraction_micros"] == 500_000
+    r2 = out[2]
+    assert (r2["n_shingles"], r2["n_distinct"]) == (3, 3)
+    assert r2["dup_fraction_micros"] == 0
