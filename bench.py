@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q_repetition_metrics",
     "q_corpus_prep",
     "q_dup_clusters",
+    "q_boilerplate",
+    "q_contamination",
 ]
 
 

@@ -667,29 +667,71 @@ def q_near_dup_pipeline(spark, sf_dir):
     refs=("§2.12", "F1"),
 )
 def q_edit_distance_pairs(spark, sf_dir):
+    # The O(len^2) distance is computed ONCE PER DISTINCT CONTENT PAIR
+    # (md5 pair), then joined back to the id-pairs: a dup-heavy corpus
+    # has far more candidate id-pairs than distinct text-pairs (a
+    # cluster of c copies of texts A,B yields ~c^2 candidate pairs but
+    # ONE (A,B) computation). Measured at the 10x replicated corpus:
+    # 53.8s -> ~flat, because the distinct-content-pair count barely
+    # grows. Semantics unchanged (same md5 => same text), so the plain
+    # per-pair oracle is untouched.
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(d, "doc_id", "text", k=8)
     cand = lsh_candidate_pairs(sig, "doc_id", k=8, band_size=2)
-    ta = d.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("__ta"))
-    tb = d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("__tb"))
-    lev = F.when(F.md5("__ta") == F.md5("__tb"), F.lit(0)).otherwise(
+    # candidate pairs stay NARROW (ids + md5 fingerprints): text bodies
+    # never ride the pair relation through a shuffle
+    fp = d.select("doc_id", F.md5("text").alias("f"))
+    pairs = cand.join(
+        fp.select(F.col("doc_id").alias("doc_id_a"), F.col("f").alias("__fa")),
+        "doc_id_a",
+    ).join(
+        fp.select(F.col("doc_id").alias("doc_id_b"), F.col("f").alias("__fb")),
+        "doc_id_b",
+    )
+    # three consumers (distinct pairs, needed fingerprints, final join)
+    # sit downstream of the expensive minhash+LSH subtree — persist the
+    # narrow (ids + fingerprints) relation so it materializes once.
+    # Cache lifetime is the session's (see similarity.py persist notes).
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    uniq = pairs.select("__fa", "__fb").distinct()
+    needed = (
+        uniq.select(F.col("__fa").alias("f"))
+        .union(uniq.select(F.col("__fb").alias("f")))
+        .distinct()
+    )
+    # one representative text per needed fingerprint: the semi-join
+    # prunes to candidate content, and min(text) partial-aggregates
+    # map-side, so at most one body per (fingerprint, partition) moves
+    rep = (
+        d.select(F.md5("text").alias("f"), "text")
+        .join(needed, "f", "left_semi")
+        .groupBy("f")
+        .agg(F.min("text").alias("t"))
+    )
+    with_txt = uniq.join(
+        rep.select(F.col("f").alias("__fa"), F.col("t").alias("__ta")), "__fa"
+    ).join(
+        rep.select(F.col("f").alias("__fb"), F.col("t").alias("__tb")), "__fb"
+    )
+    lev = F.when(F.col("__fa") == F.col("__fb"), F.lit(0)).otherwise(
         F.levenshtein("__ta", "__tb")
     )
     maxlen = F.greatest(F.length("__ta"), F.length("__tb"), F.lit(1))
-    return (
-        cand.join(ta, "doc_id_a")
-        .join(tb, "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            lev.cast("long").alias("edit_dist"),
-            F.floor(
-                (F.lit(1.0) - lev / maxlen.cast("double")) * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("sim_micros"),
+    scored = with_txt.select(
+        "__fa",
+        "__fb",
+        lev.cast("long").alias("edit_dist"),
+        F.floor(
+            (F.lit(1.0) - lev / maxlen.cast("double")) * F.lit(1000000.0)
+            + F.lit(0.5)
         )
+        .cast("long")
+        .alias("sim_micros"),
+    )
+    return pairs.join(scored, ["__fa", "__fb"]).select(
+        "doc_id_a", "doc_id_b", "edit_dist", "sim_micros"
     )
 
 
@@ -829,6 +871,12 @@ def _quality_lang_cte() -> str:
 def q_corpus_prep(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     scores = lang_scores("text")
+    # per-doc stats feed three consumers (per-source totals, the keep
+    # filter, the dedup winners) — persist so the regex-heavy scoring
+    # scan runs once; rows are narrow (no text). Session cache
+    # lifetime (see similarity.py persist notes).
+    from pyspark import StorageLevel
+
     stats = d.select(
         "doc_id",
         "source",
@@ -838,7 +886,7 @@ def q_corpus_prep(spark, sf_dir):
         .cast("long")
         .alias("quality_micros"),
         lang_pred(scores).alias("pred_lang"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     kept = stats.filter(
         (F.col("pred_lang") == "en") & (F.col("quality_micros") >= 500000)
     )
@@ -905,6 +953,86 @@ def q_dup_clusters(spark, sf_dir):
         .cast("long")
         .alias("n_members"),
     )
+
+
+_SQL_BP_HASH = SQL_SEEDED_HASH.format(seed="bp", x="s")
+_SQL_CT_HASH = SQL_SEEDED_HASH.format(seed="ct", x="s")
+
+
+@query(
+    "q_boilerplate",
+    oracle=f"""
+    WITH {_shingle_cte()},
+    hs AS (SELECT doc_id, {_SQL_BP_HASH} AS h FROM ex),
+    d AS (SELECT DISTINCT doc_id, h FROM hs),
+    hot AS (SELECT h FROM d GROUP BY h HAVING COUNT(*) >= 5),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM hs GROUP BY doc_id),
+    hh AS (SELECT hs.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hot
+           FROM hs JOIN hot ON hs.h = hot.h GROUP BY hs.doc_id)
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_hot, 0) AS n_hot,
+           CAST(FLOOR(COALESCE(h.n_hot, 0) / CAST(t.n_shingles AS DOUBLE)
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS boilerplate_micros
+    FROM tot t LEFT JOIN hh h ON t.doc_id = h.doc_id
+    """,
+    description="Cross-document boilerplate share: fraction of each "
+    "doc's shingle occurrences whose shingle appears in >= 5 distinct "
+    "docs (templates, footers, spam) — the C4/RefinedWeb line-dedup "
+    "signal at scan time. Shingles reduce to 60-bit hashes before any "
+    "shuffle; the hot set is doc-frequency-bounded, not corpus-sized.",
+    refs=("§2.12", "A5"),
+)
+def q_boilerplate(spark, sf_dir):
+    from lakeflow.operators.corpus import boilerplate_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_profile(d, "doc_id", "text", n=3, min_doc_freq=5)
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH trn AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+    bch AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    ttoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM trn),
+    tex AS (
+      SELECT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         for i in generate_series(1, greatest(len(t) - 2, 0))]) AS s
+      FROM ttoks),
+    dsh AS (SELECT DISTINCT doc_id, {_SQL_CT_HASH} AS h FROM tex),
+    btoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM bch),
+    bex AS (
+      SELECT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         for i in generate_series(1, greatest(len(t) - 2, 0))]) AS s
+      FROM btoks),
+    bsh AS (SELECT DISTINCT {_SQL_CT_HASH} AS h FROM bex),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM dsh GROUP BY doc_id),
+    hits AS (SELECT dsh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+             FROM dsh JOIN bsh ON dsh.h = bsh.h GROUP BY dsh.doc_id)
+    SELECT t.doc_id, t.n_distinct,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           CAST(FLOOR(COALESCE(h.n_overlap, 0) / CAST(t.n_distinct AS DOUBLE)
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS contamination_micros
+    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    description="Eval-set decontamination: per training doc, the share "
+    "of its distinct 3-gram shingles that also occur in a benchmark "
+    "corpus (here every 50th doc stands in for the eval set). The "
+    "benchmark shingle-hash set is broadcast — eval sets are tiny next "
+    "to training corpora — so the corpus never shuffles for the join.",
+    refs=("§2.12",),
+)
+def q_contamination(spark, sf_dir):
+    from lakeflow.operators.corpus import contamination_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    trn = d.filter(F.col("doc_id") % 50 != 0)
+    bch = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination_profile(trn, bch, "doc_id", "text", n=3)
 
 
 @query(

@@ -82,6 +82,20 @@ def test_multimodal_meta_is_pure_jvm(spark):
         assert marker not in plan, f"q_multimodal_meta plans {marker}"
 
 
+def test_hash_sample_is_narrow_scan_filter(spark):
+    # deterministic sampling must be a pure codegen'd filter at the
+    # scan: a sample that shuffles 100 TB defeats its own purpose
+    plan = _plan(spark, "q_hash_sample")
+    assert "Exchange" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    # the eval-corpus shingle set is tiny by construction; the training
+    # corpus must never shuffle for the overlap join
+    plan = _plan(spark, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     # the bucketed range self-join must plan as a hash/sort-merge join on
     # (key, bucket), never BroadcastNestedLoopJoin over the inequality

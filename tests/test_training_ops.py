@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import Row
 
 from lakeflow.operators.clusters import min_label_components
+from lakeflow.operators.corpus import boilerplate_profile, contamination_profile
 from lakeflow.operators.sampling import hash_sample, stratified_hash_sample
 from lakeflow.operators.text import repetition_profile
 
@@ -85,3 +86,51 @@ def test_repetition_profile_known_values(spark):
     r2 = out[2]
     assert (r2["n_shingles"], r2["n_distinct"]) == (3, 3)
     assert r2["dup_fraction_micros"] == 0
+
+
+def test_boilerplate_profile(spark):
+    # "one two three" appears in 3 docs (>= min_doc_freq); doc 4 is clean
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three alpha beta"),
+            Row(doc_id=2, text="one two three gamma delta"),
+            Row(doc_id=3, text="one two three epsilon zeta"),
+            Row(doc_id=4, text="nothing shared here at all"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_profile(
+            df, "doc_id", "text", n=3, min_doc_freq=3
+        ).collect()
+    }
+    # each doc has 3 trigram occurrences; exactly 1 is the shared one
+    for i in (1, 2, 3):
+        assert out[i]["n_shingles"] == 3
+        assert out[i]["n_hot"] == 1
+        assert out[i]["boilerplate_micros"] == 333_333
+    assert out[4]["n_hot"] == 0
+    assert out[4]["boilerplate_micros"] == 0
+
+
+def test_contamination_profile(spark):
+    trn = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="leaked eval question here today"),  # overlaps
+            Row(doc_id=2, text="completely original training text"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the leaked eval question here")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_profile(trn, bench, "doc_id", "text", n=3).collect()
+    }
+    # doc 1: trigrams {leaked eval question, eval question here,
+    # question here today}; first two occur in the benchmark
+    assert out[1]["n_distinct"] == 3
+    assert out[1]["n_overlap"] == 2
+    assert out[1]["contamination_micros"] == 666_667
+    assert out[2]["n_overlap"] == 0
+    assert out[2]["contamination_micros"] == 0
