@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_dup_clusters",
     "q_boilerplate",
     "q_contamination",
+    "q_pack_sequences",
 ]
 
 

@@ -955,6 +955,38 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_token
+      FROM t)
+    SELECT doc_id, source, n_tokens, start_token,
+           start_token // 512 AS seq_id,
+           start_token % 512 AS offset_in_seq
+    FROM p
+    """,
+    description="Concat-and-chunk sequence packing per shard: running "
+    "token sum partitioned by source (never a global single-partition "
+    "window) places each doc's first token into a fixed-budget "
+    "sequence; integer div/mod keeps placements bit-reproducible.",
+    refs=("§2.12", "§2.9"),
+)
+def q_pack_sequences(spark, sf_dir):
+    from lakeflow.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", token_count("text").cast("long").alias("n_tokens"))
+    return pack_sequences(t, "doc_id", "n_tokens", "source", budget=512)
+
+
 _SQL_BP_HASH = SQL_SEEDED_HASH.format(seed="bp", x="s")
 _SQL_CT_HASH = SQL_SEEDED_HASH.format(seed="ct", x="s")
 

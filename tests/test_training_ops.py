@@ -88,6 +88,27 @@ def test_repetition_profile_known_values(spark):
     assert r2["dup_fraction_micros"] == 0
 
 
+def test_pack_sequences_placements(spark):
+    from lakeflow.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, shard="x", n_tokens=300),
+            Row(doc_id=2, shard="x", n_tokens=300),  # straddles seq 0/1
+            Row(doc_id=3, shard="x", n_tokens=100),
+            Row(doc_id=9, shard="y", n_tokens=50),  # shards independent
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["offset_in_seq"], r["start_token"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", "shard", 512).collect()
+    }
+    assert out[1] == (0, 0, 0)
+    assert out[2] == (0, 300, 300)
+    assert out[3] == (1, 88, 600)
+    assert out[9] == (0, 0, 0)
+
+
 def test_boilerplate_profile(spark):
     # "one two three" appears in 3 docs (>= min_doc_freq); doc 4 is clean
     df = spark.createDataFrame(
