@@ -47,44 +47,42 @@ def boilerplate_profile(
     documents. Returns (id, n_shingles, n_hot, boilerplate_micros);
     docs with fewer than ``n`` tokens are excluded.
 
-    Two hash-aggs + one hash join, all keyed on the 60-bit shingle
-    hash. The doc-frequency relation is (hash, count) — far smaller
-    than the corpus — and the hot subset smaller still. The hashed
-    shingle relation feeds three consumers but is deliberately NOT
-    persisted: it is corpus-sized (one row per shingle occurrence),
-    and re-running the codegen'd tokenize+hash scan three times
-    measured cheaper than materializing it (10x corpus: 3.9 s
-    recompute vs 6.2 s persisted) — the opposite trade from the
-    narrow per-doc relations that similarity.py caches."""
+    Two passes over the corpus, both aggregating on the 60-bit shingle
+    hash: pass 1 reduces to one row per (doc, hash) with its occurrence
+    count, from which the hot set (hashes in >= min_doc_freq docs)
+    falls out of a second hash-agg; pass 2 re-derives the same (doc,
+    hash, count) relation, LEFT-joins the hot flag, and folds totals
+    and hot counts in ONE aggregation. The corpus-sized intermediate is
+    deliberately NOT persisted — recomputing the codegen'd scan beats
+    materializing it (measured; see module git history) — and the hot
+    relation is doc-frequency-bounded (boilerplate vocabulary), never
+    corpus-sized."""
     hs = _hashed_shingles(df, id_col, text_col, n, "bp")
-    dfreq = (
-        hs.distinct()
-        .groupBy("h")
+    per = hs.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    hot = (
+        per.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= min_doc_freq)
-        .select("h")
+        .select("h", F.lit(1).alias("__hot"))
     )
-    totals = hs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hot_hits = (
-        hs.join(dfreq, "h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hot"))
+    flagged = per.join(hot, "h", "left")
+    agg = flagged.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("__hot") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_hot"),
     )
-    return (
-        totals.join(hot_hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce("n_hot", F.lit(0)).cast("long").alias("n_hot"),
-            F.floor(
-                F.coalesce("n_hot", F.lit(0))
-                / F.col("n_shingles").cast("double")
-                * F.lit(float(MICRO))
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("boilerplate_micros"),
+    return agg.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_hot",
+        F.floor(
+            F.col("n_hot") / F.col("n_shingles").cast("double")
+            * F.lit(float(MICRO))
+            + F.lit(0.5)
         )
+        .cast("long")
+        .alias("boilerplate_micros"),
     )
 
 
@@ -101,36 +99,32 @@ def contamination_profile(
     (id, n_distinct, n_overlap, contamination_micros).
 
     The benchmark shingle-hash set is deduplicated and broadcast —
-    eval corpora are tiny next to training corpora — so the training
-    scan is filter+agg only, no corpus shuffle for the join itself.
-    The distinct doc-shingle relation feeds two consumers but is NOT
-    persisted: it is corpus-sized, and recomputing the codegen scan
-    beats materializing it (see boilerplate_profile note)."""
+    eval corpora are tiny next to training corpora — so the corpus is
+    consumed exactly ONCE: a broadcast LEFT join flags each distinct
+    doc-shingle as benchmark-overlapping or not, and a single
+    aggregation folds both the distinct count and the overlap count.
+    No corpus shuffle for the join, no double scan."""
     doc_sh = _hashed_shingles(df, id_col, text_col, n, "ct").distinct()
     bench_sh = (
         _hashed_shingles(benchmark, id_col, text_col, n, "ct")
         .select("h")
         .distinct()
+        .withColumn("__m", F.lit(1))
     )
-    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_distinct"))
-    hits = (
-        doc_sh.join(F.broadcast(bench_sh), "h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    flagged = doc_sh.join(F.broadcast(bench_sh), "h", "left")
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.coalesce("__m", F.lit(0))).cast("long").alias("n_overlap"),
     )
-    return (
-        totals.join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_distinct").cast("long").alias("n_distinct"),
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            F.floor(
-                F.coalesce("n_overlap", F.lit(0))
-                / F.col("n_distinct").cast("double")
-                * F.lit(float(MICRO))
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("contamination_micros"),
+    return agg.select(
+        F.col(id_col),
+        "n_distinct",
+        "n_overlap",
+        F.floor(
+            F.col("n_overlap") / F.col("n_distinct").cast("double")
+            * F.lit(float(MICRO))
+            + F.lit(0.5)
         )
+        .cast("long")
+        .alias("contamination_micros"),
     )
