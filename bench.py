@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q_boilerplate",
     "q_contamination",
     "q_pack_sequences",
+    "q_pii_redact",
 ]
 
 

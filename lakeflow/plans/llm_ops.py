@@ -987,6 +987,73 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(t, "doc_id", "n_tokens", "source", budget=512)
 
 
+def _pii_oracle() -> str:
+    from lakeflow.operators.pii import PII_PATTERNS
+
+    # the synthetic corpus carries no PII, so the query INJECTS
+    # deterministic fake identifiers per doc (same expression on both
+    # engines) before detecting/redacting — the detector is what's
+    # under test, not the fixtures
+    inject = (
+        "text || ' contact user' || doc_id || '@mail.example.com'"
+        " || ' or 10.0.' || (doc_id % 256) || '.1'"
+        " || ' call 555-867-5309 ssn 123-45-6789'"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t2, '{pat}')) AS BIGINT) AS n_{t}"
+        for t, (pat, _) in PII_PATTERNS.items()
+    )
+    red = "t2"
+    for pat, token in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH t AS (SELECT doc_id, {inject} AS t2 FROM documents)
+    SELECT doc_id, {counts}, md5({red}) AS redacted_md5
+    FROM t
+    """
+
+
+@query(
+    "q_pii_redact",
+    oracle=_pii_oracle(),
+    description="PII detection + redaction at scan speed: per-doc "
+    "match counts for email/SSN/phone/IPv4 and the md5 of the redacted "
+    "text (placeholder tokens substituted in a fixed type order). The "
+    "corpus is synthetic word-soup, so deterministic fake identifiers "
+    "are injected per doc on BOTH engines before detection — the "
+    "regexes and redaction order are what the oracle verifies. Pure "
+    "codegen regex; the NER tier would sit behind the same API as "
+    "mapInPandas.",
+    refs=("§2.12", "F1"),
+)
+def q_pii_redact(spark, sf_dir):
+    from lakeflow.operators.pii import pii_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+            F.lit(" or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+            F.lit(" call 555-867-5309 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    prof = pii_profile(injected, "doc_id", "text")
+    return prof.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 _SQL_BP_HASH = SQL_SEEDED_HASH.format(seed="bp", x="s")
 _SQL_CT_HASH = SQL_SEEDED_HASH.format(seed="ct", x="s")
 

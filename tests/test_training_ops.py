@@ -88,6 +88,41 @@ def test_repetition_profile_known_values(spark):
     assert r2["dup_fraction_micros"] == 0
 
 
+def test_pii_profile_counts_and_redaction(spark):
+    from lakeflow.operators.pii import pii_profile
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail a@b.com and c.d+x@e.org, ssn 123-45-6789, "
+                "call 555-123-4567, host 192.168.0.1",
+            ),
+            Row(doc_id=2, text="no identifiers here"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in pii_profile(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ssn"], r1["n_phone"], r1["n_ipv4"]) == (2, 1, 1, 1)
+    assert r1["redacted"] == (
+        "mail <EMAIL> and <EMAIL>, ssn <SSN>, call <PHONE>, host <IPV4>"
+    )
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ssn"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0, 0)
+    assert r2["redacted"] == "no identifiers here"
+
+
+def test_pii_redaction_order_ssn_before_phone(spark):
+    from lakeflow.operators.pii import pii_profile
+
+    # 123-45-6789 is NOT a phone (3-2-4); 123-456-7890 is NOT an SSN —
+    # fixed application order must classify each exactly once
+    df = spark.createDataFrame([Row(doc_id=1, text="123-45-6789 123-456-7890")])
+    r = pii_profile(df, "doc_id", "text").collect()[0]
+    assert (r["n_ssn"], r["n_phone"]) == (1, 1)
+    assert r["redacted"] == "<SSN> <PHONE>"
+
+
 def test_pack_sequences_placements(spark):
     from lakeflow.operators.packing import pack_sequences
 
