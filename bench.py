@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q_contamination",
     "q_pack_sequences",
     "q_pii_redact",
+    "q_zorder_key",
 ]
 
 

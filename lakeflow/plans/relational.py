@@ -1234,3 +1234,34 @@ def q22_dormant_customers(spark, sf_dir):
             F.sum(cents("c_acctbal")).alias("total_bal_cents"),
         )
     )
+
+
+def _zorder_oracle() -> str:
+    from lakeflow.sinks.layout import sql_morton
+
+    return f"""
+    SELECT l_orderkey, l_partkey,
+           CAST({sql_morton('l_orderkey', 'l_partkey')} AS BIGINT) AS morton_key
+    FROM lineitem
+    """
+
+
+@query(
+    "q_zorder_key",
+    oracle=_zorder_oracle(),
+    description="Z-order (Morton) clustering key: bit-interleave of the "
+    "low 16 bits of two filter columns — the sort key that makes "
+    "parquet min/max stats selective on BOTH dimensions at once "
+    "(sinks/layout.zorder_write range-partitions + sorts by it). Pure "
+    "integer bit arithmetic, bit-identical on any engine.",
+    refs=("K1", "§2.12"),
+)
+def q_zorder_key(spark, sf_dir):
+    from lakeflow.sinks.layout import morton_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        morton_key("l_orderkey", "l_partkey").cast("long").alias("morton_key"),
+    )

@@ -1,0 +1,66 @@
+"""Table layout: Z-order clustering keys, zorder_write file pruning
+benefit, small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakeflow.sinks.layout import compact_parquet, morton_key, zorder_write
+
+
+def test_morton_key_known_values(spark):
+    df = spark.createDataFrame(
+        [Row(x=3, y=0), Row(x=0, y=3), Row(x=1, y=1), Row(x=65535, y=65535)]
+    )
+    out = {
+        (r["x"], r["y"]): r["m"]
+        for r in df.select("x", "y", morton_key("x", "y").alias("m")).collect()
+    }
+    assert out[(3, 0)] == 0b101  # x bits at even positions
+    assert out[(0, 3)] == 0b1010  # y bits at odd positions
+    assert out[(1, 1)] == 0b11
+    assert out[(65535, 65535)] == 2**32 - 1
+
+
+def test_zorder_write_tightens_file_ranges(spark, tmp_path):
+    # a grid of (x, y): written z-ordered, each file's x-range AND
+    # y-range must cover far less than the full domain (that overlap
+    # reduction is exactly what makes min/max file pruning selective
+    # on both columns)
+    n = 64
+    grid = spark.createDataFrame(
+        [Row(x=i, y=j) for i in range(n) for j in range(n)]
+    )
+    tgt = str(tmp_path / "z")
+    zorder_write(grid, tgt, "x", "y", n_files=16)
+    per_file = (
+        spark.read.parquet(tgt)
+        .groupBy(F.col("_metadata.file_name").alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        )
+        .collect()
+    )
+    assert len(per_file) == 16
+    # each z-ordered file covers a quadrant-ish region: both ranges
+    # bounded well below the full domain (63); a single-column sort
+    # would leave the other column's range at ~63 in every file
+    for r in per_file:
+        assert r["xr"] <= 31, (r["f"], r["xr"])
+        assert r["yr"] <= 31, (r["f"], r["yr"])
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    tgt = str(tmp_path / "frag")
+    spark.range(10_000).repartition(50).write.parquet(tgt)
+    assert len(glob.glob(os.path.join(tgt, "*.parquet"))) == 50
+    before = spark.read.parquet(tgt).count()
+    n = compact_parquet(spark, tgt, target_file_bytes=1 << 30)
+    files = glob.glob(os.path.join(tgt, "*.parquet"))
+    assert n == 1 and len(files) == 1
+    assert spark.read.parquet(tgt).count() == before
