@@ -183,3 +183,57 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     # the 09:00 window was never emitted: the watermark had already passed it
     assert 9 not in emitted
     assert 10 in emitted  # the on-time Jan-1 10:00 window did emit
+
+
+def test_corpus_intake_stream(spark, tmp_path):
+    # the q_corpus_prep funnel as a stream: quality filter at the scan,
+    # within-watermark content dedup, cross-batch dedup via the keyed
+    # upsert — duplicates arriving in a LATER micro-batch still collapse
+    from lakeflow.streaming.corpus_intake import stream_corpus_intake
+
+    src = str(tmp_path / "docs")
+    tgt = str(tmp_path / "silver")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+    good = "the cat is on the mat and the dog is in the house"
+    junk = "@#$% ^&*! ~~~"
+
+    def _doc(i, ts, text):
+        return {"doc_id": i, "ts": ts, "text": text}
+
+    _write_events(
+        src,
+        "b1.json",
+        [
+            _doc(1, "2024-01-01T00:00:00", good),
+            _doc(2, "2024-01-01T00:01:00", good),  # in-batch dup of 1
+            _doc(3, "2024-01-01T00:02:00", junk),  # quality-filtered
+            _doc(4, "2024-01-01T00:03:00", good + " extra words here"),
+        ],
+    )
+    q = stream_corpus_intake(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+
+    out1 = spark.read.parquet(tgt)
+    fps1 = {r["fp"]: r["doc_id"] for r in out1.collect()}
+    assert out1.count() == 2  # two distinct contents survive
+    assert 3 not in set(fps1.values())  # junk dropped
+
+    # batch 2: a cross-batch duplicate of doc 1's content + a new doc
+    _write_events(
+        src,
+        "b2.json",
+        [
+            _doc(5, "2024-01-01T01:00:00", good),  # dup across batches
+            _doc(6, "2024-01-01T01:01:00", "a totally new document with the fine words"),
+        ],
+    )
+    q = stream_corpus_intake(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+
+    out2 = spark.read.parquet(tgt)
+    assert out2.count() == 3  # still one row per distinct content
+    by_fp = {r["fp"]: r for r in out2.collect()}
+    # the re-arrived content kept exactly one row (latest-wins by ts)
+    dup_fp = [fp for fp, r in by_fp.items() if r["doc_id"] in (1, 2, 5)]
+    assert len(dup_fp) == 1
