@@ -97,6 +97,12 @@ def main() -> None:
         spec = QUERIES.get(name)
         if spec is None:
             continue
+        # Timed region = the noop write only (plan execution), matching
+        # rounds 1-2 methodology so round-over-round comparisons hold.
+        # Caveat: q_dup_clusters is iterative and runs its jobs EAGERLY
+        # during fn() (driver-side convergence loop), so its row here
+        # reflects only the final projection — its true cost is the
+        # component breakdown in SCALING.md, not this number.
         runs = []
         for _ in range(2):
             df = spec.fn(spark, sf_dir)
