@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q_pack_sequences",
     "q_pii_redact",
     "q_zorder_key",
+    "q_multimodal_frames",
 ]
 
 

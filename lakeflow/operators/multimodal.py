@@ -148,15 +148,16 @@ def sample_frames(
                 )
             ids, idxs, tss, frames = [], [], [], []
             for i, b in zip(pdf["id"], pdf["payload"]):
-                digest = hashlib.md5(bytes(b)).digest()
-                n_frames = digest[0] % max_frames + 1
+                # fake bytes derive from the HEX digest (not raw bytes)
+                # so a SQL oracle with only md5(VARCHAR) reproduces the
+                # frame content exactly (q_multimodal_frames)
+                hexd = hashlib.md5(bytes(b)).hexdigest()
+                n_frames = int(hexd[:2], 16) % max_frames + 1
                 for j in range(n_frames):
                     ids.append(i)
                     idxs.append(j)
                     tss.append(j * every_ms)
-                    frames.append(
-                        hashlib.md5(digest + j.to_bytes(4, "big")).digest()
-                    )
+                    frames.append(hashlib.md5(f"{hexd}:{j}".encode()).digest())
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),

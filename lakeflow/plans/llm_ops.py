@@ -987,6 +987,44 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(t, "doc_id", "n_tokens", "source", budget=512)
 
 
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH h AS (SELECT doc_id AS id, md5(text) AS hx FROM documents),
+    n AS (SELECT id, hx,
+                 (('0x' || substr(hx, 1, 2))::BIGINT % 8) + 1 AS nf
+          FROM h),
+    f AS (SELECT id, hx, unnest(generate_series(0, nf - 1)) AS j FROM n)
+    SELECT id, CAST(j AS INT) AS frame_idx,
+           CAST(j * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(hx || ':' || j::VARCHAR) AS frame_md5
+    FROM f
+    """,
+    description="Video frame sampling through the REAL mapInPandas 1:N "
+    "plumbing (Arrow batches, row fan-out, binary payloads never "
+    "shuffle): the deterministic fake decoder derives per-frame bytes "
+    "from the payload's md5 hex, so the oracle reproduces every frame's "
+    "content hash — the Python escape hatch itself is value-checked, "
+    "not just shape-checked. Real decode stays honestly stubbed "
+    "(no media libs in this sandbox).",
+    refs=("§2.12", "§2.11"),
+)
+def q_multimodal_frames(spark, sf_dir):
+    from lakeflow.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(d, "text", "doc_id")
+    out = sample_frames(mm, every_ms=1000, max_frames=8, fake=True)
+    # the fake frame bytes ARE an md5 digest, so their hex is exactly
+    # the oracle's md5(hex_digest || ':' || j) — full content check
+    return out.select(
+        "id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.lower(F.hex("frame")).alias("frame_md5"),
+    )
+
+
 def _pii_oracle() -> str:
     from lakeflow.operators.pii import PII_PATTERNS
 
