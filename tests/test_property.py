@@ -79,3 +79,73 @@ def test_union_drifting_nullfills(spark):
     assert out[1]["b"] is None and out[1]["c"] == 3.5
     with pytest.raises(ValueError):
         union_drifting([])
+
+
+@slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_morton_key_matches_reference_interleave(spark, pts):
+    from lakeflow.sinks.layout import morton_key
+
+    def py_morton(x, y):
+        m = 0
+        for i in range(16):
+            m |= ((x >> i) & 1) << (2 * i)
+            m |= ((y >> i) & 1) << (2 * i + 1)
+        return m
+
+    df = spark.createDataFrame([Row(i=i, x=x, y=y) for i, (x, y) in enumerate(pts)])
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", morton_key("x", "y").alias("m")).collect()
+    }
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == py_morton(x, y), (x, y)
+
+
+@slow
+@given(
+    st.integers(0, 1_000_000),
+    st.integers(0, 1_000_000),
+    st.integers(0, 40),
+)
+def test_hash_sample_nested_and_rate_zero_one(spark, r1, r2, n):
+    from lakeflow.operators.sampling import hash_sample
+
+    lo, hi = min(r1, r2), max(r1, r2)
+    df = spark.createDataFrame([Row(k=i) for i in range(n)] or [Row(k=0)])
+    small = {r["k"] for r in hash_sample(df, "k", lo).collect()}
+    big = {r["k"] for r in hash_sample(df, "k", hi).collect()}
+    assert small <= big  # nested samples
+    assert {r["k"] for r in hash_sample(df, "k", 0).collect()} == set()
+    assert len({r["k"] for r in hash_sample(df, "k", 1_000_000).collect()}) == df.count()
+
+
+@slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 300)),  # (shard, tokens)
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(16, 256),
+)
+def test_pack_sequences_invariants(spark, docs, budget):
+    from lakeflow.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, shard=f"s{s}", n_tokens=t) for i, (s, t) in enumerate(docs)]
+    )
+    rows = pack_sequences(df, "doc_id", "n_tokens", "shard", budget).collect()
+    by_shard: dict = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        run = by_shard.get(r["shard"], 0)
+        assert r["start_token"] == run  # running sum of preceding docs
+        assert 0 <= r["offset_in_seq"] < budget
+        assert r["seq_id"] * budget + r["offset_in_seq"] == r["start_token"]
+        by_shard[r["shard"]] = run + r["n_tokens"]
