@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q_pii_redact",
     "q_zorder_key",
     "q_multimodal_frames",
+    "q_incremental_near_dup",
 ]
 
 

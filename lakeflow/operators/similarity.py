@@ -395,6 +395,71 @@ def minhash_signatures(
     return minhash_from_shingles(ex, id_col, k)
 
 
+def _bands_of(sig: DataFrame, id_col: str, k: int, band_size: int) -> DataFrame:
+    """(id, band_id, band_hash) from a minhash signature — all bands in
+    ONE pass over the signatures (a per-band UNION would re-execute the
+    whole upstream signature pipeline n_bands times). This narrow
+    relation is also the PERSISTABLE form of the LSH index (see
+    banded_signatures / incremental_candidate_pairs)."""
+    n_bands = k // band_size
+    band_structs = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                seeded_hash(F.concat_ws("|", *cols), f"band{b}").alias("band_hash"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("z")
+    ).select(id_col, "z.band_id", "z.band_hash")
+
+
+def banded_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, band_size: int = 2
+) -> DataFrame:
+    """The persistable near-dup index relation for a corpus: minhash the
+    text, band the signature, return (id, band_id, band_hash) — 3 longs
+    per band regardless of document size. Write it once per corpus;
+    each ingest increment then needs signatures only for its NEW docs
+    (incremental_candidate_pairs)."""
+    sig = minhash_signatures(df, id_col, text_col, k)
+    return _bands_of(sig, id_col, k, band_size)
+
+
+def incremental_candidate_pairs(
+    new_bands: DataFrame, stored_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Candidate pairs involving AT LEAST ONE new document: new×stored
+    (bucket equi-join against the persisted index) plus new×new
+    (self-join). Old×old pairs are never generated — the cost of an
+    ingest increment is |new| × bucket density, NOT |corpus|², which is
+    what makes continuous dedup against a 100 TB corpus affordable.
+    Caller contract: the two band relations cover DISJOINT id sets.
+    Returns (id_a, id_b) with id_a < id_b."""
+    a = new_bands.select(
+        F.col(id_col).alias("__n"), "band_id", "band_hash"
+    )
+    stored = stored_bands.select(
+        F.col(id_col).alias("__o"), "band_id", "band_hash"
+    )
+    cross = a.join(stored, ["band_id", "band_hash"]).select(
+        F.least("__n", "__o").alias(f"{id_col}_a"),
+        F.greatest("__n", "__o").alias(f"{id_col}_b"),
+    )
+    b2 = new_bands.select(F.col(id_col).alias("__n2"), "band_id", "band_hash")
+    nn = (
+        a.join(b2, ["band_id", "band_hash"])
+        .filter(F.col("__n") < F.col("__n2"))
+        .select(
+            F.col("__n").alias(f"{id_col}_a"),
+            F.col("__n2").alias(f"{id_col}_b"),
+        )
+    )
+    return cross.union(nn).distinct()
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -413,21 +478,7 @@ def lsh_candidate_pairs(
     a bucket that big is not "near-duplicate pairs", it's an exact-dup
     cluster that the cheaper exact_dedup pass should own. Default None
     keeps exact oracle parity."""
-    n_bands = k // band_size
-    # all bands in ONE pass over the signatures: a per-band UNION would
-    # re-execute the whole upstream signature pipeline n_bands times
-    band_structs = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                seeded_hash(F.concat_ws("|", *cols), f"band{b}").alias("band_hash"),
-            )
-        )
-    all_bands = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("z")
-    ).select(id_col, "z.band_id", "z.band_hash")
+    all_bands = _bands_of(sig, id_col, k, band_size)
     if max_bucket_size is not None:
         # the hot-bucket aggregate is a SECOND consumer of all_bands —
         # without a persist it would re-execute the entire upstream

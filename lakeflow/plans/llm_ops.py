@@ -988,6 +988,91 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "q_incremental_near_dup",
+    oracle=f"""
+    WITH {_lsh_cand_cte()},
+    inc AS (
+      SELECT da, db FROM cand
+      WHERE da % 10 = 0 OR db % 10 = 0),
+    dsh AS (SELECT DISTINCT doc_id, s FROM ex),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS inter
+      FROM inc c
+      JOIN dsh x ON x.doc_id = c.da
+      JOIN dsh y ON y.doc_id = c.db AND y.s = x.s
+      GROUP BY c.da, c.db)
+    SELECT * FROM (
+      SELECT i.da AS doc_id_a, i.db AS doc_id_b,
+             CAST(FLOOR(CAST(i.inter AS DOUBLE)
+                        / CAST(za.sz + zb.sz - i.inter AS DOUBLE)
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS jaccard_micros
+      FROM inter i JOIN sz za ON za.doc_id = i.da
+                   JOIN sz zb ON zb.doc_id = i.db) t
+    WHERE jaccard_micros >= 10000
+    """,
+    description="Incremental near-dup dedup — the continuous-ingest "
+    "shape: an arriving batch (docs with id%10=0 stand in for it) "
+    "computes signatures ONLY for itself, joins its bands against the "
+    "persisted corpus index (banded_signatures) plus itself, and "
+    "verifies exact Jaccard only for docs touched by candidates "
+    "(semi-join pruned). Old x old pairs are never generated, so an "
+    "increment costs |new| x bucket density, not |corpus|^2. The "
+    "oracle computes all candidate pairs and keeps those with >= 1 "
+    "new side — provably the same set.",
+    refs=("§2.12",),
+)
+def q_incremental_near_dup(spark, sf_dir):
+    from lakeflow.operators.similarity import (
+        banded_signatures,
+        incremental_candidate_pairs,
+    )
+    from lakeflow.operators.text import explode_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    # in production stored_bands is a parquet table written at corpus
+    # build time; here it derives from the same session for the oracle
+    stored_bands = banded_signatures(old, "doc_id", "text", k=8, band_size=2)
+    new_bands = banded_signatures(new, "doc_id", "text", k=8, band_size=2)
+    cand = incremental_candidate_pairs(new_bands, stored_bands, "doc_id")
+
+    # exact-Jaccard verification, shingling ONLY docs candidates touch
+    ids = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    dsh = explode_shingles(
+        d.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3
+    ).distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = dsh.select(F.col("doc_id").alias("doc_id_a"), "s")
+    b = dsh.select(F.col("doc_id").alias("doc_id_b"), "s")
+    inter = (
+        cand.join(a, "doc_id_a")
+        .join(b, ["doc_id_b", "s"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("szb"))
+    jm = F.floor(
+        F.col("inter").cast("double")
+        / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        inter.join(sza, "doc_id_a")
+        .join(szb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jm.alias("jaccard_micros"))
+        .filter(F.col("jaccard_micros") >= 10000)
+    )
+
+
+@query(
     "q_multimodal_frames",
     oracle="""
     WITH h AS (SELECT doc_id AS id, md5(text) AS hx FROM documents),

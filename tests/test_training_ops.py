@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from lakeflow.operators.clusters import min_label_components
 from lakeflow.operators.corpus import boilerplate_profile, contamination_profile
@@ -86,6 +87,31 @@ def test_repetition_profile_known_values(spark):
     r2 = out[2]
     assert (r2["n_shingles"], r2["n_distinct"]) == (3, 3)
     assert r2["dup_fraction_micros"] == 0
+
+
+def test_incremental_candidates_never_old_old(spark):
+    from lakeflow.operators.similarity import (
+        banded_signatures,
+        incremental_candidate_pairs,
+    )
+
+    # three identical docs: 1, 2 stored; 10 arrives. The increment must
+    # surface (1,10) and (2,10) but NEVER the old-old pair (1,2).
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=10, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=3, text="totally different content entirely here now"),
+        ]
+    )
+    stored = banded_signatures(docs.filter(F.col("doc_id") < 10), "doc_id", "text")
+    new = banded_signatures(docs.filter(F.col("doc_id") == 10), "doc_id", "text")
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in incremental_candidate_pairs(new, stored, "doc_id").collect()
+    }
+    assert pairs == {(1, 10), (2, 10)}
 
 
 def test_pii_profile_counts_and_redaction(spark):
