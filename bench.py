@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q_zorder_key",
     "q_multimodal_frames",
     "q_incremental_near_dup",
+    "q_profile_orders",
 ]
 
 

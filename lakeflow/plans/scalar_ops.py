@@ -304,6 +304,38 @@ def q_scalar_funcs_wide(spark, sf_dir):
     )
 
 
+def _profile_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    parts = [
+        f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "q_profile_orders",
+    oracle=_profile_oracle(),
+    description="Single-pass table profiling (intake audit): per-column "
+    "null count, exact distinct count, stringified min/max for four "
+    "orders columns, all computed in ONE aggregation over one scan and "
+    "pivoted to a tidy row per column (operators/profile.py).",
+    refs=("A5", "A2"),
+)
+def q_profile_orders(spark, sf_dir):
+    from lakeflow.operators.profile import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 @query(
     "q_grouping_sets",
     oracle=f"""

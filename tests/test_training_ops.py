@@ -216,3 +216,20 @@ def test_contamination_profile(spark):
     assert out[1]["contamination_micros"] == 666_667
     assert out[2]["n_overlap"] == 0
     assert out[2]["contamination_micros"] == 0
+
+
+def test_profile_table_nulls_and_approx(spark):
+    from lakeflow.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=None, b="y"), Row(a=3, b="y")]
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["a"]["n_rows"] == 3
+    assert out["a"]["n_null"] == 1
+    assert out["a"]["n_distinct"] == 2  # nulls excluded from distinct
+    assert (out["a"]["min_value"], out["a"]["max_value"]) == ("1", "3")
+    assert out["b"]["n_distinct"] == 2
+    # approx mode: same shape, cardinalities in the right ballpark
+    ap = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    assert ap["a"]["n_distinct"] in (1, 2, 3)
