@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q_multimodal_frames",
     "q_incremental_near_dup",
     "q_profile_orders",
+    "q_full_outer_activity",
 ]
 
 

@@ -1236,6 +1236,64 @@ def q22_dormant_customers(spark, sf_dir):
     )
 
 
+@query(
+    "q_full_outer_activity",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_1995
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey),
+    b AS (
+      SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_1996
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey)
+    SELECT COALESCE(a.ck, b.ck) AS custkey,
+           COALESCE(a.n_1995, 0) AS n_1995,
+           COALESCE(b.n_1996, 0) AS n_1996,
+           CASE WHEN a.ck IS NULL THEN 'new'
+                WHEN b.ck IS NULL THEN 'churned'
+                ELSE 'retained' END AS cohort
+    FROM a FULL OUTER JOIN b ON a.ck = b.ck
+    """,
+    description="FULL OUTER join (J2 completeness): year-over-year "
+    "customer activity with churn/new/retained cohorts — both "
+    "unmatched sides must survive with null-filled counterparts.",
+    refs=("J2", "F6"),
+)
+def q_full_outer_activity(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_counts(lo: str, hi: str, alias: str):
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= lit_ts(orders, "o_orderdate", lo))
+                & (F.col("o_orderdate") < lit_ts(orders, "o_orderdate", hi))
+            )
+            .groupBy(F.col("o_custkey").alias(f"ck_{alias}"))
+            .agg(F.count(F.lit(1)).alias(f"n_{alias}"))
+        )
+
+    a = year_counts("1995-01-01", "1996-01-01", "1995")
+    b = year_counts("1996-01-01", "1997-01-01", "1996")
+    zero = F.lit(0).cast("long")
+    return (
+        a.join(b, a["ck_1995"] == b["ck_1996"], "full_outer")
+        .select(
+            F.coalesce("ck_1995", "ck_1996").alias("custkey"),
+            F.coalesce("n_1995", zero).alias("n_1995"),
+            F.coalesce("n_1996", zero).alias("n_1996"),
+            F.when(F.col("ck_1995").isNull(), "new")
+            .when(F.col("ck_1996").isNull(), "churned")
+            .otherwise("retained")
+            .alias("cohort"),
+        )
+    )
+
+
 def _zorder_oracle() -> str:
     from lakeflow.sinks.layout import sql_morton
 
