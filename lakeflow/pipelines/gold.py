@@ -93,10 +93,20 @@ def populate_card_funnel(
     )
     counts["invitations"] = spark.table(f"{schema}.{prefix}invitations").count()
 
-    # one row per application: the latest status wins; completion/approval
-    # dates come from the status timeline (conditional aggregation, no
-    # second scan)
-    apps = applications_events
+    applications = _applications_from_events(applications_events, ts_col)
+    applications.write.mode("overwrite").insertInto(
+        f"{schema}.{prefix}applications"
+    )
+    counts["applications"] = spark.table(
+        f"{schema}.{prefix}applications"
+    ).count()
+    return counts
+
+
+def _applications_from_events(apps: DataFrame, ts_col: str) -> DataFrame:
+    """One row per application from a (possibly partial) event batch:
+    the latest status wins; completion/approval dates come from the
+    status timeline (conditional aggregation, no second scan)."""
     status_ts = apps.groupBy("cardapplicationid").agg(
         F.min(F.when(F.col("applicationstatus") == "STARTED", F.col(ts_col))).alias(
             "application_start_date"
@@ -114,7 +124,7 @@ def populate_card_funnel(
         F.col("applicationstatus").alias("application_status"),
         F.col("leadid").cast("int").alias("lead_id"),
     )
-    applications = (
+    return (
         latest.join(
             status_ts.withColumnRenamed("cardapplicationid", "application_id"),
             "application_id",
@@ -140,10 +150,76 @@ def populate_card_funnel(
             F.lit(None).cast("timestamp").alias("offer_date"),
         )
     )
-    applications.write.mode("overwrite").insertInto(
-        f"{schema}.{prefix}applications"
+
+
+def refresh_applications_incremental(
+    spark: SparkSession,
+    new_events: DataFrame,
+    schema: str = "gold",
+    prefix: str = "",
+    ts_col: str = "ts",
+) -> int:
+    """Merge a NEW batch of application events into the gold
+    applications table without rebuilding it — the reference re-created
+    gold from scratch; at 100 TB you merge the day's delta.
+
+    Merge semantics per application (FULL OUTER on application_id):
+    - milestone dates (start/completion/approval) take the EARLIEST of
+      old and new — a milestone can be discovered, never unlearned;
+    - the batch's latest event wins the current status and
+      customer/lead attributes (per-key in-order delivery is the
+      upstream kafka contract, same as the latest-wins dedup);
+    - flags re-derive from the MERGED dates, so a COMPLETED event
+      arriving for an app only known as STARTED flips the flag while
+      preserving the original start date;
+    - unseen applications insert as-is.
+
+    Returns the table's row count after the merge."""
+    tbl = f"{schema}.{prefix}applications"
+    old = spark.table(tbl).alias("o")
+    delta = _applications_from_events(new_events, ts_col).alias("n")
+
+    def newest(c: str):
+        return F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}"))
+
+    def earliest(c: str):
+        # F.least skips nulls: earliest known milestone from either side
+        return F.least(F.col(f"o.{c}"), F.col(f"n.{c}"))
+
+    merged = old.join(
+        delta, F.col("o.application_id") == F.col("n.application_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("n.application_id"), F.col("o.application_id")).alias(
+            "application_id"
+        ),
+        newest("invitation_id").alias("invitation_id"),
+        newest("customer_id").alias("customer_id"),
+        earliest("application_start_date").alias("application_start_date"),
+        earliest("application_completion_date").alias(
+            "application_completion_date"
+        ),
+        newest("application_status").alias("application_status"),
+        newest("lead_id").alias("lead_id"),
+        F.least(
+            F.col("o.application_completion_date"),
+            F.col("n.application_completion_date"),
+        )
+        .isNotNull()
+        .alias("application_complete_flag"),
+        newest("monthly_income").alias("monthly_income"),
+        newest("monthly_housing").alias("monthly_housing"),
+        newest("housing_expense_type").alias("housing_expense_type"),
+        F.least(F.col("o.approval_date"), F.col("n.approval_date"))
+        .isNotNull()
+        .alias("approval_flag"),
+        earliest("approval_date").alias("approval_date"),
+        newest("decline_reason").alias("decline_reason"),
+        F.coalesce(
+            F.col("n.offer_flag"), F.col("o.offer_flag"), F.lit(False)
+        ).alias("offer_flag"),
+        newest("offer_date").alias("offer_date"),
     )
-    counts["applications"] = spark.table(
-        f"{schema}.{prefix}applications"
-    ).count()
-    return counts
+    # localCheckpoint breaks lineage: the overwrite targets the same
+    # table the plan reads (same pattern as sinks/merge.py)
+    merged.localCheckpoint(eager=True).write.mode("overwrite").insertInto(tbl)
+    return spark.table(tbl).count()

@@ -86,3 +86,65 @@ def test_populate_card_funnel(spark, kafka_paths):
         .count()
         == 0
     )
+
+
+def test_refresh_applications_incremental(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from lakeflow.pipelines.gold import refresh_applications_incremental
+
+    create_card_funnel_schema(spark, SCHEMA)
+
+    def ev(app, status, ts, cust=7, lead=1):
+        return Row(
+            cardapplicationid=app,
+            applicationstatus=status,
+            ts=datetime.fromisoformat(ts),
+            customerid=cust,
+            leadid=lead,
+        )
+
+    batch1 = spark.createDataFrame(
+        [
+            ev(100, "STARTED", "2024-01-01T10:00:00"),
+            ev(200, "STARTED", "2024-01-01T11:00:00"),
+        ]
+    )
+    from lakeflow.pipelines.gold import _applications_from_events
+
+    _applications_from_events(batch1, "ts").write.mode("overwrite").insertInto(
+        f"{SCHEMA}.applications"
+    )
+
+    # batch 2: app 100 completes + approves (no STARTED event in batch),
+    # app 300 is brand new
+    batch2 = spark.createDataFrame(
+        [
+            ev(100, "COMPLETED", "2024-01-02T09:00:00"),
+            ev(100, "APPROVED", "2024-01-02T10:00:00"),
+            ev(300, "STARTED", "2024-01-02T11:00:00"),
+        ]
+    )
+    n = refresh_applications_incremental(spark, batch2, schema=SCHEMA, prefix="")
+    assert n == 3
+
+    rows = {
+        r["application_id"]: r
+        for r in spark.table(f"{SCHEMA}.applications").collect()
+    }
+    a100 = rows[100]
+    # start date PRESERVED from batch 1 even though batch 2 had no STARTED
+    assert a100["application_start_date"] == datetime.fromisoformat(
+        "2024-01-01T10:00:00"
+    )
+    # completion/approval discovered from batch 2; flags re-derived
+    assert a100["application_completion_date"] is not None
+    assert a100["application_complete_flag"] is True
+    assert a100["approval_flag"] is True
+    assert a100["application_status"] == "APPROVED"  # batch's latest wins
+    # untouched app unchanged; new app inserted
+    assert rows[200]["application_status"] == "STARTED"
+    assert rows[200]["application_complete_flag"] is False
+    assert rows[300]["application_status"] == "STARTED"
