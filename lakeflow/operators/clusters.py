@@ -69,5 +69,100 @@ def min_label_components(
             )
     raise RuntimeError(
         f"min_label_components did not converge in {max_iter} rounds "
-        "(unexpectedly large component diameter; use large-star/small-star)"
+        "(unexpectedly large component diameter; use star_contraction_components)"
+    )
+
+
+def star_contraction_components(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iter: int = 20,
+    out_id: str = "member_id",
+    out_label: str = "cluster_id",
+) -> DataFrame:
+    """Connected components in O(log n) ROUNDS via alternating
+    large-star / small-star contractions (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the scale path for
+    high-diameter graphs, where :func:`min_label_components`'s
+    O(diameter) rounds would be prohibitive (a 1M-node path converges
+    here in ~20 rounds instead of 1M).
+
+    Each round is two join+agg passes over the edge set; the edge set
+    only shrinks toward the star form (every node attached directly to
+    its component's min id). Same output contract as
+    min_label_components; raises if ``max_iter`` rounds do not reach a
+    fixpoint."""
+    # canonical undirected edge set (a < b), no self loops
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least(F.col("u2"), F.col("v2")).alias("a"),
+                F.greatest(F.col("u2"), F.col("v2")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        sym = _sym(edges)
+        # LARGE-STAR: every neighbor v > u attaches to min(Γ(u) ∪ {u})
+        lmin = sym.groupBy("u").agg(F.min("v").alias("nm"))
+        large = _canon(
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u2"),
+                F.least(F.col("nm"), F.col("u")).alias("v2"),
+            )
+        )
+        # SMALL-STAR: every neighbor v < u (and u itself) attaches to
+        # the min of u's smaller neighborhood
+        sm = _sym(large).filter(F.col("v") < F.col("u"))
+        smin = sm.groupBy("u").agg(F.min("v").alias("nm"))
+        small = _canon(
+            sm.join(smin, "u")
+            .select(F.col("v").alias("u2"), F.col("nm").alias("v2"))
+            .union(
+                smin.select(F.col("u").alias("u2"), F.col("nm").alias("v2"))
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            small.exceptAll(edges).count() + edges.exceptAll(small).count()
+        )
+        edges = small
+        if changed == 0:
+            labels = edges.groupBy(F.col("b").alias("id")).agg(
+                F.min("a").alias("lbl")
+            )
+            return (
+                all_nodes.join(labels, "id", "left")
+                .select(
+                    F.col("id").alias(out_id),
+                    F.coalesce("lbl", F.col("id")).alias(out_label),
+                )
+            )
+    raise RuntimeError(
+        f"star_contraction_components did not converge in {max_iter} rounds"
     )

@@ -233,3 +233,42 @@ def test_profile_table_nulls_and_approx(spark):
     # approx mode: same shape, cardinalities in the right ballpark
     ap = {r["column"]: r for r in profile_table(df, approx=True).collect()}
     assert ap["a"]["n_distinct"] in (1, 2, 3)
+
+
+def test_star_contraction_matches_min_label(spark):
+    import random
+
+    from lakeflow.operators.clusters import star_contraction_components
+
+    rng = random.Random(7)
+    # a few random graphs: compare against the O(diameter) reference
+    for trial in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame([Row(a=a, b=b) for a, b in edges])
+        ref = {
+            r["member_id"]: r["cluster_id"]
+            for r in min_label_components(df, "a", "b", max_iter=60).collect()
+        }
+        got = {
+            r["member_id"]: r["cluster_id"]
+            for r in star_contraction_components(df, "a", "b").collect()
+        }
+        assert got == ref, f"trial {trial}"
+
+
+def test_star_contraction_long_path_few_rounds(spark):
+    from lakeflow.operators.clusters import star_contraction_components
+
+    # an 80-node path has diameter 79: min-label needs ~79 rounds,
+    # star contraction must finish within O(log n) rounds
+    df = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(79)])
+    out = {
+        r["member_id"]: r["cluster_id"]
+        for r in star_contraction_components(df, "a", "b", max_iter=12).collect()
+    }
+    assert set(out.values()) == {0}
+    assert len(out) == 80
