@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "q_incremental_near_dup",
     "q_profile_orders",
     "q_full_outer_activity",
+    "q_kmeans_cells",
+    "q_semantic_dedup",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Distributed k-means over embedding columns + SemDeDup-style
+semantic dedup (SURVEY §2.12 extension: the clustering step behind
+semantic near-dup pruning and domain discovery in training-data
+pipelines; reference has no equivalent — pure Spark-first design).
+
+100 TB design notes:
+
+- Lloyd's iterations, MLlib-style: cell ASSIGNMENT is a narrow map
+  over the scan (the k centroids are constant-folded into the plan as
+  literals — no join, no shuffle); centroid RECOMPUTE is one
+  posexplode + hash-aggregate whose map-side partial combine reduces
+  each partition to at most k*dim rows before the shuffle, and the
+  driver holds only k*dim integers per iteration (exactly what Spark
+  MLlib's KMeans collects). Iterations are bounded and few (Lloyd's
+  converges fast for dedup/discovery purposes; SemDeDup uses a fixed
+  small iteration count, not convergence-to-epsilon).
+- All arithmetic is exact integer micro-units (see
+  ``operators.similarity``), divisions truncate toward zero — so a
+  SQL oracle (DuckDB ``//``) reproduces every centroid and every
+  assignment bit-for-bit, and runs are deterministic across cluster
+  sizes and partitionings.
+- Seeded-hash init picks k corpus vectors in a deterministic order
+  (k-means++-style seeding without the nondeterministic refinement).
+- For SemDeDup, choose k so expected cell size |corpus|/k keeps the
+  within-cell pair join bounded (the join itself is an equi-join on
+  cell id — Catalyst hash-partitions it; AQE splits skewed cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeflow.functions.hashing import seeded_hash
+from lakeflow.operators.similarity import (
+    _with_vectors,
+    cosine_micros,
+    dot_long,
+)
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero (DuckDB ``//`` / Spark
+    ``div`` semantics — Python's ``//`` floors, which differs on
+    negatives)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _argbest_cell(v: Column, cents: list[list[int]]) -> Column:
+    """Nearest-centroid id as a narrow map expression:
+    argmin ||v-c||^2 == argmax (2*v.c - c.c) over exact longs.
+    Ties resolve to the LARGER cell id (array_max struct ordering);
+    the SQL mirror is ``ORDER BY score DESC, cell DESC``."""
+    c2s = [sum(x * x for x in c) for c in cents]
+    return (
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            dot_long(v, F.array([F.lit(x) for x in c])) * F.lit(2)
+                            - F.lit(c2s[i])
+                        ).alias("s"),
+                        F.lit(i).alias("i"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        )
+        .getField("i")
+        .cast("long")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "kmeans",
+) -> list[list[int]]:
+    """Fit k centroids (exact micro-int components) via ``n_iter``
+    Lloyd's rounds. Empty cells keep their previous centroid. The
+    returned list is bounded (k*dim ints) — safe to fold into plans."""
+    base = _with_vectors(emb, id_col, vec_col)
+    picked = (
+        base.select(
+            id_col,
+            "__v",
+            seeded_hash(F.col(id_col).cast("string"), seed).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[int(x) for x in r["__v"]] for r in picked]
+    if len(cents) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    for _ in range(n_iter):
+        assigned = base.select(
+            _argbest_cell(F.col("__v"), cents).alias("cell"), "__v"
+        )
+        # partial hash-agg: each partition pre-combines to <= k*dim rows
+        rows = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells carry over
+        for r in rows:
+            new[r["cell"]][r["pos"]] = _trunc_div(int(r["s"]), int(r["n"]))
+        cents = new
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "kmeans",
+) -> DataFrame:
+    """Fit + predict: returns (id_col, cell) for every vector, cell in
+    [0, k). The predict pass is a single narrow map over the scan."""
+    cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col, seed)
+    base = _with_vectors(emb, id_col, vec_col)
+    return base.select(
+        F.col(id_col), _argbest_cell(F.col("__v"), cents).alias("cell")
+    )
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    min_cos_micros: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "kmeans",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus, then find
+    near-duplicate pairs ONLY within each cluster — the all-pairs
+    cosine comparison drops from O(N^2) to O(N^2/k), and the pair
+    generation is an equi-join on cell id (shuffle key = cell, never
+    the vectors' source rows). Returns
+    (vec_id_a, vec_id_b, cell, cos_micros) with cos >= threshold;
+    downstream keeps min(vec_id) per dup-cluster (see
+    ``operators.clusters`` for the component step)."""
+    cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col, seed)
+    base = _with_vectors(emb, id_col, vec_col).withColumn(
+        "cell", _argbest_cell(F.col("__v"), cents)
+    )
+    a = base.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n2").alias("__n2a"),
+        "cell",
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__n2b"),
+        "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "cell",
+            cosine_micros(
+                dot_long(F.col("__va"), F.col("__vb")),
+                F.col("__n2a"),
+                F.col("__n2b"),
+            ).alias("cos_micros"),
+        )
+        .filter(F.col("cos_micros") >= F.lit(min_cos_micros))
+    )

@@ -1317,3 +1317,101 @@ def q_drift_tvd(spark, sf_dir):
         qf.alias("q_micros"),
         F.abs(pf - qf).alias("diff_micros"),
     )
+
+
+def _kmeans_cte(k: int = 8, n_iter: int = 2, dim: int = 64) -> tuple[str, str]:
+    """DuckDB mirror of ``operators.kmeans``: unrolled Lloyd's rounds
+    as a CTE chain. Returns (cte_block, final_assignment_alias). The
+    chain mirrors the operator exactly: seeded-hash init (c0), then
+    per round assignment a_i (argmax 2*v.c - c.c, ties to the LARGER
+    cell — Spark's array_max struct ordering) and centroid recompute
+    c_i (truncating integer division, empty cells carry over); the
+    FINAL assignment runs against c_{n_iter}."""
+    parts = [
+        f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
+        "h AS (SELECT vec_id, v, "
+        + SQL_SEEDED_HASH.format(seed="kmeans", x="CAST(vec_id AS VARCHAR)")
+        + " AS hh FROM e)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell, "
+        f"v AS cv FROM h ORDER BY hh, vec_id LIMIT {k})",
+    ]
+    for i in range(1, n_iter + 2):
+        parts.append(
+            f"s{i} AS (SELECT e.vec_id, e.v, c{i - 1}.cell, "
+            f"2*list_dot_product(e.v, c{i - 1}.cv) - "
+            f"list_dot_product(c{i - 1}.cv, c{i - 1}.cv) AS sc "
+            f"FROM e CROSS JOIN c{i - 1})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, v, cell FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY sc DESC, cell DESC) AS rn FROM s{i}) t WHERE rn = 1)"
+        )
+        if i <= n_iter:
+            parts.append(
+                f"x{i} AS (SELECT cell, unnest(v) AS x, "
+                f"unnest(generate_series(1, {dim})) AS pos FROM a{i})"
+            )
+            parts.append(
+                f"m{i} AS (SELECT cell, pos, CAST(SUM(x) AS BIGINT) // "
+                f"CAST(COUNT(*) AS BIGINT) AS cx FROM x{i} GROUP BY cell, pos)"
+            )
+            parts.append(
+                f"cn{i} AS (SELECT cell, list(cx ORDER BY pos) AS cv "
+                f"FROM m{i} GROUP BY cell)"
+            )
+            parts.append(
+                f"c{i} AS (SELECT p.cell, COALESCE(cn{i}.cv, p.cv) AS cv "
+                f"FROM c{i - 1} p LEFT JOIN cn{i} USING (cell))"
+            )
+    return ",\n    ".join(parts), f"a{n_iter + 1}"
+
+
+_KM_CTE, _KM_FINAL = _kmeans_cte(k=8, n_iter=2, dim=64)
+
+
+@query(
+    "q_kmeans_cells",
+    oracle=f"""
+    WITH {_KM_CTE}
+    SELECT vec_id, cell FROM {_KM_FINAL}
+    """,
+    description="Distributed k-means (Lloyd's, 8 cells, 2 rounds) over "
+    "the embedding corpus: assignment is a narrow map (centroids "
+    "constant-folded as literals, no join/shuffle), recompute is one "
+    "posexplode hash-agg with map-side combine (<= k*dim rows per "
+    "partition reach the shuffle) — the MLlib iteration shape, exact "
+    "integer micro-units end to end.",
+    refs=("§2.12",),
+)
+def q_kmeans_cells(spark, sf_dir):
+    from lakeflow.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, n_iter=2)
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH {_KM_CTE},
+    n AS (SELECT vec_id, v, cell, list_dot_product(v, v) AS n2 FROM {_KM_FINAL})
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.cell,
+           CAST(FLOOR(list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2))
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS cos_micros
+    FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE CAST(FLOOR(list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2))
+                     * 1000000e0 + 0.5e0) AS BIGINT) >= 300000
+    """,
+    description="SemDeDup-style semantic near-dup pairs: k-means "
+    "clusters the corpus, then pairwise cosine runs ONLY within each "
+    "cell (O(N^2/k) work, pair generation is an equi-join on cell id "
+    "-- never all-pairs). Threshold 0.30 suits this synthetic corpus's "
+    "near-random cosine distribution; production corpora use ~0.95+.",
+    refs=("§2.12",),
+)
+def q_semantic_dedup(spark, sf_dir):
+    from lakeflow.operators.kmeans import semantic_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs(emb, k=8, n_iter=2, min_cos_micros=300_000)
