@@ -36,6 +36,7 @@ from lakeflow.operators.similarity import (
     _with_vectors,
     cosine_micros,
     dot_long,
+    to_micro_ints,
 )
 
 
@@ -47,30 +48,32 @@ def _trunc_div(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
-def _argbest_cell(v: Column, cents: list[list[int]]) -> Column:
-    """Nearest-centroid id as a narrow map expression:
-    argmin ||v-c||^2 == argmax (2*v.c - c.c) over exact longs.
-    Ties resolve to the LARGER cell id (array_max struct ordering);
-    the SQL mirror is ``ORDER BY score DESC, cell DESC``."""
+def _best_struct(v: Column, cents: list[list[int]]) -> Column:
+    """Max over (score, cell) structs where score = 2*v.c - c.c (exact
+    longs): the max score identifies the nearest centroid (argmin
+    ||v-c||^2), and ||v - c_best||^2 = v.v - score. Ties resolve to the
+    LARGER cell id (array_max struct ordering); the SQL mirror is
+    ``ORDER BY score DESC, cell DESC``."""
     c2s = [sum(x * x for x in c) for c in cents]
-    return (
-        F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        (
-                            dot_long(v, F.array([F.lit(x) for x in c])) * F.lit(2)
-                            - F.lit(c2s[i])
-                        ).alias("s"),
-                        F.lit(i).alias("i"),
-                    )
-                    for i, c in enumerate(cents)
-                ]
-            )
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        dot_long(v, F.array([F.lit(x) for x in c])) * F.lit(2)
+                        - F.lit(c2s[i])
+                    ).alias("s"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(cents)
+            ]
         )
-        .getField("i")
-        .cast("long")
     )
+
+
+def _argbest_cell(v: Column, cents: list[list[int]]) -> Column:
+    """Nearest-centroid id as a narrow map expression."""
+    return _best_struct(v, cents).getField("i").cast("long")
 
 
 def kmeans_centroids(
@@ -180,4 +183,65 @@ def semantic_dup_pairs(
             ).alias("cos_micros"),
         )
         .filter(F.col("cos_micros") >= F.lit(min_cos_micros))
+    )
+
+
+def kmeans_diagnostics(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "kmeans",
+    label_col: str | None = None,
+) -> DataFrame:
+    """Per-cell fit diagnostics: member count and exact integer inertia
+    (sum ||v - c_assigned||^2, derived from the same argmax structs as
+    the assignment — no second distance computation). With
+    ``label_col``, adds the dominant label per cell (ties to the
+    smaller label) and purity_micros = n_dominant*1e6 div n_vectors —
+    the cluster-quality monitoring surface for choosing k/iterations.
+    Aggregates are narrow (k rows out); the label histogram shuffles
+    (cell, label) pairs only."""
+    from pyspark.sql import Window
+
+    cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col, seed)
+    v = to_micro_ints(vec_col)
+    cols = [v.alias("__v")] + (
+        [F.col(label_col).cast("long").alias("__lbl")] if label_col else []
+    )
+    base = (
+        emb.select(*cols)
+        .withColumn("__n2", dot_long(F.col("__v"), F.col("__v")))
+        .withColumn("__m", _best_struct(F.col("__v"), cents))
+        .select(
+            F.col("__m").getField("i").cast("long").alias("cell"),
+            (F.col("__n2") - F.col("__m").getField("s")).alias("__d2"),
+            *([F.col("__lbl")] if label_col else []),
+        )
+    )
+    g = base.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("__d2").alias("inertia"),
+    )
+    if not label_col:
+        return g
+    lc = base.groupBy("cell", "__lbl").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("cell").orderBy(F.desc("cnt"), F.asc("__lbl"))
+    dom = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("__lbl").alias("dom_label"),
+            F.col("cnt").alias("n_dominant"),
+        )
+    )
+    return g.join(dom, "cell").select(
+        "cell",
+        "n_vectors",
+        "inertia",
+        "dom_label",
+        "n_dominant",
+        F.expr("(n_dominant * 1000000) div n_vectors").alias("purity_micros"),
     )

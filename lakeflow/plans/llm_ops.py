@@ -1415,3 +1415,40 @@ def q_semantic_dedup(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dup_pairs(emb, k=8, n_iter=2, min_cos_micros=300_000)
+
+
+@query(
+    "q_cluster_purity",
+    oracle=f"""
+    WITH {_KM_CTE},
+    el AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+    d AS (SELECT a.vec_id, a.cell, el.lbl,
+                 CAST(list_dot_product(a.v, a.v)
+                      - (2*list_dot_product(a.v, c.cv)
+                         - list_dot_product(c.cv, c.cv)) AS BIGINT) AS d2
+          FROM {_KM_FINAL} a JOIN c2 c USING (cell)
+          JOIN el ON el.vec_id = a.vec_id),
+    g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                 CAST(SUM(d2) AS BIGINT) AS inertia
+          FROM d GROUP BY cell),
+    lc AS (SELECT cell, lbl, COUNT(*) AS cnt FROM d GROUP BY cell, lbl),
+    dom AS (SELECT cell, lbl AS dom_label, CAST(cnt AS BIGINT) AS n_dominant
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY cell ORDER BY cnt DESC, lbl ASC) AS rn
+                  FROM lc) t WHERE rn = 1)
+    SELECT g.cell, n_vectors, inertia, dom_label, n_dominant,
+           (n_dominant * 1000000) // n_vectors AS purity_micros
+    FROM g JOIN dom USING (cell)
+    """,
+    description="k-means fit diagnostics per cell: exact integer "
+    "inertia (||v - c||^2 from the SAME argmax structs as assignment, "
+    "no second distance pass), dominant ground-truth label and purity "
+    "— the monitoring surface for choosing k; per-row d2 stays in "
+    "longs so cross-row sums are exact in both engines.",
+    refs=("§2.12", "A5"),
+)
+def q_cluster_purity(spark, sf_dir):
+    from lakeflow.operators.kmeans import kmeans_diagnostics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_diagnostics(emb, k=8, n_iter=2, label_col="label")

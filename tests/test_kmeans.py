@@ -68,3 +68,22 @@ def test_semantic_dup_pairs_contract(spark):
     assert len(dup) == 1 and dup[0]["cos_micros"] == 1_000_000
     cells = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, k=2, n_iter=1).collect()}
     assert all(cells[r["vec_id_a"]] == cells[r["vec_id_b"]] for r in pairs)
+
+
+def test_kmeans_diagnostics_and_purity(spark):
+    # two exact blobs + aligned labels: inertia 0, purity 1.0 per cell
+    rows = [Row(vec_id=i, embedding=[1.0, 1.0], label=0) for i in range(5)] + [
+        Row(vec_id=5 + i, embedding=[-1.0, -1.0], label=1) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    from lakeflow.operators.kmeans import kmeans_diagnostics
+
+    diag = {r["cell"]: r for r in kmeans_diagnostics(df, k=2, n_iter=1, label_col="label").collect()}
+    assert sum(r["n_vectors"] for r in diag.values()) == 10
+    for r in diag.values():
+        assert r["inertia"] == 0  # members sit exactly on their centroid
+        assert r["purity_micros"] == 1_000_000
+        assert r["n_dominant"] == r["n_vectors"]
+    # without a label column: just (cell, n_vectors, inertia)
+    bare = kmeans_diagnostics(df, k=2, n_iter=1)
+    assert set(bare.columns) == {"cell", "n_vectors", "inertia"}
