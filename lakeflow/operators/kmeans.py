@@ -76,6 +76,64 @@ def _argbest_cell(v: Column, cents: list[list[int]]) -> Column:
     return _best_struct(v, cents).getField("i").cast("long")
 
 
+#: Above this k, constant-folding k*dim literals into the plan stops
+#: being reasonable (codegen size); assignment switches to a broadcast
+#: centroid join + partial max-agg.
+MAX_FOLDED_CENTROIDS = 512
+
+
+def _with_best(
+    base: DataFrame,
+    cents: list[list[int]],
+    id_col: str,
+    max_fold: int = MAX_FOLDED_CENTROIDS,
+) -> DataFrame:
+    """Attach ``__m`` = the winning (score, cell) struct to every row
+    of ``base`` (which must carry ``id_col``, ``__v``, ``__n2``).
+
+    Two physically different, semantically identical paths:
+    - k <= max_fold: centroids constant-folded as literals — a narrow
+      map, zero shuffle (the default; used by every gate query).
+    - k > max_fold: broadcast the k-row centroid table, crossJoin, and
+      reduce with max() per vector. The partial aggregate collapses the
+      k-way fanout map-side, so the shuffle carries one row per vector
+      — the regime for SemDeDup-scale k (10^4..10^6 cells)."""
+    if len(cents) <= max_fold:
+        return base.withColumn("__m", _best_struct(F.col("__v"), cents))
+    spark = base.sparkSession
+    cdf = spark.createDataFrame(
+        [
+            (i, [int(x) for x in c], int(sum(x * x for x in c)))
+            for i, c in enumerate(cents)
+        ],
+        "i int, cv array<bigint>, c2 bigint",
+    )
+    return (
+        base.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "__mm",
+            F.struct(
+                (dot_long(F.col("__v"), F.col("cv")) * F.lit(2) - F.col("c2")).alias(
+                    "s"
+                ),
+                F.col("i").alias("i"),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("__mm").alias("__m"),
+            F.first("__v").alias("__v"),
+            F.first("__n2").alias("__n2"),
+        )
+    )
+
+
+def derive_k(n: int, target_cell_size: int, k_min: int = 2) -> int:
+    """Cells-of-bounded-size sizing rule: k = ceil(n / target), at
+    least ``k_min``. Integer ceil on both engines (no float division)."""
+    return max(k_min, (n + target_cell_size - 1) // target_cell_size)
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = 8,
@@ -102,8 +160,8 @@ def kmeans_centroids(
     if len(cents) < k:
         raise ValueError(f"corpus has fewer than k={k} vectors")
     for _ in range(n_iter):
-        assigned = base.select(
-            _argbest_cell(F.col("__v"), cents).alias("cell"), "__v"
+        assigned = _with_best(base, cents, id_col).select(
+            F.col("__m").getField("i").cast("long").alias("cell"), "__v"
         )
         # partial hash-agg: each partition pre-combines to <= k*dim rows
         rows = (
@@ -131,8 +189,8 @@ def kmeans_assign(
     [0, k). The predict pass is a single narrow map over the scan."""
     cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col, seed)
     base = _with_vectors(emb, id_col, vec_col)
-    return base.select(
-        F.col(id_col), _argbest_cell(F.col("__v"), cents).alias("cell")
+    return _with_best(base, cents, id_col).select(
+        F.col(id_col), F.col("__m").getField("i").cast("long").alias("cell")
     )
 
 
@@ -144,6 +202,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "kmeans",
+    target_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the corpus, then find
     near-duplicate pairs ONLY within each cluster — the all-pairs
@@ -152,10 +211,22 @@ def semantic_dup_pairs(
     the vectors' source rows). Returns
     (vec_id_a, vec_id_b, cell, cos_micros) with cos >= threshold;
     downstream keeps min(vec_id) per dup-cluster (see
-    ``operators.clusters`` for the component step)."""
+    ``operators.clusters`` for the component step).
+
+    A FIXED k makes within-cell pair work quadratic as the corpus
+    grows; pass ``target_cell_size`` instead to derive
+    k = ceil(N / target) (one count pass) so cells stay bounded and
+    total pair work is O(N * target) — linear in the corpus. Beyond
+    ``MAX_FOLDED_CENTROIDS`` cells, assignment automatically switches
+    to the broadcast-join path."""
+    if target_cell_size is not None:
+        k = derive_k(emb.count(), target_cell_size, k_min=k)
     cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col, seed)
-    base = _with_vectors(emb, id_col, vec_col).withColumn(
-        "cell", _argbest_cell(F.col("__v"), cents)
+    base = _with_best(_with_vectors(emb, id_col, vec_col), cents, id_col).select(
+        F.col(id_col),
+        "__v",
+        "__n2",
+        F.col("__m").getField("i").cast("long").alias("cell"),
     )
     a = base.select(
         F.col(id_col).alias("vec_id_a"),

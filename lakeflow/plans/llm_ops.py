@@ -1319,14 +1319,18 @@ def q_drift_tvd(spark, sf_dir):
     )
 
 
-def _kmeans_cte(k: int = 8, n_iter: int = 2, dim: int = 64) -> tuple[str, str]:
+def _kmeans_cte(
+    k: int | str = 8, n_iter: int = 2, dim: int = 64
+) -> tuple[str, str]:
     """DuckDB mirror of ``operators.kmeans``: unrolled Lloyd's rounds
     as a CTE chain. Returns (cte_block, final_assignment_alias). The
     chain mirrors the operator exactly: seeded-hash init (c0), then
     per round assignment a_i (argmax 2*v.c - c.c, ties to the LARGER
     cell — Spark's array_max struct ordering) and centroid recompute
     c_i (truncating integer division, empty cells carry over); the
-    FINAL assignment runs against c_{n_iter}."""
+    FINAL assignment runs against c_{n_iter}. ``k`` may be a SQL
+    expression string (e.g. a subquery LIMIT) for corpus-derived k —
+    the rest of the chain is k-agnostic."""
     parts = [
         f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
         "h AS (SELECT vec_id, v, "
@@ -1391,11 +1395,18 @@ def q_kmeans_cells(spark, sf_dir):
     return kmeans_assign(emb, k=8, n_iter=2)
 
 
+#: corpus-derived k (cells of ~250 vectors) so within-cell pair work
+#: stays linear as the corpus grows; floor of 2 matches derive_k's k_min
+_KM_CTE_DYN, _KM_FINAL_DYN = _kmeans_cte(
+    k="(SELECT GREATEST(2, (COUNT(*) + 249) // 250) FROM e)"
+)
+
+
 @query(
     "q_semantic_dedup",
     oracle=f"""
-    WITH {_KM_CTE},
-    n AS (SELECT vec_id, v, cell, list_dot_product(v, v) AS n2 FROM {_KM_FINAL})
+    WITH {_KM_CTE_DYN},
+    n AS (SELECT vec_id, v, cell, list_dot_product(v, v) AS n2 FROM {_KM_FINAL_DYN})
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.cell,
            CAST(FLOOR(list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2))
                       * 1000000e0 + 0.5e0) AS BIGINT) AS cos_micros
@@ -1405,16 +1416,21 @@ def q_kmeans_cells(spark, sf_dir):
     """,
     description="SemDeDup-style semantic near-dup pairs: k-means "
     "clusters the corpus, then pairwise cosine runs ONLY within each "
-    "cell (O(N^2/k) work, pair generation is an equi-join on cell id "
-    "-- never all-pairs). Threshold 0.30 suits this synthetic corpus's "
-    "near-random cosine distribution; production corpora use ~0.95+.",
+    "cell -- never all-pairs. k is corpus-derived (cells of ~250 "
+    "vectors, one count pass; the oracle mirrors it with a subquery "
+    "LIMIT) so pair work stays LINEAR in corpus size; beyond 512 cells "
+    "assignment switches to the broadcast-centroid path. Threshold "
+    "0.30 suits this synthetic corpus's near-random cosine "
+    "distribution; production corpora use ~0.95+.",
     refs=("§2.12",),
 )
 def q_semantic_dedup(spark, sf_dir):
     from lakeflow.operators.kmeans import semantic_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dup_pairs(emb, k=8, n_iter=2, min_cos_micros=300_000)
+    return semantic_dup_pairs(
+        emb, k=2, n_iter=2, min_cos_micros=300_000, target_cell_size=250
+    )
 
 
 @query(

@@ -87,3 +87,27 @@ def test_kmeans_diagnostics_and_purity(spark):
     # without a label column: just (cell, n_vectors, inertia)
     bare = kmeans_diagnostics(df, k=2, n_iter=1)
     assert set(bare.columns) == {"cell", "n_vectors", "inertia"}
+
+
+def test_broadcast_assignment_path_matches_literal(spark):
+    # force the broadcast-centroid join (max_fold=0) and compare with
+    # the literal-folded narrow map on the same fit
+    from lakeflow.operators.kmeans import _with_best, kmeans_centroids
+    from lakeflow.operators.similarity import _with_vectors
+
+    vecs = [[(i * 7 % 13) / 13.0, (i * 5 % 11) / 11.0, -((i * 3 % 7) / 7.0)] for i in range(40)]
+    df = _emb_df(spark, vecs)
+    cents = kmeans_centroids(df, k=4, n_iter=1)
+    base = _with_vectors(df, "vec_id", "embedding")
+    lit = {r["vec_id"]: r["__m"] for r in _with_best(base, cents, "vec_id").collect()}
+    bc = {r["vec_id"]: r["__m"] for r in _with_best(base, cents, "vec_id", max_fold=0).collect()}
+    assert lit == bc
+
+
+def test_derive_k_sizing_rule():
+    from lakeflow.operators.kmeans import derive_k
+
+    assert derive_k(500, 250) == 2
+    assert derive_k(501, 250) == 3
+    assert derive_k(100, 250) == 2  # floor at k_min
+    assert derive_k(20000, 250) == 80
