@@ -58,3 +58,41 @@ def sql_hash_sample_pred(key_expr: str, rate_sql: str, seed: str = "smp") -> str
     """DuckDB mirror of the sampling predicate, for oracles."""
     h = SQL_SEEDED_HASH.format(seed=seed, x=key_expr)
     return f"({h} % {PPM}) < ({rate_sql})"
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col,
+    budget: int,
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Per-group budget capping — the corpus-MIXING primitive: from
+    each group (source/domain/language), keep rows in a deterministic
+    seeded-hash order until the group's cumulative ``weight_col``
+    (token count, bytes) exceeds ``budget``. Unlike rate-based
+    sampling, this bounds each group's absolute contribution — "at
+    most B tokens per domain" — which is how mixture weights are
+    enforced when domain sizes are wildly skewed.
+
+    Plan shape at 100 TB: ONE shuffle (hash-partition by group for the
+    running-sum window); the hash order is computed at the scan, no
+    global sort. A row is kept iff its running total (inclusive) stays
+    within budget, so the kept set is a stable function of the data —
+    reruns, retries and other engines agree bit-for-bit.
+    """
+    w_col = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    from pyspark.sql import Window
+
+    order = [
+        seeded_hash(F.col(key_col).cast("string"), seed).asc(),
+        F.col(key_col).asc(),
+    ]
+    win = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__w", w_col.cast("long"))
+        .withColumn("__run", F.sum("__w").over(win))
+        .filter(F.col("__run") <= F.lit(budget))
+        .drop("__w", "__run")
+    )

@@ -1468,3 +1468,38 @@ def q_cluster_purity(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_diagnostics(emb, k=8, n_iter=2, label_col="label")
+
+
+@query(
+    "q_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok,
+             {SQL_SEEDED_HASH.format(seed="mix", x="CAST(doc_id AS VARCHAR)")} AS hh
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY hh, doc_id) AS run
+      FROM t)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+    FROM r WHERE run <= 800 GROUP BY source
+    """,
+    description="Per-source token-budget mixing: keep docs from each "
+    "source in deterministic seeded-hash order until the source's "
+    "cumulative token count hits the budget — bounds each domain's "
+    "ABSOLUTE contribution (mixture enforcement under skewed domain "
+    "sizes). One shuffle (partition by source); no global sort.",
+    refs=("§2.12", "§2.9"),
+)
+def q_token_budget_mix(spark, sf_dir):
+    from lakeflow.operators.sampling import token_budget_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    kept = token_budget_sample(d, "source", "n_tok", budget=800)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+    )

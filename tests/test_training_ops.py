@@ -272,3 +272,27 @@ def test_star_contraction_long_path_few_rounds(spark):
     }
     assert set(out.values()) == {0}
     assert len(out) == 80
+
+
+def test_token_budget_sample_caps_each_group(spark):
+    from lakeflow.operators.sampling import token_budget_sample
+
+    rows = [Row(doc_id=i, source="a" if i < 6 else "b", w=10) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    kept = token_budget_sample(df, "source", "w", budget=30, key_col="doc_id")
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # budget 30 / weight 10 => exactly 3 docs per group survive
+    assert by_src == {"a": 3, "b": 3}
+    # deterministic: same kept set on rerun
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(df, "source", "w", budget=30, key_col="doc_id").collect()
+    )
+    assert ids1 == ids2
+    # a row heavier than the remaining budget is excluded (run > budget)
+    heavy = spark.createDataFrame([Row(doc_id=1, source="a", w=31)])
+    assert token_budget_sample(heavy, "source", "w", budget=30, key_col="doc_id").count() == 0
