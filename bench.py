@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "q_full_outer_activity",
     "q_kmeans_cells",
     "q_semantic_dedup",
+    "q_token_budget_mix",
+    "q_heavy_hitters",
 ]
 
 

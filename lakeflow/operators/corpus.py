@@ -128,3 +128,39 @@ def contamination_profile(
         .cast("long")
         .alias("contamination_micros"),
     )
+
+
+def vocab_heavy_hitters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+) -> DataFrame:
+    """Exact corpus-level token heavy hitters: top-k tokens by total
+    occurrence count, with per-token document frequency — the
+    vocabulary/stopword-discovery primitive (and the input to doc-freq
+    weighting). Returns (token, n_occurrences, doc_freq, rnk).
+
+    100 TB shape: explode + ONE hash-aggregate; token counts partial-
+    combine map-side, so the hot tokens ("the", markup) that would skew
+    a raw shuffle arrive pre-reduced — one row per (partition, token).
+    The distinct doc count rides the same aggregate via a two-phase
+    partial-distinct plan. The final top-k is a TakeOrdered over the
+    (bounded) distinct-token relation, not a global sort."""
+    from pyspark.sql import Window
+
+    from lakeflow.operators.text import tokens
+
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    agg = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("token", "n_occurrences", "doc_freq", "rnk")
+    )

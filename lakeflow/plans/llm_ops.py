@@ -1503,3 +1503,31 @@ def q_token_budget_mix(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tok").alias("tokens_kept"),
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    t AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM ex WHERE token <> '' GROUP BY token)
+    SELECT token, n_occurrences, doc_freq, rnk FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY n_occurrences DESC, token ASC) AS rnk
+      FROM t) z WHERE rnk <= 30
+    """,
+    description="Exact corpus-level token heavy hitters (top 30 by "
+    "occurrence, with document frequency): explode + one hash-agg "
+    "whose map-side partial combine pre-reduces hot tokens before the "
+    "shuffle; final top-k is a TakeOrdered over the distinct-token "
+    "relation, never a global sort.",
+    refs=("§2.12", "A5", "D3"),
+)
+def q_heavy_hitters(spark, sf_dir):
+    from lakeflow.operators.corpus import vocab_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_heavy_hitters(d, k=30)

@@ -296,3 +296,18 @@ def test_token_budget_sample_caps_each_group(spark):
     # a row heavier than the remaining budget is excluded (run > budget)
     heavy = spark.createDataFrame([Row(doc_id=1, source="a", w=31)])
     assert token_budget_sample(heavy, "source", "w", budget=30, key_col="doc_id").count() == 0
+
+
+def test_vocab_heavy_hitters(spark):
+    from lakeflow.operators.corpus import vocab_heavy_hitters
+
+    rows = [
+        Row(doc_id=0, text="a a a b"),
+        Row(doc_id=1, text="a b c"),
+        Row(doc_id=2, text="b c  "),
+    ]
+    out = vocab_heavy_hitters(spark.createDataFrame(rows), k=2).collect()
+    assert [(r["token"], r["n_occurrences"], r["doc_freq"], r["rnk"]) for r in out] == [
+        ("a", 4, 2, 1),
+        ("b", 3, 3, 2),
+    ]
