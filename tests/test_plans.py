@@ -116,3 +116,19 @@ def test_minhash_exchange_reuse_at_runtime(spark):
         assert "ReusedExchange" in buf.getvalue()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+def test_kmeans_assignment_is_narrow_map(spark):
+    # the predict pass folds centroids into the plan as literals: a
+    # final assignment that shuffles (or joins) the corpus would pay
+    # an avoidable full-data exchange per scoring run at 100 TB
+    plan = _plan(spark, "q_kmeans_cells")
+    assert "Exchange" not in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, f"q_kmeans_cells plans {marker}"
+
+
+def test_heavy_hitters_partial_aggregates(spark):
+    # hot tokens must be pre-reduced map-side: the shuffle carries
+    # (partition, token) partials, never raw token occurrences
+    plan = _plan(spark, "q_heavy_hitters")
+    assert "partial_count" in plan, plan
