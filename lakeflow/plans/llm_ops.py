@@ -1531,3 +1531,51 @@ def q_heavy_hitters(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return vocab_heavy_hitters(d, k=30)
+
+
+@query(
+    "q_heavy_hitters_approx",
+    # approximate-by-design (sketch-based): the oracle asserts the
+    # CONTRACT — same pattern as q_lsh_ann — that the sketch recovers
+    # >= 27 of the exact top-30 AND every recovered count is within 2%
+    oracle="""
+    SELECT CAST(30 AS BIGINT) AS n_topk, TRUE AS topk_pass
+    """,
+    description="Sketch-based heavy hitters (Spark 4 approx_top_k): "
+    "the scale path when the distinct-token universe is too large for "
+    "an exact hash-agg (billions of web tokens) — one pass, bounded "
+    "sketch state per partition, mergeable. Contract-checked against "
+    "the exact baseline: >= 27/30 recovered, counts within 2% "
+    "(integer-exact comparison).",
+    refs=("§2.12", "A5"),
+)
+def q_heavy_hitters_approx(spark, sf_dir):
+    from lakeflow.operators.corpus import vocab_heavy_hitters
+    from lakeflow.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    approx = (
+        ex.agg(F.expr("approx_top_k(token, 30, 4096)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").alias("approx_count"),
+        )
+    )
+    exact = vocab_heavy_hitters(d, k=30).select("token", "n_occurrences")
+    joined = exact.join(approx, "token", "left")
+    # integer-exact 2% bound: 50*|approx - exact| <= exact
+    ok_cnt = (
+        F.col("approx_count").isNotNull()
+        & (
+            F.abs(F.col("approx_count") - F.col("n_occurrences")) * F.lit(50)
+            <= F.col("n_occurrences")
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_topk"),
+        (F.sum(ok_cnt.cast("long")) >= F.lit(27)).alias("topk_pass"),
+    )
