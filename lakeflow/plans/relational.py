@@ -1323,3 +1323,73 @@ def q_zorder_key(spark, sf_dir):
         "l_partkey",
         morton_key("l_orderkey", "l_partkey").cast("long").alias("morton_key"),
     )
+
+
+@query(
+    "q_stats_moments",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS p
+      FROM lineitem),
+    g AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(q*q) AS BIGINT) AS sq2,
+             CAST(SUM(p) AS BIGINT) AS sp, CAST(SUM(p*p) AS BIGINT) AS sp2,
+             CAST(SUM(q*p) AS BIGINT) AS spq
+      FROM b GROUP BY flag)
+    SELECT flag, n, sq, sp,
+           CAST(sq AS DOUBLE) / n AS mean_qty,
+           CAST(sp AS DOUBLE) / n AS mean_price,
+           CAST(sq2 AS DOUBLE) / n
+             - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n) AS var_qty,
+           sqrt(CAST(sp2 AS DOUBLE) / n
+             - (CAST(sp AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n)) AS stddev_price,
+           (CAST(spq AS DOUBLE) / n
+             - (CAST(sq AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n))
+           / (sqrt(CAST(sq2 AS DOUBLE) / n
+             - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))
+              * sqrt(CAST(sp2 AS DOUBLE) / n
+             - (CAST(sp AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n))) AS corr_qp
+    FROM g
+    """,
+    description="Statistical moments (A5): population mean/variance/"
+    "stddev and Pearson correlation per group, derived from EXACT "
+    "integer sums (n, Sx, Sx2, Sxy stay in longs through the "
+    "aggregation; only the final per-group scalar derivation is "
+    "double, written in the identical IEEE order on both engines so "
+    "repr-level equality holds). One hash-agg; at true 100 TB the "
+    "sums move to DECIMAL(38,0) but the shape is unchanged.",
+    refs=("A5",),
+)
+def q_stats_moments(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor("l_extendedprice").cast("long").alias("p"),
+    )
+    g = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).alias("sp2"),
+        F.sum(F.col("q") * F.col("p")).alias("spq"),
+    )
+    n = F.col("n")
+    mq = F.col("sq").cast("double") / n
+    mp = F.col("sp").cast("double") / n
+    var_q = F.col("sq2").cast("double") / n - mq * mq
+    var_p = F.col("sp2").cast("double") / n - mp * mp
+    cov = F.col("spq").cast("double") / n - mq * mp
+    return g.select(
+        "flag",
+        "n",
+        "sq",
+        "sp",
+        mq.alias("mean_qty"),
+        mp.alias("mean_price"),
+        var_q.alias("var_qty"),
+        F.sqrt(var_p).alias("stddev_price"),
+        (cov / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qp"),
+    )
