@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "q_semantic_dedup",
     "q_token_budget_mix",
     "q_heavy_hitters",
+    "q_heavy_hitters_approx",
+    "q_stats_moments",
 ]
 
 
