@@ -96,3 +96,38 @@ def token_budget_sample(
         .filter(F.col("__run") <= F.lit(budget))
         .drop("__w", "__run")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fingerprint_col,
+    boundaries_ppm: dict[str, tuple[int, int]] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed on a CONTENT fingerprint, not
+    the row id: documents with identical (normalized) content hash to
+    the same bucket, so exact duplicates can never straddle the
+    train/eval boundary — the leakage mode a row-random split invites.
+    (For NEAR-dup safety, pass the dup-CLUSTER id from
+    ``operators.clusters`` as the fingerprint.)
+
+    ``boundaries_ppm`` maps split name -> [lo, hi) in hash
+    parts-per-million; defaults to 90/5/5. Adds a ``split`` column;
+    the predicate is a narrow codegen'd map at the scan — no shuffle,
+    no state, reproducible across engines and reruns."""
+    if boundaries_ppm is None:
+        boundaries_ppm = {
+            "train": (0, 900_000),
+            "val": (900_000, 950_000),
+            "test": (950_000, PPM),
+        }
+    fp = (
+        F.col(fingerprint_col)
+        if isinstance(fingerprint_col, str)
+        else fingerprint_col
+    )
+    bucket = seeded_hash(fp, seed) % PPM
+    expr = F.lit(None).cast("string")
+    for name, (lo, hi) in reversed(list(boundaries_ppm.items())):
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

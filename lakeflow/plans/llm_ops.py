@@ -1579,3 +1579,48 @@ def q_heavy_hitters_approx(spark, sf_dir):
         F.count(F.lit(1)).alias("n_topk"),
         (F.sum(ok_cnt.cast("long")) >= F.lit(27)).alias("topk_pass"),
     )
+
+
+_SQL_NORM_FP = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " '\\s+', ' ', 'g')))"
+)
+
+
+@query(
+    "q_leakage_safe_split",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok,
+             {SQL_SEEDED_HASH.format(seed="split", x=_SQL_NORM_FP)} % 1000000 AS b
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN b < 900000 THEN 'train'
+                  WHEN b < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM f)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split
+    """,
+    description="Leakage-safe train/val/test split (90/5/5): the split "
+    "bucket is hashed from the NORMALIZED CONTENT fingerprint, so "
+    "exact duplicates always share a split and cannot leak across the "
+    "train/eval boundary the way a row-random split lets them. Narrow "
+    "codegen'd map at the scan; one agg for the per-split census.",
+    refs=("§2.12", "F1"),
+)
+def q_leakage_safe_split(spark, sf_dir):
+    from lakeflow.operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tok"),
+        normalized_fingerprint("text").alias("fp"),
+    )
+    s = leakage_safe_split(d, "fp")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )

@@ -311,3 +311,24 @@ def test_vocab_heavy_hitters(spark):
         ("a", 4, 2, 1),
         ("b", 3, 3, 2),
     ]
+
+
+def test_leakage_safe_split_dups_share_split(spark):
+    from lakeflow.operators.sampling import leakage_safe_split
+
+    # doc 0 and 5 have IDENTICAL content: they must land in one split;
+    # every row gets exactly one of train/val/test
+    rows = [Row(doc_id=i, fp=f"c{i % 5}") for i in range(10)]
+    out = leakage_safe_split(spark.createDataFrame(rows), "fp").collect()
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["fp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_fp.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    assert all(r["split"] is not None for r in out)
+    # custom boundaries are honored
+    two = leakage_safe_split(
+        spark.createDataFrame(rows), "fp",
+        boundaries_ppm={"a": (0, 500_000), "b": (500_000, 1_000_000)},
+    ).collect()
+    assert {r["split"] for r in two} <= {"a", "b"}
