@@ -1624,3 +1624,62 @@ def q_leakage_safe_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
+
+
+@query(
+    "q_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_cand_cte()},
+    e AS (SELECT da AS src, db AS dst FROM cand
+          UNION SELECT db, da FROM cand),
+    reach AS (
+      SELECT src AS id, src AS r FROM e
+      UNION
+      SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id),
+    lbl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    f AS (
+      SELECT d.doc_id, COALESCE(lbl.cluster_id, d.doc_id) AS cl
+      FROM documents d LEFT JOIN lbl ON lbl.doc_id = d.doc_id),
+    s AS (
+      SELECT cl,
+             {SQL_SEEDED_HASH.format(seed="split", x="CAST(cl AS VARCHAR)")}
+               % 1000000 AS b
+      FROM f)
+    SELECT CASE WHEN b < 900000 THEN 'train'
+                WHEN b < 950000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cl) AS BIGINT) AS n_clusters
+    FROM s GROUP BY 1
+    """,
+    description="NEAR-dup-safe train/val/test split: the split bucket "
+    "is hashed from the doc's near-dup CLUSTER label (connected "
+    "components over MinHash-LSH candidate pairs; singletons use "
+    "their own id), so even fuzzy duplicates cannot straddle the "
+    "train/eval boundary — the composition the leakage-safe-split "
+    "docstring promises.",
+    refs=("§2.12",),
+)
+def q_cluster_safe_split(spark, sf_dir):
+    from lakeflow.operators.clusters import min_label_components
+    from lakeflow.operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=8)
+    cand = lsh_candidate_pairs(sig, "doc_id", k=8, band_size=2)
+    lbl = min_label_components(
+        cand, "doc_id_a", "doc_id_b", out_id="doc_id", out_label="cluster_id"
+    )
+    full = (
+        d.select("doc_id")
+        .join(lbl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cl"),
+        )
+    )
+    s = leakage_safe_split(full, F.col("cl").cast("string"))
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cl").alias("n_clusters"),
+    )
