@@ -52,3 +52,40 @@ def pack_sequences(
         F.expr(f"start_token div {budget}").alias("seq_id"),
         (F.col("start_token") % budget).alias("offset_in_seq"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    n_tokens_col: str,
+    size: int = 64,
+    overlap: int = 16,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-document sliding-window chunking: split each doc into
+    windows of ``size`` tokens advancing by ``size - overlap`` —
+    the context-window primitive (RAG indexing, long-doc pretraining)
+    complementing cross-doc :func:`pack_sequences`. Emits one row per
+    (doc, chunk): chunk_id, start_token, chunk_len (the final window
+    may be partial). Pure integer arithmetic + one explode — a narrow
+    map over the scan, no shuffle, no state; chunk counts are a
+    closed-form function of the token count so the fan-out is exact
+    and reproducible in any engine."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    n = F.col(n_tokens_col).cast("long")
+    # windows needed to cover all tokens: 1 + ceil(max(0, n-size)/step)
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest(0L, {n_tokens_col} - {size}) + {step - 1}) div {step}"
+    )
+    out = df.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1)))
+    )
+    start = F.col("chunk_id") * F.lit(step)
+    return out.select(
+        *id_cols,
+        F.col(n_tokens_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_token"),
+        F.least(F.lit(size).cast("long"), n - start).alias("chunk_len"),
+    )

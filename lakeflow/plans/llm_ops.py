@@ -1683,3 +1683,37 @@ def q_cluster_safe_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cl").alias("n_clusters"),
     )
+
+
+@query(
+    "q_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             1 + (GREATEST(0, n_tokens - 64) + 47) // 48 AS n_chunks
+      FROM t),
+    x AS (
+      SELECT doc_id, n_tokens,
+             CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_id
+      FROM c)
+    SELECT doc_id, n_tokens, chunk_id,
+           chunk_id * 48 AS start_token,
+           LEAST(64, n_tokens - chunk_id * 48) AS chunk_len
+    FROM x
+    """,
+    description="Per-document sliding context windows (size 64, "
+    "overlap 16): closed-form chunk fan-out from the token count — "
+    "one explode, narrow map at the scan, no shuffle. Complements "
+    "cross-doc concat-and-chunk packing (q_pack_sequences).",
+    refs=("§2.12", "N7"),
+)
+def q_chunk_windows(spark, sf_dir):
+    from lakeflow.operators.packing import chunk_windows
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return chunk_windows(d, "n_tokens", size=64, overlap=16)

@@ -332,3 +332,30 @@ def test_leakage_safe_split_dups_share_split(spark):
         boundaries_ppm={"a": (0, 500_000), "b": (500_000, 1_000_000)},
     ).collect()
     assert {r["split"] for r in two} <= {"a", "b"}
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    from lakeflow.operators.packing import chunk_windows
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, n=10), Row(doc_id=1, n=64), Row(doc_id=2, n=65), Row(doc_id=3, n=200)]
+    )
+    out = chunk_windows(df, "n", size=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short docs: one (partial) chunk; exactly-size doc: one full chunk
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["chunk_len"] == 10
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_len"] == 64
+    # 65 tokens: second window starts at 48 and covers the tail
+    assert [(r["start_token"], r["chunk_len"]) for r in sorted(by_doc[2], key=lambda r: r["chunk_id"])] == [(0, 64), (48, 17)]
+    # every token index is covered; consecutive windows overlap by 16
+    chunks = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    assert chunks[0]["start_token"] == 0
+    for a, b in zip(chunks, chunks[1:]):
+        assert b["start_token"] == a["start_token"] + 48
+    last = chunks[-1]
+    assert last["start_token"] + last["chunk_len"] == 200
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_windows(df, "n", size=16, overlap=16)
