@@ -1717,3 +1717,55 @@ def q_chunk_windows(spark, sf_dir):
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
     return chunk_windows(d, "n_tokens", size=64, overlap=16)
+
+
+@query(
+    "q_tfidf_terms",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM ex WHERE token <> '' GROUP BY doc_id, token),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    w AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             tf.tf * (1000000000 // dfreq.df) AS weight
+      FROM tf JOIN dfreq USING (token)
+      WHERE tf.doc_id % 20 = 0)
+    SELECT doc_id, token, tf, df, weight, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY weight DESC, token ASC) AS rnk
+      FROM w) z WHERE rnk <= 3
+    """,
+    description="TF-IDF-style salient terms (top 3 per sampled doc): "
+    "per-(doc,token) tf agg, doc frequency derived FROM the tf "
+    "relation (no second corpus scan), equi-join on token (AQE "
+    "handles stopword skew), per-doc window top-k. Weight is the "
+    "integer tf * (1e9 // df) — monotone in tf/df without "
+    "cross-engine log ULP risk.",
+    refs=("§2.12", "A5", "§2.9"),
+)
+def q_tfidf_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from lakeflow.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(dfreq, "token")
+        .withColumn("weight", F.col("tf") * F.expr("1000000000L div df"))
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("token"))
+    return (
+        w.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "weight", "rnk")
+    )
