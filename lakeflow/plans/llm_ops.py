@@ -1769,3 +1769,50 @@ def q_tfidf_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", "weight", "rnk")
     )
+
+
+@query(
+    "q_quality_band",
+    oracle=f"""
+    WITH {_quality_lang_cte()},
+    thr AS (
+      SELECT quantile_cont(quality_micros, 0.05e0) AS lo,
+             quantile_cont(quality_micros, 0.95e0) AS hi
+      FROM s1),
+    k AS (
+      SELECT s1.source, s1.quality_micros
+      FROM s1, thr
+      WHERE s1.quality_micros >= thr.lo AND s1.quality_micros <= thr.hi)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(quality_micros) AS min_q, MAX(quality_micros) AS max_q
+    FROM k GROUP BY source
+    """,
+    description="Percentile-band quality filter: global p05/p95 "
+    "thresholds over the integer quality score (exact interpolated "
+    "percentile, one 2-row aggregate), broadcast as a 1-row relation "
+    "into the filter — the outlier-trimming pass of a corpus funnel "
+    "with no global sort and no second threshold scan of the corpus "
+    "beyond the percentile aggregate itself.",
+    refs=("§2.12", "A5"),
+)
+def q_quality_band(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "source",
+        F.floor(quality_score("text") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_micros"),
+    )
+    thr = s.agg(
+        F.percentile("quality_micros", 0.05).alias("lo"),
+        F.percentile("quality_micros", 0.95).alias("hi"),
+    )
+    kept = s.crossJoin(F.broadcast(thr)).filter(
+        (F.col("quality_micros") >= F.col("lo"))
+        & (F.col("quality_micros") <= F.col("hi"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("quality_micros").alias("min_q"),
+        F.max("quality_micros").alias("max_q"),
+    )
