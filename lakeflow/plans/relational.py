@@ -1393,3 +1393,161 @@ def q_stats_moments(spark, sf_dir):
         F.sqrt(var_p).alias("stddev_price"),
         (cov / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qp"),
     )
+
+
+@query(
+    "q9_profit_by_nation",
+    # adapted TPC-H Q9: the driver testdata has no partsupp table, so
+    # unit cost is proxied by p_retailprice/10 (exact integer micros);
+    # the PLAN SHAPE is Q9's — LIKE-filtered part, 6-way join, profit
+    # rollup by nation and year
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)}
+                    - CAST(l_quantity AS BIGINT)
+                      * ({SQL_MICROS.format(x='p_retailprice')} // 10)) AS BIGINT)
+             AS profit_micros
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%5%'
+    GROUP BY 1, 2
+    """,
+    description="TPC-H Q9-style profit rollup: LIKE-filtered part "
+    "dimension broadcast into the lineitem scan, supplier/nation "
+    "broadcast, the one real shuffle is lineitem-orders; profit stays "
+    "in exact integer micros (unit cost = p_retailprice/10 proxy — "
+    "driver data has no partsupp).",
+    refs=("J2", "A5", "F1"),
+)
+def q9_profit_by_nation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = micros(_disc_price()) - F.col("l_quantity").cast(
+        "long"
+    ) * F.expr("CAST(FLOOR(p_retailprice * 1000000e0 + 0.5e0) AS BIGINT) div 10")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit_micros"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM({SQL_MICROS.format(x=_SQL_DISC_PRICE)}) AS BIGINT) AS total_rev_micros
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev_micros
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev_micros = (SELECT MAX(total_rev_micros) FROM rev)
+    """,
+    description="TPC-H Q15-style top supplier: quarterly per-supplier "
+    "revenue aggregate, then a GLOBAL-MAX scalar subquery (1-row "
+    "broadcast, no sort, ties kept) gates the supplier join — exact "
+    "integer micros end to end.",
+    refs=("J2", "A5", "D3"),
+)
+def q15_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= lit_ts(li, "l_shipdate", "1996-01-01"))
+            & (F.col("l_shipdate") < lit_ts(li, "l_shipdate", "1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(micros(_disc_price())).alias("total_rev_micros"))
+    )
+    mx = rev.agg(F.max("total_rev_micros").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_micros") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_micros")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    # adapted TPC-H Q21 (driver lineitem has no commit/receipt dates):
+    # "late" = shipped more than 90 days after the order date. The
+    # Q21 plan shape is intact: a LATE line whose order HAS another
+    # supplier (semi) but has NO other LATE supplier (anti)
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    base AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late),
+    multi AS (
+      SELECT DISTINCT b.l_orderkey, b.l_suppkey
+      FROM base b JOIN l o
+        ON o.l_orderkey = b.l_orderkey AND o.l_suppkey <> b.l_suppkey),
+    solo_late AS (
+      SELECT m.l_orderkey, m.l_suppkey FROM multi m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM l o
+        WHERE o.l_orderkey = m.l_orderkey
+          AND o.l_suppkey <> m.l_suppkey AND o.late))
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM solo_late JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    description="TPC-H Q21-style waiting suppliers: late lines "
+    "(shipped >90 days after order) whose order involves ANOTHER "
+    "supplier (left-semi on the self-join) but no OTHER late supplier "
+    "(left-anti) — the classic exists/not-exists composition, both "
+    "sides equi-joins on orderkey.",
+    refs=("J3", "A5"),
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    l = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    base = l.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    other = l.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("o_supp"),
+        "late",
+    )
+    multi = base.join(
+        other,
+        (F.col("o_key") == F.col("l_orderkey"))
+        & (F.col("o_supp") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    solo_late = multi.join(
+        other.filter("late"),
+        (F.col("o_key") == F.col("l_orderkey"))
+        & (F.col("o_supp") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        solo_late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
