@@ -81,6 +81,14 @@ BENCH_QUERIES = [
     "q_heavy_hitters",
     "q_heavy_hitters_approx",
     "q_stats_moments",
+    "q9_profit_by_nation",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q_tfidf_terms",
+    "q_quality_band",
+    "q_chunk_windows",
+    "q_leakage_safe_split",
+    "q_cluster_safe_split",
 ]
 
 
