@@ -132,3 +132,20 @@ def test_heavy_hitters_partial_aggregates(spark):
     # (partition, token) partials, never raw token occurrences
     plan = _plan(spark, "q_heavy_hitters")
     assert "partial_count" in plan, plan
+
+
+def test_q21_uses_semi_and_anti_joins(spark):
+    # the exists/not-exists composition must plan as LeftSemi+LeftAnti
+    # equi-joins on orderkey — a correlated-subquery fallback would
+    # re-scan lineitem per order
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_q15_broadcasts_the_global_max(spark):
+    # the scalar-max gate must arrive as a broadcast, not a sort
+    plan = _plan(spark, "q15_top_supplier")
+    assert "BroadcastExchange" in plan, plan
+    assert "GlobalLimit" not in plan and "Sort [total_rev" not in plan, plan
