@@ -1816,3 +1816,86 @@ def q_quality_band(spark, sf_dir):
         F.min("quality_micros").alias("min_q"),
         F.max("quality_micros").alias("max_q"),
     )
+
+
+@query(
+    "q_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM t),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM ex
+      WHERE tok <> '' GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM uni),
+    bg AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok <> '' AND b.tok <> ''
+      GROUP BY 1, 2),
+    sc AS (
+      SELECT tok_a, tok_b, n_ab,
+             (n_ab * big_n * 1000000) // (ua.n * ub.n) AS lift_micros
+      FROM bg JOIN uni ua ON ua.tok = tok_a
+              JOIN uni ub ON ub.tok = tok_b
+              CROSS JOIN tot
+      WHERE n_ab >= 5)
+    SELECT tok_a, tok_b, n_ab, lift_micros, rnk FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY lift_micros DESC, tok_a ASC, tok_b ASC) AS rnk
+      FROM sc) z WHERE rnk <= 20
+    """,
+    description="Collocation discovery: adjacent-token bigram counts "
+    "(built with array slice+zip — a narrow map, no positional "
+    "self-join on the Spark side), unigram join, integer PMI-proxy "
+    "lift = n_ab*N*1e6 // (n_a*n_b) (monotone in PMI, no cross-engine "
+    "log ULP risk), min-support 5, top-20.",
+    refs=("§2.12", "F8", "A5"),
+)
+def q_collocations(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from lakeflow.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    ex = t.select("doc_id", F.explode("toks").alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    uni = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").alias("big_n"))
+    bg = (
+        t.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda x, y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.tok_a"), F.col("p.tok_b"))
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    sc = (
+        bg.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_micros",
+            F.expr("(n_ab * big_n * 1000000L) div (n_a * n_b)"),
+        )
+    )
+    w = W.orderBy(F.desc("lift_micros"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("tok_a", "tok_b", "n_ab", "lift_micros", "rnk")
+    )
