@@ -677,3 +677,56 @@ def q_array_ops(spark, sf_dir):
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
         F.get(F.array_sort(F.array_distinct("toks")), 0).alias("first_alpha"),
     )
+
+
+@query(
+    "q_try_casts",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+                  THEN 'x' || json_extract_string(props, '$.k')
+                  ELSE json_extract_string(props, '$.k') END AS dirty,
+             event_id
+      FROM events),
+    p AS (
+      SELECT event_type, TRY_CAST(dirty AS BIGINT) AS parsed,
+             1.0e0 / NULLIF(event_id % 5, 0) AS maybe_div
+      FROM s)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(parsed) AS BIGINT) AS n_parsed,
+           CAST(COUNT(*) - COUNT(parsed) AS BIGINT) AS n_failed,
+           CAST(SUM(parsed) AS BIGINT) AS sum_parsed,
+           CAST(SUM(CASE WHEN maybe_div IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null
+    FROM p GROUP BY event_type
+    """,
+    description="ANSI-mode robustness family: TRY_CAST over "
+    "deterministically dirtied strings (null on failure, never a "
+    "task abort at row 3 billion) and try_divide's null-on-zero — "
+    "the ingest-hardening pattern Spark 4 ANSI mode requires; "
+    "counts/sums stay integer-exact.",
+    refs=("F6", "N3"),
+)
+def q_try_casts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    dirty = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), k)
+    ).otherwise(k)
+    p = ev.select(
+        "event_type",
+        F.expr("event_id").alias("event_id"),
+        dirty.alias("dirty"),
+    ).select(
+        "event_type",
+        F.expr("try_cast(dirty AS BIGINT)").alias("parsed"),
+        F.try_divide(F.lit(1.0), F.col("event_id") % 5).alias("maybe_div"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("parsed").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("parsed")).alias("n_failed"),
+        F.sum("parsed").alias("sum_parsed"),
+        F.sum(F.col("maybe_div").isNull().cast("long")).alias("n_div_null"),
+    )
