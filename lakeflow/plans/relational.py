@@ -1551,3 +1551,38 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk
+      FROM events),
+    c AS (SELECT user_id, MIN(wk) AS c0 FROM a GROUP BY user_id)
+    SELECT c0 AS cohort_week, wk - c0 AS week_n,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    description="Weekly cohort retention matrix: distinct active "
+    "(user, week) pairs, per-user first week (the cohort), then the "
+    "users-retained count per (cohort, weeks-since) cell — two "
+    "aggregations + one equi-join on user_id, weeks as exact integer "
+    "epoch-week ordinals (no calendar-boundary engine drift).",
+    refs=("A5", "J2", "F4"),
+)
+def q_cohort_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+    a = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = a.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    return (
+        a.join(cohort, "user_id")
+        .groupBy(
+            F.col("c0").alias("cohort_week"),
+            (F.col("wk") - F.col("c0")).alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
