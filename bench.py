@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "q_chunk_windows",
     "q_leakage_safe_split",
     "q_cluster_safe_split",
+    "q_collocations",
+    "q_try_casts",
+    "q_cohort_retention",
+    "q_cluster_purity",
 ]
 
 
