@@ -143,3 +143,33 @@ def compact_parquet(
         "overwrite"
     ).parquet(path)
     return n
+
+
+def analyze_table(
+    spark: SparkSession,
+    name: str,
+    columns: tuple[str, ...] = (),
+) -> dict[str, str]:
+    """Collect catalog statistics for the cost-based optimizer:
+    table-level (row count, size) always; per-column min/max/NDV/null
+    histograms for ``columns``. On a real lake these stats are what
+    let Catalyst pick broadcast vs shuffle joins and reorder
+    multi-way joins without hints — the declarative alternative to
+    hand-placed ``broadcast()`` calls. Returns the table's stats
+    line from DESCRIBE EXTENDED for verification."""
+    ident = name
+    if not all(part.isidentifier() for part in ident.split(".")):
+        raise ValueError(f"unsafe table identifier: {name!r}")
+    spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS")
+    if columns:
+        for c in columns:
+            if not c.isidentifier():
+                raise ValueError(f"unsafe column identifier: {c!r}")
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {ident}").collect()
+    return {
+        r["col_name"]: r["data_type"]
+        for r in rows
+        if r["col_name"] in ("Statistics", "Table", "Type")
+    }

@@ -112,3 +112,25 @@ def test_ivf_ann_candidates_subset_and_recall(spark):
     hits = ann.join(ex.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi").count()
     n_q = ex.select("q_id").distinct().count()
     assert hits >= 3 * n_q  # recall@5 >= 0.6
+
+
+def test_analyze_table_records_cbo_stats(spark, tmp_path):
+    from lakeflow.sinks.tables import analyze_table, drop_table, save_table
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS grp")
+    save_table(df, "t_stats", path=str(tmp_path / "t_stats"))
+    try:
+        info = analyze_table(spark, "t_stats", columns=("id", "grp"))
+        # table-level stats recorded (bytes, and rowCount after ANALYZE)
+        assert "Statistics" in info and "rows" in info["Statistics"]
+        # column-level NDV visible to the optimizer
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql("DESCRIBE EXTENDED t_stats grp").collect()
+        }
+        assert desc.get("distinct_count") not in (None, "NULL")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            analyze_table(spark, "t_stats; DROP TABLE x")
+    finally:
+        drop_table(spark, "t_stats")
