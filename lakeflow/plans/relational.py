@@ -1586,3 +1586,60 @@ def q_cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT user_id,
+             t_view IS NOT NULL AS s1,
+             t_view IS NOT NULL AND t_click IS NOT NULL
+               AND t_click > t_view AS s2,
+             t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+               AND t_click > t_view AND t_buy > t_click AS s3
+      FROM f)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM s
+    """,
+    description="Ordered funnel analysis (view -> click -> purchase): "
+    "the first-occurrence time of each step folds into ONE conditional "
+    "hash-aggregate per user (no per-step self-joins, no sorted "
+    "sessionization pass), then strict ordering gates each prefix — "
+    "the match_recognize-style product query as a single shuffle.",
+    refs=("A5", "F6", "§2.9"),
+)
+def q_funnel_steps(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def first_ts(evt):
+        return F.min(F.when(F.col("event_type") == evt, us))
+
+    f = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = (
+        s2
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_click"))
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("long")).alias("step_view"),
+        F.sum(s2.cast("long")).alias("step_click"),
+        F.sum(s3.cast("long")).alias("step_purchase"),
+    )
