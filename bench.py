@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_try_casts",
     "q_cohort_retention",
     "q_cluster_purity",
+    "q_funnel_steps",
 ]
 
 
