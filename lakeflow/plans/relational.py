@@ -1643,3 +1643,75 @@ def q_funnel_steps(spark, sf_dir):
         F.sum(s2.cast("long")).alias("step_click"),
         F.sum(s3.cast("long")).alias("step_purchase"),
     )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+             AS sum_value_micros,
+           MIN(CAST(FLOOR(value * 1000000e0 + 0.5e0) AS BIGINT)) AS min_value_micros,
+           MAX(CAST(FLOOR(value * 1000000e0 + 0.5e0) AS BIGINT)) AS max_value_micros
+    FROM events GROUP BY event_type
+    """,
+    description="Skew-proof two-phase aggregation (operators/skew."
+    "salted_aggregate): each hot key spreads across 16 salted "
+    "reducers for the partial aggregate, then a 16-rows-per-key merge "
+    "recovers exact results — the oracle is the PLAIN group-by, "
+    "proving salting changes the plan, never the answer.",
+    refs=("A5", "§4"),
+)
+def q_salted_agg(spark, sf_dir):
+    from lakeflow.functions.exact import micros
+    from lakeflow.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", micros("value").alias("v")
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("v", "count"),
+            "sum_value_micros": ("v", "sum"),
+            "min_value_micros": ("v", "min"),
+            "max_value_micros": ("v", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n", "sum_value_micros", "min_value_micros", "max_value_micros"
+    )
+
+
+@query(
+    "q_union_drifting",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(FLOOR(value * 1000000e0 + 0.5e0) AS BIGINT) AS value_micros,
+           CAST(NULL AS BIGINT) AS user_id
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, event_type, CAST(NULL AS BIGINT), user_id
+    FROM events WHERE event_id % 3 = 1
+    """,
+    description="Drifting-schema union (operators/union.union_drifting "
+    "= unionByName + allowMissingColumns): two projections of the same "
+    "feed that each miss a column union into the superset schema with "
+    "null fill — the reference's append-frames-from-changing-exports "
+    "pattern (D2) as one oracle-checked relation.",
+    refs=("D2",),
+)
+def q_union_drifting(spark, sf_dir):
+    from lakeflow.functions.exact import micros
+    from lakeflow.operators.union import union_drifting
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "event_type", micros("value").alias("value_micros")
+    )
+    b = ev.filter(F.col("event_id") % 3 == 1).select(
+        "event_id", "event_type", F.col("user_id").cast("long").alias("user_id")
+    )
+    return union_drifting([a, b])
