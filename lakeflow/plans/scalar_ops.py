@@ -730,3 +730,33 @@ def q_try_casts(spark, sf_dir):
         F.sum("parsed").alias("sum_parsed"),
         F.sum(F.col("maybe_div").isNull().cast("long")).alias("n_div_null"),
     )
+
+
+@query(
+    "q_struct_json",
+    oracle="""
+    SELECT o_orderkey,
+           to_json({k: o_orderkey,
+                    status: o_orderstatus,
+                    pri: {label: o_orderpriority,
+                          parts: str_split(o_orderpriority, '-')}})
+             AS payload_json
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    description="Struct -> JSON serialization at the sink boundary "
+    "(N5, the reference's SUPER-column write path): nested struct + "
+    "array serialize via the JVM to_json codegen — byte-identical "
+    "JSON text across engines for int/string/array/struct content.",
+    refs=("N5", "F7"),
+)
+def q_struct_json(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    payload = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.struct(
+            F.col("o_orderpriority").alias("label"),
+            F.split(F.col("o_orderpriority"), "-").alias("parts"),
+        ).alias("pri"),
+    )
+    return o.select("o_orderkey", F.to_json(payload).alias("payload_json"))
