@@ -760,3 +760,44 @@ def q_struct_json(spark, sf_dir):
         ).alias("pri"),
     )
     return o.select("o_orderkey", F.to_json(payload).alias("payload_json"))
+
+
+@query(
+    "q_empty_to_null",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             list_filter(str_split(o_orderpriority, '-'), x -> x >= '3')
+               AS high_parts
+      FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN len(high_parts) > 0 THEN high_parts END AS high_parts,
+           CAST(CASE WHEN len(high_parts) > 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS was_empty
+    FROM b
+    """,
+    description="Empty-collection normalization (N6, reference "
+    "sql_utils empty->null rule): arrays that filter to empty become "
+    "NULL, not [] — the write-path contract that keeps warehouse "
+    "NULL semantics and parquet stats meaningful.",
+    refs=("N6", "F8"),
+)
+def q_empty_to_null(spark, sf_dir):
+    from lakeflow.operators.flatten import empty_collections_to_null
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        F.filter(
+            F.split(F.col("o_orderpriority"), "-"), lambda x: x >= F.lit("3")
+        ).alias("high_parts"),
+    )
+    n = empty_collections_to_null(b)
+    return n.select(
+        "o_orderkey",
+        "high_parts",
+        F.when(F.col("high_parts").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("was_empty"),
+    )
