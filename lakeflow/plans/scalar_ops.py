@@ -801,3 +801,30 @@ def q_empty_to_null(spark, sf_dir):
         .cast("long")
         .alias("was_empty"),
     )
+
+
+@query(
+    "q_sanitize_names",
+    oracle="""
+    SELECT event_id AS "event_id",
+           event_type AS "raw_event_type",
+           user_id AS "user_ref_id"
+    FROM events WHERE event_id % 10 = 0
+    """,
+    description="Column-name sanitization (P3, the reference's "
+    "Redshift-safe rename rule: lowercase; dot/dash/dollar/space -> "
+    "underscore): vendor-style dirty names ('Raw.Event-Type', "
+    "'User Ref$Id') sanitize to the oracle's column list — the "
+    "driver's schema compare IS the assertion.",
+    refs=("P3",),
+)
+def q_sanitize_names(spark, sf_dir):
+    from lakeflow.operators.flatten import sanitize_columns
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    dirty = ev.select(
+        F.col("event_id").alias("Event_ID"),
+        F.col("event_type").alias("Raw.Event-Type"),
+        F.col("user_id").alias("User Ref$Id"),
+    )
+    return sanitize_columns(dirty)
