@@ -4,11 +4,13 @@ from lakeflow.streaming.pipeline import (
     stream_ndjson,
     upsert_foreach_batch,
     windowed_counts,
+    windowed_drift,
 )
 
 __all__ = [
     "stream_ndjson",
     "windowed_counts",
+    "windowed_drift",
     "sessionized_counts",
     "dedup_within_watermark",
     "upsert_foreach_batch",

@@ -144,3 +144,55 @@ def upsert_foreach_batch(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_drift(
+    stream: DataFrame,
+    ref_ppm: Sequence[int],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bin_width: float = 10.0,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming distribution-drift monitor (the streaming twin of
+    q_drift_tvd): per event-time window, bucket ``value_col`` into
+    ``len(ref_ppm)`` bins and emit total variation distance against
+    the reference distribution (parts-per-million ints).
+
+    ONE stateful aggregation: the per-bin counts ride the window
+    group-by as conditional sums (bins are bounded and known up
+    front), and the TVD is a stateless projection over the finished
+    window row — no stream-stream join, no second agg, state bounded
+    by (windows in watermark) x 1 row. Reference probs are literals
+    folded into the plan (update them by restarting the query — the
+    monitor's reference should change deliberately, not silently)."""
+    n_bins = len(ref_ppm)
+    if n_bins < 2:
+        raise ValueError("need >= 2 reference bins")
+    b = (
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor(F.col(value_col) / F.lit(bin_width))),
+        )
+    ).cast("int")
+    wm = stream.withWatermark(ts_col, watermark).withColumn("__bin", b)
+    agg = wm.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum((F.col("__bin") == i).cast("long")).alias(f"n_{i}")
+            for i in range(n_bins)
+        ],
+    )
+    diff_total = None
+    for i in range(n_bins):
+        d = F.abs(
+            F.expr(f"(n_{i} * 1000000L) div n_events") - F.lit(int(ref_ppm[i]))
+        )
+        diff_total = d if diff_total is None else diff_total + d
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        F.floor(diff_total / F.lit(2)).cast("long").alias("tvd_micros"),
+    )

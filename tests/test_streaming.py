@@ -237,3 +237,31 @@ def test_corpus_intake_stream(spark, tmp_path):
     # the re-arrived content kept exactly one row (latest-wins by ts)
     dup_fp = [fp for fp, r in by_fp.items() if r["doc_id"] in (1, 2, 5)]
     assert len(dup_fp) == 1
+
+
+def test_windowed_drift_monitor(spark, tmp_path):
+    from lakeflow.streaming import windowed_drift
+
+    src = str(tmp_path / "drift_src")
+    # reference: uniform over 2 bins (value < 10 -> bin 0, >= 10 -> bin 1)
+    ref = [500_000, 500_000]
+    # window 1 (10:00): matches the reference exactly -> TVD 0
+    w1 = [
+        {**_ev(i, "2024-01-01T10:00:05"), "value": 5.0} for i in range(2)
+    ] + [{**_ev(10 + i, "2024-01-01T10:00:06"), "value": 15.0} for i in range(2)]
+    # window 2 (11:00): all mass in bin 0 -> TVD = 0.5 = 500000 micros
+    w2 = [{**_ev(20 + i, "2024-01-01T11:00:05"), "value": 1.0} for i in range(4)]
+    # sentinel far ahead: advances the watermark so windows 10/11 close
+    w3 = [{**_ev(30, "2024-01-01T13:00:00"), "value": 1.0}]
+    _write_events(src, "a.ndjson", w1 + w2 + w3)
+    stream = stream_ndjson(spark, src, SCHEMA)
+    out = windowed_drift(stream, ref, window="1 hour", watermark="10 minutes")
+    _run_to_memory(out, "drift_mon", output_mode="append")
+    rows = {
+        r["window_start"].hour: r
+        for r in spark.sql("SELECT * FROM drift_mon").collect()
+    }
+    # append mode emits only watermark-closed windows; the 10:00 window
+    # closes once the 11:00 data advances the watermark
+    assert rows[10]["n_events"] == 4 and rows[10]["tvd_micros"] == 0
+    assert rows[11]["n_events"] == 4 and rows[11]["tvd_micros"] == 500_000
