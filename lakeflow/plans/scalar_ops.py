@@ -828,3 +828,38 @@ def q_sanitize_names(spark, sf_dir):
         F.col("user_id").alias("User Ref$Id"),
     )
     return sanitize_columns(dirty)
+
+
+@query(
+    "q_flatten_collision",
+    oracle="""
+    SELECT event_id,
+           event_type AS payload_event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           user_id AS ctx_user_id
+    FROM events WHERE event_id % 25 = 0
+    """,
+    description="Collision-safe struct flatten (N1, the reference's "
+    "json_normalize rule): leaf paths keep their bare name unless "
+    "taken — 'event_type' and 'user_id' collide with top-level "
+    "columns, so they flatten to '{field}_{path}' while 'k' stays "
+    "bare; the driver's schema compare asserts the naming rule and "
+    "the values ride along.",
+    refs=("N1", "N2", "J1"),
+)
+def q_flatten_collision(spark, sf_dir):
+    from lakeflow.operators.flatten import flatten
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    nested = ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.struct(
+            F.col("event_type"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        ).alias("payload"),
+        F.struct(F.col("user_id")).alias("ctx"),
+    )
+    flat = flatten(nested, ["payload", "ctx"])
+    return flat.select("event_id", "payload_event_type", "k", "ctx_user_id")
