@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_cohort_retention",
     "q_cluster_purity",
     "q_funnel_steps",
+    "q_salted_agg",
 ]
 
 
