@@ -163,3 +163,31 @@ def scd2_merge(
         "valid_to", F.lead("valid_from").over(w)
     ).withColumn("is_current", F.col("valid_to").isNull())
     _fenced_overwrite(out.localCheckpoint(eager=True), target_path, v0)
+
+
+def merge_additive(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> None:
+    """Incremental AGGREGATE maintenance: fold a pre-aggregated delta
+    batch into a running per-key totals table by SUMMING measure
+    columns (vs ``merge_upsert``'s latest-wins row replacement) — the
+    pattern that keeps corpus-level counters (tokens per source, events
+    per user) current without re-scanning history. New keys insert;
+    existing keys add. Work is O(|target keys| + |delta|), never
+    O(history). Same version-fencing and failure-atomicity contract as
+    the other mergers; NOT idempotent per batch (re-applying a delta
+    double-counts) — dedupe batches upstream via ingest state."""
+    v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
+    existing = read_target_if_exists(spark, target_path)
+    if existing is not None:
+        merged = existing.unionByName(delta, allowMissingColumns=True)
+    else:
+        merged = delta
+    out = merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    _fenced_overwrite(out.localCheckpoint(eager=True), target_path, v0)

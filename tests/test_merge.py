@@ -180,3 +180,23 @@ def test_concurrent_claim_exactly_one_winner(spark, tmp_path):
     _fenced_overwrite(chk, tgt, v0)  # writer 1 claims v1
     with _pytest.raises(ConcurrentMergeError):
         _fenced_overwrite(chk, tgt, v0)  # writer 2, same snapshot, loses
+
+
+def test_merge_additive_sums_and_inserts(spark, tmp_path):
+    from lakeflow.sinks.merge import merge_additive, read_target_if_exists
+
+    t = str(tmp_path / "counts")
+    b1 = spark.createDataFrame(
+        [Row(source="a", n_docs=2, n_tokens=100), Row(source="b", n_docs=1, n_tokens=30)]
+    )
+    merge_additive(spark, t, b1, keys=["source"], sum_cols=["n_docs", "n_tokens"])
+    b2 = spark.createDataFrame(
+        [Row(source="a", n_docs=3, n_tokens=50), Row(source="c", n_docs=4, n_tokens=70)]
+    )
+    merge_additive(spark, t, b2, keys=["source"], sum_cols=["n_docs", "n_tokens"])
+    out = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in read_target_if_exists(spark, t).collect()
+    }
+    # existing keys summed, new keys inserted
+    assert out == {"a": (5, 150), "b": (1, 30), "c": (4, 70)}
