@@ -40,3 +40,22 @@ def test_registry_invariants():
     # descriptions are the judge-facing operator inventory
     undocumented = [n for n, s in QUERIES.items() if not s.description]
     assert undocumented == [], undocumented
+
+
+@pytest.mark.parametrize(
+    "name", ["q_salted_agg", "q_minhash_lsh_pairs", "q_hash_sample", "q_kmeans_cells"]
+)
+def test_partitioning_invariance(spark, name):
+    # results must be a function of the DATA, not the parallelism: the
+    # same query under different shuffle widths returns identical rows
+    # (catches raw rand()/monotonically_increasing_id-style leaks)
+    spec = QUERIES[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, spec.fn(spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = sorted(map(tuple, spec.fn(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
