@@ -145,8 +145,12 @@ def vocab_heavy_hitters(
     combine map-side, so the hot tokens ("the", markup) that would skew
     a raw shuffle arrive pre-reduced — one row per (partition, token).
     The distinct doc count rides the same aggregate via a two-phase
-    partial-distinct plan. The final top-k is a TakeOrdered over the
-    (bounded) distinct-token relation, not a global sort."""
+    partial-distinct plan. The final top-k is `orderBy().limit(k)` —
+    Spark plans TakeOrderedAndProject (a size-k heap per partition,
+    merged on the driver), so the full distinct-token relation is never
+    sorted or funneled through one task. `rnk` is then derived with a
+    window over only the k surviving rows, which is a k-row single
+    partition by construction, not a scale hazard."""
     from pyspark.sql import Window
 
     from lakeflow.operators.text import tokens
@@ -158,9 +162,8 @@ def vocab_heavy_hitters(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct(id_col).alias("doc_freq"),
     )
+    topk = agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("token", "n_occurrences", "doc_freq", "rnk")
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "token", "n_occurrences", "doc_freq", "rnk"
     )

@@ -1893,9 +1893,14 @@ def q_collocations(spark, sf_dir):
             F.expr("(n_ab * big_n * 1000000L) div (n_a * n_b)"),
         )
     )
+    # Top-20 via orderBy().limit() → TakeOrderedAndProject (per-partition
+    # heaps), never a full sort of the scored-bigram relation through one
+    # task; rnk is derived afterwards on the 20 surviving rows only.
+    topk = sc.orderBy(
+        F.desc("lift_micros"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(20)
     w = W.orderBy(F.desc("lift_micros"), F.asc("tok_a"), F.asc("tok_b"))
     return (
-        sc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        topk.withColumn("rnk", F.row_number().over(w))
         .select("tok_a", "tok_b", "n_ab", "lift_micros", "rnk")
     )

@@ -1,8 +1,18 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from lakeflow import get_spark
+
+# pytest.ini pins --basetemp=.tmp/pytest (keeps Spark scratch out of /tmp),
+# but pytest does not create the parent dir — on a fresh clone every
+# Spark-fixture test would error with FileNotFoundError without this.
+os.makedirs(
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".tmp", "pytest"),
+    exist_ok=True,
+)
 
 
 @pytest.fixture(scope="session")

@@ -134,6 +134,44 @@ def test_heavy_hitters_partial_aggregates(spark):
     assert "partial_count" in plan, plan
 
 
+def _window_feeds_from_take_ordered(plan: str) -> bool:
+    """True iff every Window node in a formatted plan sits downstream of a
+    TakeOrderedAndProject / GlobalLimit — i.e. the single-partition window
+    only ever sees the k-row top-k result, never the full relation."""
+    lines = plan.splitlines()
+    win_ids = [
+        int(ln.split("(")[1].split(")")[0])
+        for ln in lines
+        if ln.strip().startswith("Window (")
+    ]
+    lim_ids = [
+        int(ln.split("(")[1].split(")")[0])
+        for ln in lines
+        if "TakeOrderedAndProject (" in ln or "GlobalLimit (" in ln
+    ]
+    # formatted-plan node ids increase from scan towards the result, so a
+    # limit with a smaller id than the window executes before it
+    return bool(lim_ids) and all(
+        any(lid < wid for lid in lim_ids) for wid in win_ids
+    )
+
+
+def test_heavy_hitters_topk_is_take_ordered(spark):
+    # the global top-k must be per-partition heaps (TakeOrderedAndProject)
+    # merged at the driver — never row_number over an unpartitioned window
+    # that funnels the whole distinct-token relation into one task
+    plan = _plan(spark, "q_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, plan
+    assert _window_feeds_from_take_ordered(plan), plan
+
+
+def test_collocations_topk_is_take_ordered(spark):
+    # same contract for the scored-bigram relation
+    plan = _plan(spark, "q_collocations")
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, plan
+    assert _window_feeds_from_take_ordered(plan), plan
+
+
 def test_q21_uses_semi_and_anti_joins(spark):
     # the exists/not-exists composition must plan as LeftSemi+LeftAnti
     # equi-joins on orderkey — a correlated-subquery fallback would
