@@ -25,8 +25,19 @@ from lakeflow.plans import scalar_ops  # noqa: F401
 #: The 50 queries the driver's correctness gate records, in order.
 #: LLM-data-pipeline surface (§2.12) first, then the relational /
 #: scalar coverage set. Every §2 row keeps at least one covering row.
+#:
+#: Round-4 rotation (VERDICT r3 task #2): ten slots whose §2 coverage
+#: was redundant inside the window (cube vs rollup, sliding vs
+#: tumbling, q5/q17 vs q1/q3 on J2/A5, trailing vs running/analytic
+#: windows, variant vs json extract, count_distinct vs approx_distinct,
+#: unpivot vs pivot, range-pairs vs as-of on J4, exact median vs the
+#: wide A5 set) were swapped for first-ever driver rows on the round-3
+#: training-data surface. The rotated-out queries remain registered and
+#: green in the full local gate (scripts/driver_gate.py, 107/107) and
+#: were green in CORRECTNESS_r01-r03, so no §2 row loses its only
+#: covering check anywhere.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- §2.12 LLM data-pipeline operators (18) ---
+    # --- §2.12 LLM data-pipeline operators (28) ---
     "q_text_stats",
     "q_lang_id",
     "q_exact_dedup_docs",
@@ -45,35 +56,36 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_near_dup_pipeline",
     "q_edit_distance_pairs",
     "q_drift_tvd",
-    # --- relational / aggregation / join coverage (32) ---
+    # round-4 first-timers: dup clustering / semantic dedup / corpus prep
+    "q_dup_clusters",
+    "q_kmeans_cells",
+    "q_semantic_dedup",
+    "q_incremental_near_dup",
+    "q_pii_redact",
+    "q_pack_sequences",
+    "q_heavy_hitters",
+    "q_salted_agg",
+    "q_funnel_steps",
+    "q_cohort_retention",
+    # --- relational / aggregation / join coverage (22) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q17_small_quantity_parts",
     "q_topk_orders_per_customer",
     "q_dedup_latest_event",
     "q_rollup_lineitem",
-    "q_cube_orders",
     "q_grouping_sets",
-    "q_count_distinct",
     "q_approx_distinct",
     "q_having",
-    "q_median_price",
-    "q_unpivot_metrics",
     "q_pivot_event_types",
     "q_set_ops",
     "q_json_extract_events",
-    "q_variant_extract",
     "q_window_running",
     "q_analytic_windows",
-    "q_trailing_window",
     "q_sessionize_batch",
     "q_theta_join_richer",
     "q_mode_event_type",
     "q_asof_latest_order",
-    "q_range_pairs_events",
     "q_tumbling_hourly",
-    "q_sliding_2h",
     "q_correlated_subquery",
     "q_like_between",
     "q_array_ops",

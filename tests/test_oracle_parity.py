@@ -42,6 +42,24 @@ def test_registry_invariants():
     assert undocumented == [], undocumented
 
 
+def test_docs_counts_match_registry():
+    # README/COVERAGE quote the registry and window sizes; derive them
+    # from the code here so the docs cannot rot when queries are added
+    from lakeflow.plans import DRIVER_WINDOW
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    coverage = open(os.path.join(root, "COVERAGE.md")).read()
+    n, w = len(QUERIES), len(DRIVER_WINDOW)
+    assert f"{n} named queries" in readme, f"README must say '{n} named queries'"
+    assert f"{n}/{n}" in readme, f"README must quote the {n}/{n} local gate"
+    assert f"FIRST {w} registry entries" in readme
+    assert f"Registry\n  total: {n} queries" in coverage or f"Registry total: {n} queries" in coverage.replace(
+        "\n  ", " "
+    ), f"COVERAGE must quote 'Registry total: {n} queries'"
+    assert f"{n}/{n}" in coverage
+
+
 @pytest.mark.parametrize(
     "name", ["q_salted_agg", "q_minhash_lsh_pairs", "q_hash_sample", "q_kmeans_cells"]
 )
