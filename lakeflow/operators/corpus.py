@@ -130,6 +130,44 @@ def contamination_profile(
     )
 
 
+def percentile_band(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    approx: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the global [lo, hi]
+    percentile band — the outlier-trimming pass of a corpus quality
+    funnel (drop the worst 5% and the suspiciously-perfect 5%).
+
+    Scale path (``approx=True``, the default): thresholds come from
+    ``approx_percentile`` (Greenwald-Khanna style sketch) whose state is
+    O(accuracy·log n) per partial aggregate regardless of data size, and
+    whose rank error is bounded by n/accuracy positions (contract-tested
+    in tests/test_training_ops.py). ``approx=False`` computes the exact
+    interpolated percentile — bit-reproducible against a single-node
+    oracle, but its single aggregation state buffers every value, so it
+    is for oracle parity and small relations only, never 100 TB.
+
+    Either way the 1-row threshold relation broadcasts into the filter;
+    the corpus itself is scanned, never sorted or shuffled."""
+    if approx:
+        thr = df.agg(
+            F.percentile_approx(value_col, lo, accuracy).alias("lo"),
+            F.percentile_approx(value_col, hi, accuracy).alias("hi"),
+        )
+    else:
+        thr = df.agg(
+            F.percentile(value_col, lo).alias("lo"),
+            F.percentile(value_col, hi).alias("hi"),
+        )
+    return df.crossJoin(F.broadcast(thr)).filter(
+        (F.col(value_col) >= F.col("lo")) & (F.col(value_col) <= F.col("hi"))
+    )
+
+
 def vocab_heavy_hitters(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -288,6 +288,7 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist_buckets: bool = True,
+    cache: "CacheScope | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale: sign-LSH
     buckets generate candidates (equi-self-join on (table, bucket) —
@@ -301,10 +302,12 @@ def embedding_near_dup(
     are 3 longs regardless of embedding width, so even corpus-scale it
     is far smaller than the vectors — which keeps the n_planes*n_tables
     projection folds computed (and codegen'd) once instead of once per
-    self-join side. The cache lives until the session ends or the
-    caller runs ``spark.catalog.clearCache()`` — long-lived sessions
-    issuing many near-dup jobs should clear between jobs (the returned
-    DataFrame is lazy, so this function cannot unpersist for you).
+    self-join side. Pass ``cache=CacheScope()`` (lakeflow.caching) to
+    bound the cache's lifetime: exiting the scope after materializing
+    the result unpersists it. With ``cache=None`` the persist lives
+    until the session ends or the caller runs
+    ``spark.catalog.clearCache()`` (the returned DataFrame is lazy, so
+    this function cannot unpersist for you).
 
     Bucket sizing: 2^n_planes buckets per table; see lsh_ann_topk's
     sizing rule. Default n_planes=8 = 256 buckets/table — the floor
@@ -330,9 +333,9 @@ def embedding_near_dup(
         ).alias("z"),
     ).select(id_col, "z.t", "z.b")
     if persist_buckets:
-        from pyspark import StorageLevel
+        from lakeflow.caching import maybe_persist
 
-        tb = tb.persist(StorageLevel.MEMORY_AND_DISK)
+        tb = maybe_persist(tb, cache)
     a = tb.select(F.col(id_col).alias(f"{id_col}_a"), "t", "b")
     bb = tb.select(F.col(id_col).alias(f"{id_col}_b"), "t", "b")
     cand = (
@@ -466,6 +469,7 @@ def lsh_candidate_pairs(
     k: int = 8,
     band_size: int = 2,
     max_bucket_size: int | None = None,
+    cache: "CacheScope | None" = None,
 ) -> DataFrame:
     """Banded LSH over a minhash signature: hash each band, self-join on
     (band_id, band_hash), emit each candidate pair once (id_a < id_b).
@@ -483,11 +487,11 @@ def lsh_candidate_pairs(
         # the hot-bucket aggregate is a SECOND consumer of all_bands —
         # without a persist it would re-execute the entire upstream
         # signature pipeline (shingle explode + md5 + hash-agg) twice.
-        # Cache lifetime is the session's (the result is lazy); callers
-        # running many jobs should spark.catalog.clearCache() between.
-        from pyspark import StorageLevel
+        # Pass cache=CacheScope() to bound the persist's lifetime; with
+        # None it lives until the caller clears the session cache.
+        from lakeflow.caching import maybe_persist
 
-        all_bands = all_bands.persist(StorageLevel.MEMORY_AND_DISK)
+        all_bands = maybe_persist(all_bands, cache)
         hot = (
             all_bands.groupBy("band_id", "band_hash")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -584,6 +588,7 @@ def near_dup_pairs(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     persist_shingles: bool = True,
+    cache: "CacheScope | None" = None,
 ) -> DataFrame:
     """Complete near-duplicate pipeline: MinHash-LSH generates candidate
     pairs, exact n-gram Jaccard verifies them — the verification join
@@ -598,18 +603,20 @@ def near_dup_pairs(
     instead of once per occurrence (the dominant cost). At corpus scale
     the persisted relation is (doc_id, shingle) — far smaller than the
     corpus when shingles repeat; set ``persist_shingles=False`` to trade
-    recompute for memory. The cache lives until the session ends or the
-    caller runs ``spark.catalog.clearCache()`` (the returned DataFrame
-    is lazy, so this function cannot unpersist for you).
+    recompute for memory. Pass ``cache=CacheScope()`` (lakeflow.caching)
+    to bound the persist's lifetime — exit the scope after materializing
+    the result; with ``cache=None`` it lives until the session ends or
+    the caller runs ``spark.catalog.clearCache()`` (the returned
+    DataFrame is lazy, so this function cannot unpersist for you).
     ``max_bucket_size`` forwards the LSH skew guard (see
     lsh_candidate_pairs)."""
     dsh = explode_shingles(df, id_col, text_col, shingle_n).distinct()
     if persist_shingles:
-        from pyspark import StorageLevel
+        from lakeflow.caching import maybe_persist
 
-        dsh = dsh.persist(StorageLevel.MEMORY_AND_DISK)
+        dsh = maybe_persist(dsh, cache)
     sig = minhash_from_shingles(dsh, id_col, k)
-    cand = lsh_candidate_pairs(sig, id_col, k, band_size, max_bucket_size)
+    cand = lsh_candidate_pairs(sig, id_col, k, band_size, max_bucket_size, cache)
     sizes = dsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = dsh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("s"))
     b = dsh.select(F.col(id_col).alias(f"{id_col}_b"), F.col("s"))

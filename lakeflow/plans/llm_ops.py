@@ -1787,15 +1787,21 @@ def q_tfidf_terms(spark, sf_dir):
            MIN(quality_micros) AS min_q, MAX(quality_micros) AS max_q
     FROM k GROUP BY source
     """,
-    description="Percentile-band quality filter: global p05/p95 "
-    "thresholds over the integer quality score (exact interpolated "
-    "percentile, one 2-row aggregate), broadcast as a 1-row relation "
-    "into the filter — the outlier-trimming pass of a corpus funnel "
-    "with no global sort and no second threshold scan of the corpus "
-    "beyond the percentile aggregate itself.",
+    description="Percentile-band quality filter via "
+    "operators/corpus.percentile_band: global p05/p95 thresholds over "
+    "the integer quality score broadcast as a 1-row relation into the "
+    "filter — the outlier-trimming pass of a corpus funnel with no "
+    "global sort and no second threshold scan of the corpus beyond the "
+    "percentile aggregate itself. This oracle row runs the exact "
+    "interpolated percentile for bit parity with DuckDB; the 100 TB "
+    "path is approx=True (approx_percentile sketch, bounded rank-error "
+    "contract tested in test_training_ops), because the exact "
+    "aggregate buffers every value in one aggregation state.",
     refs=("§2.12", "A5"),
 )
 def q_quality_band(spark, sf_dir):
+    from lakeflow.operators.corpus import percentile_band
+
     d = load_table(spark, sf_dir, "documents")
     s = d.select(
         "source",
@@ -1803,14 +1809,7 @@ def q_quality_band(spark, sf_dir):
         .cast("long")
         .alias("quality_micros"),
     )
-    thr = s.agg(
-        F.percentile("quality_micros", 0.05).alias("lo"),
-        F.percentile("quality_micros", 0.95).alias("hi"),
-    )
-    kept = s.crossJoin(F.broadcast(thr)).filter(
-        (F.col("quality_micros") >= F.col("lo"))
-        & (F.col("quality_micros") <= F.col("hi"))
-    )
+    kept = percentile_band(s, "quality_micros", 0.05, 0.95, approx=False)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("quality_micros").alias("min_q"),

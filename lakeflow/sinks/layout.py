@@ -73,14 +73,7 @@ def zorder_write(
     )
 
 
-def compact_parquet(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
-) -> int:
-    """Rewrite a parquet table into ~target-sized files (small-file
-    compaction after streaming/batch upsert churn). Returns the new
-    file count. Size is estimated from the current on-disk footprint;
-    the rewrite is a single shuffle-free coalesce when shrinking, a
-    repartition when growing."""
+def _parquet_bytes(path: str) -> int:
     import os
 
     total = 0
@@ -88,8 +81,69 @@ def compact_parquet(
         for f in files:
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite a parquet table into ~target-sized files (small-file
+    compaction after streaming/batch upsert churn). Returns the new
+    file count. Size is estimated from the current on-disk footprint;
+    the rewrite is a single shuffle-free coalesce when shrinking, a
+    repartition when growing.
+
+    The compacted output is staged in a sibling ``._compact_tmp``
+    directory and then swapped in with two directory renames — the live
+    path is never written while it is being read, so concurrent readers
+    see either the old layout or the new one, and a mid-compaction
+    failure leaves the table untouched. (The previous implementation
+    pinned the whole table on executor storage via ``localCheckpoint``
+    to survive overwriting its own input — unacceptable for a routine
+    maintenance op: not fault-tolerant, and O(table) executor memory.)
+    Directory rename is atomic on POSIX/HDFS; on an object store run
+    this per partition under a table format's transactional commit
+    instead (see :func:`compact_partitions`)."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    tmp, old = base + "._compact_tmp", base + "._compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    total = _parquet_bytes(base)
     n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-    df = spark.read.parquet(path)
-    compacted = df.coalesce(int(n_files)).localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").parquet(path)
+    spark.read.parquet(base).coalesce(int(n_files)).write.parquet(tmp)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
     return int(n_files)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partitions: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Partition-scoped compaction: rewrite one Hive partition directory
+    (``key=value``) at a time via :func:`compact_parquet`. The working
+    set is one partition, not the table — at 100 TB, table-at-once
+    compaction is both a memory hazard and an availability hazard (one
+    failure invalidates the whole rewrite), while per-partition swaps
+    bound the blast radius to the partition in flight and let the
+    maintenance job checkpoint progress between partitions. Returns
+    {partition: new_file_count}."""
+    import os
+
+    base = path.rstrip("/")
+    if partitions is None:
+        partitions = sorted(
+            d
+            for d in os.listdir(base)
+            if "=" in d and os.path.isdir(os.path.join(base, d))
+        )
+    return {
+        p: compact_parquet(spark, os.path.join(base, p), target_file_bytes)
+        for p in partitions
+    }

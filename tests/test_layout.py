@@ -64,3 +64,79 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     files = glob.glob(os.path.join(tgt, "*.parquet"))
     assert n == 1 and len(files) == 1
     assert spark.read.parquet(tgt).count() == before
+    # staging dirs are cleaned up after the swap
+    assert not os.path.exists(tgt + "._compact_tmp")
+    assert not os.path.exists(tgt + "._compact_old")
+
+
+def test_compact_parquet_live_path_untouched_until_swap(spark, tmp_path, monkeypatch):
+    # the rewrite must stage into ._compact_tmp and swap via rename: the
+    # live directory's files are byte-identical right up to the first
+    # rename, so a concurrent reader mid-compaction sees a fully intact
+    # table (the old localCheckpoint approach instead pinned the whole
+    # table on executor storage to survive overwriting its own input)
+    import lakeflow.sinks.layout as layout
+
+    tgt = str(tmp_path / "live")
+    spark.range(5_000).repartition(20).write.parquet(tgt)
+    orig_listing = {
+        f: os.path.getmtime(os.path.join(tgt, f)) for f in os.listdir(tgt)
+    }
+    rows_before = sorted(r["id"] for r in spark.read.parquet(tgt).collect())
+
+    real_rename = os.rename
+    seen: dict = {}
+
+    def checking_rename(src, dst):
+        if not seen:
+            # first rename = start of the swap: live dir must be intact
+            # and readable, staged output complete in ._compact_tmp
+            now = {
+                f: os.path.getmtime(os.path.join(tgt, f)) for f in os.listdir(tgt)
+            }
+            seen["listing_at_swap"] = now
+            seen["tmp_rows"] = sorted(
+                r["id"] for r in spark.read.parquet(tgt + "._compact_tmp").collect()
+            )
+            seen["live_rows"] = sorted(
+                r["id"] for r in spark.read.parquet(tgt).collect()
+            )
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", checking_rename)
+    compact_parquet(spark, tgt, target_file_bytes=1 << 30)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    assert seen["listing_at_swap"] == orig_listing
+    assert seen["live_rows"] == rows_before
+    assert seen["tmp_rows"] == rows_before
+    assert sorted(r["id"] for r in spark.read.parquet(tgt).collect()) == rows_before
+    # and the op never uses localCheckpoint (executor-pinned, not
+    # fault-tolerant — a lost executor would kill a maintenance job)
+    import inspect
+
+    assert ".localCheckpoint(" not in inspect.getsource(layout)
+
+
+def test_compact_partitions_per_partition_swap(spark, tmp_path):
+    from lakeflow.sinks.layout import compact_partitions
+
+    tgt = str(tmp_path / "parts")
+    (
+        spark.range(6_000)
+        .withColumn("p", F.col("id") % 3)
+        .repartition(10)
+        .write.partitionBy("p")
+        .parquet(tgt)
+    )
+    per_part_before = {
+        p: len(glob.glob(os.path.join(tgt, p, "*.parquet")))
+        for p in ("p=0", "p=1", "p=2")
+    }
+    assert all(n > 1 for n in per_part_before.values())
+    before = sorted(map(tuple, spark.read.parquet(tgt).collect()))
+    out = compact_partitions(spark, tgt, target_file_bytes=1 << 30)
+    assert out == {"p=0": 1, "p=1": 1, "p=2": 1}
+    for p in out:
+        assert len(glob.glob(os.path.join(tgt, p, "*.parquet"))) == 1
+    assert sorted(map(tuple, spark.read.parquet(tgt).collect())) == before

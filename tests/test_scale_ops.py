@@ -185,3 +185,47 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
         "PartitionFilters", 1
     )[1].split("]", 1)[0]
+
+
+def test_cache_scope_releases_operator_persists(spark):
+    # materialize-and-release: operators that persist shared
+    # intermediates (near_dup_pairs' distinct shingles + skew-guard
+    # bands, embedding_near_dup's buckets) must leave NO session-
+    # lifetime cached relations once the caller's CacheScope closes
+    from lakeflow.caching import CacheScope
+    from lakeflow.operators.similarity import embedding_near_dup, near_dup_pairs
+
+    def cache_registry_empty():
+        # the CacheManager registry, not getPersistentRDDs: persist()
+        # registers a plan immediately and unpersist() removes it, while
+        # the RDD-level view only fills in if AQE actually materializes
+        # the cache (it may satisfy the job via exchange reuse instead)
+        # and also shows localCheckpoint RDDs leaked by OTHER tests
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    spark.catalog.clearCache()
+    assert cache_registry_empty()
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    with CacheScope() as scope:
+        pairs = near_dup_pairs(
+            docs, "doc_id", "text", max_bucket_size=50, cache=scope
+        )
+        n_pairs = pairs.count()  # materialize INSIDE the scope
+        assert not cache_registry_empty()  # relations really registered
+        edup = embedding_near_dup(emb, 990_000, cache=scope)
+        n_edup = edup.count()
+    assert cache_registry_empty(), "CacheScope.__exit__ must unpersist everything"
+    assert n_pairs >= 0 and n_edup >= 0
+    # release() is idempotent
+    scope.release()
+
+
+def test_cache_scope_explicit_release(spark):
+    from lakeflow.caching import CacheScope
+
+    scope = CacheScope()
+    df = scope.persist(spark.range(100))
+    assert df.count() == 100
+    assert scope.release() == 1
+    assert scope.release() == 0

@@ -313,6 +313,36 @@ def test_vocab_heavy_hitters(spark):
     ]
 
 
+def test_percentile_band_approx_contract(spark):
+    from lakeflow.operators.corpus import percentile_band
+
+    # the approx path's contract: approx_percentile(accuracy) returns a
+    # value whose RANK differs from the exact percentile rank by at most
+    # n/accuracy positions (GK sketch bound). Verify on a value set with
+    # ties and skew, and verify exact/approx band agreement within that
+    # rank tolerance at both edges.
+    vals = [i % 97 for i in range(4000)] + [10_000] * 40 + [-5] * 40
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    n, accuracy = len(vals), 1000
+    exact = percentile_band(df, "v", 0.05, 0.95, approx=False)
+    approx = percentile_band(df, "v", 0.05, 0.95, approx=True, accuracy=accuracy)
+    n_exact, n_approx = exact.count(), approx.count()
+    # each threshold can shift the kept set by at most n/accuracy ranks
+    # (+ tie-run widening: all rows equal to the threshold flip together)
+    svals = sorted(vals)
+    tol = 0
+    for q in (0.05, 0.95):
+        rank = int(q * n)
+        lo_r, hi_r = max(0, rank - n // accuracy), min(n - 1, rank + n // accuracy)
+        # worst-case flip = every row whose value ties any candidate threshold
+        cand = set(svals[lo_r : hi_r + 1])
+        tol += sum(1 for v in vals if v in cand)
+    assert abs(n_exact - n_approx) <= tol, (n_exact, n_approx, tol)
+    # sanity: both bands drop the injected outliers entirely
+    assert exact.filter("v = 10000 OR v = -5").count() == 0
+    assert approx.filter("v = 10000 OR v = -5").count() == 0
+
+
 def test_leakage_safe_split_dups_share_split(spark):
     from lakeflow.operators.sampling import leakage_safe_split
 
