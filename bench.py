@@ -135,6 +135,13 @@ BENCH_QUERIES = [
     "q_cluster_purity",
     "q_funnel_steps",
     "q_salted_agg",
+    # round 4 additions (TPC-H completion + line cleaning + exact-k)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q_clean_lines",
+    "q_exact_k_sample",
 ]
 
 

@@ -98,6 +98,30 @@ def token_budget_sample(
     )
 
 
+def exact_k_sample(
+    df: DataFrame, key_col: str, k: int, seed: str = "smp"
+) -> DataFrame:
+    """Exactly-k deterministic uniform sample: the k rows whose seeded
+    key hash is smallest (key as tie-break). Rate-based hash_sample
+    gives a BINOMIAL count around the target; eval-set construction and
+    fixed-size probes need exactly k.
+
+    Plan shape at 100 TB: ``orderBy(hash, key).limit(k)`` — Spark plans
+    TakeOrderedAndProject, a size-k heap per partition merged at the
+    driver, so the corpus is scanned once and never globally sorted or
+    shuffled. Like every sampler here the kept set is a function of the
+    DATA (seed + key), not the partitioning: reruns, retries, different
+    cluster widths, and other engines agree bit-for-bit. Smaller k is a
+    prefix of larger k (nested samples)."""
+    h = seeded_hash(F.col(key_col).cast("string"), seed)
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__h")
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     fingerprint_col,

@@ -258,3 +258,43 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else (sim + bit)
     return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def clean_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    banned_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style line-level cleaning: split a document on newlines, keep
+    only lines that (a) end in terminal punctuation (. ! ? " '), (b)
+    have at least ``min_words`` whitespace words, and (c) contain none
+    of the banned substrings (case-insensitive) — the boilerplate/menu/
+    code-fragment filter every web-corpus pipeline runs before training.
+
+    Returns (id, clean_text, n_lines_total, n_lines_kept). 100 TB
+    shape: the whole transform is higher-order ARRAY functions
+    (split -> filter -> array_join) inside one projection — a narrow,
+    whole-stage-codegen'd map at the scan with no explode, no shuffle,
+    and no Python. Rules are pure string predicates any engine
+    reproduces (DuckDB oracle: list_filter over string_split)."""
+
+    def keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        cond = t.rlike('[.!?"\']$') & (
+            F.size(F.split(t, r"\s+")) >= F.lit(min_words)
+        )
+        low = F.lower(t)
+        for b in banned_substrings:
+            cond = cond & ~low.contains(b.lower())
+        return cond
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines_total"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+    )

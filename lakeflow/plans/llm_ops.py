@@ -1903,3 +1903,60 @@ def q_collocations(spark, sf_dir):
         topk.withColumn("rnk", F.row_number().over(w))
         .select("tok_a", "tok_b", "n_ab", "lift_micros", "rnk")
     )
+
+
+@query(
+    "q_clean_lines",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, ln ->
+               regexp_matches(trim(ln), '[.!?"'']$')
+               AND len(string_split_regex(trim(ln), '\s+')) >= 3
+               AND NOT contains(lower(trim(ln)), 'lorem ipsum')
+               AND NOT contains(lower(trim(ln)), '{')) AS kept
+      FROM t)
+    -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's is ''
+    SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines_total,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept
+    FROM k
+    """,
+    description="C4-style line cleaning (operators/text.clean_lines): "
+    "keep lines ending in terminal punctuation with >=3 words and no "
+    "banned substrings, reassemble the document — realized entirely as "
+    "higher-order array functions (split -> filter -> array_join) in "
+    "one codegen'd projection: no explode, no shuffle, no Python.",
+    refs=("§2.12", "F1", "F8"),
+)
+def q_clean_lines(spark, sf_dir):
+    from lakeflow.operators.text import clean_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    return clean_lines(d)
+
+
+@query(
+    "q_exact_k_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM documents
+    ORDER BY {SQL_SEEDED_HASH.format(seed="smp", x="CAST(doc_id AS VARCHAR)")},
+             doc_id
+    LIMIT 50
+    """,
+    description="Exactly-k deterministic uniform sample "
+    "(operators/sampling.exact_k_sample): the 50 rows with the "
+    "smallest seeded content hash via orderBy(hash, key).limit(k) — "
+    "TakeOrderedAndProject (per-partition size-k heaps), so the corpus "
+    "is never globally sorted; the kept set is a function of the data, "
+    "not the partitioning, and smaller k is a prefix of larger k "
+    "(nested fixed-size eval probes).",
+    refs=("§2.12", "D3", "D5"),
+)
+def q_exact_k_sample(spark, sf_dir):
+    from lakeflow.operators.sampling import exact_k_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_k_sample(d, "doc_id", 50).select("doc_id", "source", "n_chars")

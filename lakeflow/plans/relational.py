@@ -1715,3 +1715,262 @@ def q_union_drifting(spark, sf_dir):
         "event_id", "event_type", F.col("user_id").cast("long").alias("user_id")
     )
     return union_drifting([a, b])
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the four TPC-H shapes still missing from the registry (Q2,
+# Q11, Q16, Q20) — with them, all 22 TPC-H plan shapes are declared.
+# The driver testdata has no partsupp table, so the "supply" relation
+# is derived from lineitem: supplier s supplies part p iff a lineitem
+# (p, s) exists, with unit cost proxied by the cheapest observed
+# per-unit price in exact integer micros. The distinguishing plan
+# shapes (correlated per-group MIN, global-share HAVING, NOT-IN +
+# count-distinct, nested semi-joins) are intact.
+# ---------------------------------------------------------------------------
+
+_SQL_SUPPLY = """
+    SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+           MIN(CAST(FLOOR(l_extendedprice * 1000000e0 + 0.5e0) AS BIGINT)
+               // CAST(l_quantity AS BIGINT)) AS cost_micros
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _supply(spark, sf_dir):
+    """lineitem-derived supply relation: one row per (part, supplier)
+    with the min observed per-unit price (exact integer micros)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = F.expr(
+        "CAST(FLOOR(l_extendedprice * 1000000e0 + 0.5e0) AS BIGINT)"
+        " div CAST(l_quantity AS BIGINT)"
+    )
+    return li.groupBy(
+        F.col("l_partkey").alias("sp_partkey"),
+        F.col("l_suppkey").alias("sp_suppkey"),
+    ).agg(F.min(unit).alias("cost_micros"))
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS ({_SQL_SUPPLY}),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cand AS (
+      SELECT p_partkey, p_name, sp_suppkey, cost_micros
+      FROM part JOIN supply ON p_partkey = sp_partkey
+      WHERE p_size = 15 AND p_type LIKE '%BRASS%'),
+    mins AS (
+      SELECT p_partkey, MIN(cost_micros) AS min_cost
+      FROM cand JOIN eu ON sp_suppkey = s_suppkey GROUP BY p_partkey)
+    SELECT CAST(FLOOR(s_acctbal * 100e0 + 0.5e0) AS BIGINT) AS acctbal_cents,
+           s_name, n_name, cand.p_partkey AS p_partkey, p_name, cost_micros
+    FROM cand
+    JOIN eu ON sp_suppkey = s_suppkey
+    JOIN mins ON cand.p_partkey = mins.p_partkey
+             AND cand.cost_micros = mins.min_cost
+    ORDER BY acctbal_cents DESC, n_name, s_name, cand.p_partkey
+    LIMIT 100
+    """,
+    description="TPC-H Q2-style min-cost supplier: for each BRASS "
+    "size-15 part, the European supplier(s) achieving the per-part "
+    "MINIMUM supply cost — the correlated MIN subquery decorrelated "
+    "into a per-part aggregate joined back on (part, cost), exactly "
+    "the q17 rewrite shape; region/nation/supplier dims broadcast, "
+    "final order is a TakeOrderedAndProject (limit 100). Supply costs "
+    "are lineitem-derived exact integer micros (no partsupp in the "
+    "driver data).",
+    refs=("J2", "A5", "D3", "P11"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & F.col("p_type").like("%BRASS%")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    cand = (
+        _supply(spark, sf_dir)
+        .join(F.broadcast(part), F.col("sp_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(eu.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+            F.col("sp_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mp")).agg(
+        F.min("cost_micros").alias("min_cost")
+    )
+    return (
+        cand.join(
+            mins,
+            (F.col("p_partkey") == F.col("mp"))
+            & (F.col("cost_micros") == F.col("min_cost")),
+        )
+        .select(
+            cents("s_acctbal").alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "cost_micros",
+        )
+        .orderBy(
+            F.desc("acctbal_cents"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH supply AS ({_SQL_SUPPLY}),
+    nat AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'GERMANY'),
+    val AS (
+      SELECT sp_partkey, CAST(SUM(cost_micros) AS BIGINT) AS value_micros
+      FROM supply JOIN nat ON sp_suppkey = s_suppkey
+      GROUP BY sp_partkey),
+    tot AS (SELECT CAST(SUM(value_micros) AS BIGINT) AS total FROM val)
+    SELECT sp_partkey AS p_partkey, value_micros
+    FROM val, tot
+    WHERE value_micros * 10000 > total
+    """,
+    description="TPC-H Q11-style important stock: per-part supply "
+    "value restricted to one nation's suppliers, kept iff the part's "
+    "value exceeds 1/10000 of the GLOBAL total — the global-share "
+    "HAVING subquery realized as a 1-row broadcast into the filter "
+    "(integer cross-multiplication, no division drift); the nation "
+    "supplier list broadcasts into the supply scan.",
+    refs=("J2", "A5"),
+)
+def q11_important_stock(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    de = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        _supply(spark, sf_dir)
+        .join(F.broadcast(de), F.col("sp_suppkey") == F.col("s_suppkey"))
+        .groupBy("sp_partkey")
+        .agg(F.sum("cost_micros").alias("value_micros"))
+    )
+    tot = val.agg(F.sum("value_micros").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_micros") * 10000 > F.col("total"))
+        .select(F.col("sp_partkey").alias("p_partkey"), "value_micros")
+    )
+
+
+@query(
+    "q16_supplier_relationship",
+    oracle=f"""
+    WITH supply AS ({_SQL_SUPPLY}),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT sp_suppkey) AS BIGINT) AS supplier_cnt
+    FROM supply
+    JOIN part ON sp_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+      AND sp_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    description="TPC-H Q16-style supplier relationship: distinct "
+    "supplier count per (brand, type, size) over NOT-brand / NOT-LIKE "
+    "/ IN-list filtered parts, excluding a supplier denylist — the "
+    "NOT IN realized as a broadcast left-anti join (the denylist is "
+    "tiny), the count-distinct as Spark's two-phase partial-distinct "
+    "aggregate. (Denylist = negative account balance; the driver "
+    "supplier table has no comment column.)",
+    refs=("J3", "A5", "P4", "P5"),
+)
+def q16_supplier_relationship(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(9, 14, 19, 23, 36, 45, 49, 3)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _supply(spark, sf_dir)
+        .join(
+            F.broadcast(bad),
+            F.col("sp_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("sp_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("sp_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH forest AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%1%'),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM forest)
+      GROUP BY 1, 2),
+    qualified AS (
+      SELECT DISTINCT l_suppkey FROM shipped WHERE qty > 50)
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'CANADA'
+      AND s_suppkey IN (SELECT l_suppkey FROM qualified)
+    """,
+    description="TPC-H Q20-style potential promotion: suppliers in one "
+    "nation who shipped >50 units of LIKE-matched parts in 1996 — the "
+    "nested IN-subqueries realized as two stacked left-semi joins "
+    "(part list into the lineitem aggregate's scan, qualified-supplier "
+    "set into the supplier dim), never a distinct-then-inner-join "
+    "blowup.",
+    refs=("J3", "A5", "P8"),
+)
+def q20_potential_promotion(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "CANADA")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= lit_ts(li, "l_shipdate", "1996-01-01"))
+            & (F.col("l_shipdate") < lit_ts(li, "l_shipdate", "1997-01-01"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    qualified = shipped.filter(F.col("qty") > 50).select("l_suppkey")
+    return (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "n_name")
+    )

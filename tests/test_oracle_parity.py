@@ -61,7 +61,14 @@ def test_docs_counts_match_registry():
 
 
 @pytest.mark.parametrize(
-    "name", ["q_salted_agg", "q_minhash_lsh_pairs", "q_hash_sample", "q_kmeans_cells"]
+    "name",
+    [
+        "q_salted_agg",
+        "q_minhash_lsh_pairs",
+        "q_hash_sample",
+        "q_kmeans_cells",
+        "q_exact_k_sample",
+    ],
 )
 def test_partitioning_invariance(spark, name):
     # results must be a function of the DATA, not the parallelism: the

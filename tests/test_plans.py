@@ -172,6 +172,39 @@ def test_collocations_topk_is_take_ordered(spark):
     assert _window_feeds_from_take_ordered(plan), plan
 
 
+def test_exact_k_sample_is_take_ordered(spark):
+    # exactly-k sampling must be per-partition heaps, never a global sort
+    plan = _plan(spark, "q_exact_k_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan or "GlobalLimit" not in plan
+
+
+def test_clean_lines_is_narrow_projection(spark):
+    # line cleaning is higher-order array functions in one projection:
+    # no shuffle, no explode-driven row blowup, no Python
+    plan = _plan(spark, "q_clean_lines")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    for marker in ("ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, plan
+
+
+def test_q20_nested_semi_joins(spark):
+    # both IN-subqueries must plan as semi joins (part list into the
+    # lineitem scan side, qualified suppliers into the dim)
+    plan = _plan(spark, "q20_potential_promotion")
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_min_cost_is_decorrelated_aggregate(spark):
+    # the per-part MIN "correlated subquery" must run as one aggregate
+    # joined back — a single pass over the supply relation — and the
+    # final top-100 as TakeOrderedAndProject
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_q21_uses_semi_and_anti_joins(spark):
     # the exists/not-exists composition must plan as LeftSemi+LeftAnti
     # equi-joins on orderkey — a correlated-subquery fallback would

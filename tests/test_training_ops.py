@@ -389,3 +389,48 @@ def test_chunk_windows_coverage_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_windows(df, "n", size=16, overlap=16)
+
+
+def test_clean_lines_rules(spark):
+    from lakeflow.operators.text import clean_lines
+
+    doc = "\n".join(
+        [
+            "A good sentence stays here.",   # kept
+            "Too short.",                    # < 3 words
+            "no terminal punctuation here",  # no [.!?"']
+            "This has lorem ipsum filler.",  # banned substring
+            "function() { return 1; }",      # banned '{' (and no punct end)
+            "Does a question survive?",      # kept
+        ]
+    )
+    out = clean_lines(
+        spark.createDataFrame([Row(doc_id=0, text=doc)])
+    ).collect()[0]
+    assert out["n_lines_total"] == 6
+    assert out["n_lines_kept"] == 2
+    assert out["clean_text"] == "A good sentence stays here.\nDoes a question survive?"
+    # empty result reassembles to '' (not null)
+    empty = clean_lines(
+        spark.createDataFrame([Row(doc_id=1, text="nope")])
+    ).collect()[0]
+    assert empty["clean_text"] == "" and empty["n_lines_kept"] == 0
+
+
+def test_exact_k_sample_properties(spark):
+    from lakeflow.operators.sampling import exact_k_sample
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    s10 = sorted(r["k"] for r in exact_k_sample(df, "k", 10).collect())
+    s50 = sorted(r["k"] for r in exact_k_sample(df, "k", 50).collect())
+    assert len(s10) == 10 and len(s50) == 50
+    # nested: smaller k is a subset of larger k
+    assert set(s10) <= set(s50)
+    # deterministic across reruns and partitioning
+    again = sorted(
+        r["k"] for r in exact_k_sample(df.repartition(13), "k", 10).collect()
+    )
+    assert again == s10
+    # different seeds give different draws
+    other = sorted(r["k"] for r in exact_k_sample(df, "k", 10, seed="x").collect())
+    assert other != s10
