@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q20_potential_promotion",
     "q_clean_lines",
     "q_exact_k_sample",
+    "q_pq_ann",
 ]
 
 

@@ -1960,3 +1960,72 @@ def q_exact_k_sample(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return exact_k_sample(d, "doc_id", 50).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q_pq_ann",
+    # approximate-by-design: same recall-contract pattern as
+    # q_lsh_ann / q_ivf_ann — Spark computes recall@5 of the PQ
+    # shortlist+rerank path against exact L2 truth and emits a pass
+    # boolean the oracle asserts
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_pass
+    FROM embeddings WHERE vec_id < 10
+    """,
+    description="Product-quantization ANN (operators/pq.py): one "
+    "k-means per 8-dim subspace (m=8, 16 centroids, exact micro-int "
+    "Lloyd's), corpus encoded to 8 codes by a narrow constant-folded "
+    "argmax scan, ADC (CASE over folded centroids, codes only — no "
+    "raw vectors) shortlists 200 candidates/query, exact L2 re-ranks "
+    "the shortlist. The compressed-index scan + bounded-rerank shape "
+    "that makes billion-vector search a narrow scan; recall@5 >= 0.6 "
+    "contract vs exact truth (measured 0.96/0.98/0.80 at "
+    "sf0.001/0.01/0.1).",
+    refs=("§2.12",),
+)
+def q_pq_ann(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from lakeflow.operators.pq import pq_ann_topk, pq_codebooks
+    from lakeflow.operators.similarity import _with_vectors, dot_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    books = pq_codebooks(emb, m=8, k_sub=16)
+    ann = pq_ann_topk(emb, pred, books, k=5, shortlist=200)
+    # exact L2 truth (same broadcast brute-force shape as cosine topk)
+    base = _with_vectors(emb, "vec_id", "embedding")
+    q = (
+        _with_vectors(emb.filter(pred), "vec_id", "embedding")
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("__v", "__qv")
+        .withColumnRenamed("__n2", "__qn2")
+    )
+    scored = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        (
+            F.col("__n2")
+            + F.col("__qn2")
+            - F.lit(2) * dot_long(F.col("__v"), F.col("__qv"))
+        ).alias("d2"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = scored.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5")
+    hits = ann.join(
+        exact.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+    )
+    per_q = (
+        exact.select("q_id")
+        .distinct()
+        .join(
+            hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("hits")),
+            "q_id",
+            "left",
+        )
+        .select("q_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.sum("hits") >= F.count(F.lit(1)) * F.lit(3)).alias("recall_pass"),
+    )

@@ -1,13 +1,17 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
+from lakeflow.catalog import load_table
 from lakeflow.operators.kmeans import (
     _trunc_div,
     kmeans_assign,
     kmeans_centroids,
     semantic_dup_pairs,
 )
+
+SF = "/root/testdata/sf0.001"
 
 
 def _emb_df(spark, vecs):
@@ -111,3 +115,65 @@ def test_derive_k_sizing_rule():
     assert derive_k(501, 250) == 3
     assert derive_k(100, 250) == 2  # floor at k_min
     assert derive_k(20000, 250) == 80
+
+
+def test_pq_codebooks_and_encode_shapes(spark):
+    from lakeflow.operators.pq import pq_codebooks, pq_encode
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_codebooks(emb, m=4, k_sub=4, n_iter=1)
+    assert len(books) == 4  # m subspaces
+    assert all(len(b) == 4 for b in books)  # k_sub centroids each
+    assert all(len(c) == 16 for b in books for c in b)  # dim/m components
+    codes = pq_encode(emb, books)
+    rows = codes.collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 4 for r in rows for c in r["codes"])
+    # deterministic: refit + re-encode reproduces identical codes, and
+    # codes are a function of the data, not the partitioning
+    books2 = pq_codebooks(emb.repartition(7), m=4, k_sub=4, n_iter=1)
+    assert books2 == books
+    again = {r["vec_id"]: r["codes"] for r in pq_encode(emb.repartition(5), books2).collect()}
+    assert again == {r["vec_id"]: r["codes"] for r in rows}
+
+
+def test_pq_encode_is_narrow_map(spark):
+    import contextlib
+    import io
+
+    from lakeflow.operators.pq import pq_codebooks, pq_encode
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_codebooks(emb, m=4, k_sub=4, n_iter=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pq_encode(emb, books).explain("formatted")
+    plan = buf.getvalue()
+    # encoding 100 TB of vectors must never shuffle or leave the JVM
+    assert "Exchange" not in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, plan
+
+
+def test_pq_adc_orders_by_quantized_distance(spark):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.pq import pq_adc_topk, pq_codebooks
+
+    # 8-dim toy space, m=2 subspaces: two tight clusters far apart.
+    # ADC must rank same-cluster vectors above cross-cluster ones.
+    a = [1.0] * 8
+    b = [-1.0] * 8
+    rows = [
+        Row(vec_id=0, embedding=[x + 0.01 for x in a]),
+        Row(vec_id=1, embedding=[x - 0.01 for x in a]),
+        Row(vec_id=2, embedding=[x + 0.02 for x in a]),
+        Row(vec_id=10, embedding=[x + 0.01 for x in b]),
+        Row(vec_id=11, embedding=[x - 0.02 for x in b]),
+        Row(vec_id=12, embedding=[x + 0.03 for x in b]),
+    ]
+    emb = spark.createDataFrame(rows)
+    books = pq_codebooks(emb, m=2, k_sub=2, n_iter=2, dim=8)
+    out = pq_adc_topk(emb, F.col("vec_id") == 0, books, k=2, vec_col="embedding")
+    got = {r["vec_id"] for r in out.collect()}
+    assert got == {1, 2}, got
