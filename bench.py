@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q_clean_lines",
     "q_exact_k_sample",
     "q_pq_ann",
+    "q_doc_surprisal",
 ]
 
 

@@ -130,6 +130,50 @@ def contamination_profile(
     )
 
 
+def surprisal_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram corpus-LM surprisal — the KenLM-style quality proxy a
+    pretraining pipeline uses to rank documents by how "expected" their
+    text is under the corpus' own token distribution (high mean
+    surprisal = rare-token gibberish / non-language; low = templated
+    boilerplate). Returns (id, n_tokens, surprisal_bits,
+    mean_surprisal_milli).
+
+    Exactness: true -log2 p needs floating log, whose ULP rounding can
+    flip a floor() across engines. Instead each token scores
+    bit_length(total_tokens div token_freq) = floor(log2(total/n)) + 1
+    — a pure-integer surprisal in whole bits (conv to base 2 + length,
+    identical in any engine), monotone in 1/p, which is all a ranking /
+    band filter consumes. Sum and mean stay exact integers.
+
+    100 TB shape: token frequencies are ONE hash-aggregate (map-side
+    partial combine pre-reduces hot tokens); the per-occurrence
+    frequency lookup is an equi-join on token — hot-key skew ("the")
+    is exactly what AQE skew-join splitting handles — and the 1-row
+    total broadcasts. No floats, no windows, no global sort."""
+    from lakeflow.operators.text import tokens
+
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    uni = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").alias("total"))
+    bits = F.length(F.conv(F.expr("total div n").cast("string"), 10, 2))
+    sc = (
+        ex.join(uni, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), bits.cast("long").alias("bits"))
+    )
+    return sc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").alias("surprisal_bits"),
+        F.expr("(sum(bits) * 1000) div count(1)").alias("mean_surprisal_milli"),
+    )
+
+
 def percentile_band(
     df: DataFrame,
     value_col: str,

@@ -2029,3 +2029,37 @@ def q_pq_ann(spark, sf_dir):
         F.count(F.lit(1)).alias("n_queries"),
         (F.sum("hits") >= F.count(F.lit(1)) * F.lit(3)).alias("recall_pass"),
     )
+
+
+@query(
+    "q_doc_surprisal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t),
+    e2 AS (SELECT doc_id, tok FROM ex WHERE tok <> ''),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM e2 GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM uni),
+    sc AS (
+      SELECT doc_id, CAST(length(bin(total // n)) AS BIGINT) AS bits
+      FROM e2 JOIN uni USING (tok) CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+           (CAST(SUM(bits) AS BIGINT) * 1000) // COUNT(*)
+             AS mean_surprisal_milli
+    FROM sc GROUP BY doc_id
+    """,
+    description="Unigram corpus-LM surprisal "
+    "(operators/corpus.surprisal_profile): per-token integer surprisal "
+    "= bit_length(total div freq) (floor-log2 in whole bits — exact "
+    "cross-engine, no float log ULP risk), per-doc sum and milli-mean "
+    "— the KenLM-proxy quality signal that flags rare-token gibberish "
+    "(high) and templated boilerplate (low). One token hash-agg, one "
+    "equi-join (AQE splits the hot-token skew), 1-row broadcast total.",
+    refs=("§2.12", "A5", "J2"),
+)
+def q_doc_surprisal(spark, sf_dir):
+    from lakeflow.operators.corpus import surprisal_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return surprisal_profile(d)

@@ -434,3 +434,23 @@ def test_exact_k_sample_properties(spark):
     # different seeds give different draws
     other = sorted(r["k"] for r in exact_k_sample(df, "k", 10, seed="x").collect())
     assert other != s10
+
+
+def test_surprisal_profile_known_values(spark):
+    from lakeflow.operators.corpus import surprisal_profile
+
+    # corpus: "a" x 6, "b" x 1, "c" x 1 -> total 8.
+    # bits(tok) = bit_length(8 div n): a -> bin(1)='1' (1 bit),
+    # b/c -> bin(8)='1000' (4 bits)
+    rows = [
+        Row(doc_id=0, text="a a a b"),   # bits 1+1+1+4 = 7
+        Row(doc_id=1, text="a a a c"),   # 7
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in surprisal_profile(spark.createDataFrame(rows)).collect()
+    }
+    for i in (0, 1):
+        assert out[i]["n_tokens"] == 4
+        assert out[i]["surprisal_bits"] == 7
+        assert out[i]["mean_surprisal_milli"] == 1750
