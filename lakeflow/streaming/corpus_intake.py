@@ -66,3 +66,65 @@ def stream_corpus_intake(
     return upsert_foreach_batch(
         deduped, target_path, ["fp"], ts_col, checkpoint
     )
+
+
+def stream_neardup_index(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    band_size: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Continuous near-duplicate index maintenance (§2.10 + §2.12
+    composed): as documents stream in, each micro-batch computes banded
+    MinHash signatures for the NEW documents only, emits candidate
+    pairs against the PERSISTED index (new×stored + new×new — old×old
+    is never regenerated, the property that keeps continuous dedup
+    affordable: a batch's cost is |batch| × bucket density, not
+    |corpus|²), appends the confirmed candidates to ``pairs_path`` and
+    the new bands to ``index_path``. Returns the StreamingQuery.
+
+    Ordering inside the batch matters: candidate pairs are written
+    BEFORE the batch's bands join the index, so the stored side the
+    pairs were computed against never includes the batch itself.
+
+    Honest exactly-once caveat: the two appends inside one foreachBatch
+    are not jointly atomic over plain parquet — a crash between them
+    replays the batch, which can re-append rows. Both outputs are
+    replay-safe by construction (pairs are consumed via distinct();
+    bands are keyed by (id, band_id) and duplicate-insensitive for
+    candidate generation), and a transactional table format (Delta/
+    Iceberg) upgrades this to true exactly-once with txn batch ids."""
+    from lakeflow.operators.similarity import banded_signatures
+    from lakeflow.sinks.merge import read_target_if_exists
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        from lakeflow.operators.similarity import incremental_candidate_pairs
+
+        bands = banded_signatures(batch, id_col, text_col, k, band_size)
+        bands = bands.persist()  # two consumers: pairs plan + index append
+        try:
+            stored = read_target_if_exists(spark, index_path)
+            if stored is None:
+                stored = bands.limit(0)  # first batch: new x new only
+            pairs = incremental_candidate_pairs(bands, stored, id_col)
+            pairs.write.mode("append").parquet(pairs_path)
+            bands.write.mode("append").parquet(index_path)
+        finally:
+            bands.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

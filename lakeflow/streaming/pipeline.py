@@ -114,29 +114,21 @@ def upsert_foreach_batch(
     """foreachBatch latest-wins upsert into a parquet target.
 
     Production target is Delta/Iceberg ``MERGE``; plain parquet has no
-    row-level merge, so each micro-batch unions the existing target and
-    keeps the newest row per key (correct, idempotent on replays because
-    the merge is associative + order-insensitive given the order
-    column). Returns the started StreamingQuery.
+    row-level merge, so each micro-batch delegates to
+    ``sinks.merge.merge_upsert`` — union the existing target, keep the
+    newest row per key, stage into a merge-private temp dir, swap in
+    with directory renames (correct, idempotent on replays because the
+    merge is associative + order-insensitive given the order column;
+    the staged swap means a mid-batch failure leaves the previous
+    target intact and pins nothing on executor storage). Returns the
+    started StreamingQuery.
     """
-    from lakeflow.operators.dedup import latest_wins
-    from lakeflow.sinks.merge import read_target_if_exists
+    from lakeflow.sinks.merge import merge_upsert
 
     spark = stream.sparkSession
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        existing = read_target_if_exists(spark, target_path)
-        if existing is not None:
-            merged = existing.unionByName(batch, allowMissingColumns=True)
-        else:  # first batch: target does not exist yet
-            merged = batch
-        out = latest_wins(merged, list(keys), order_col)
-        # localCheckpoint breaks lineage so the read-then-overwrite of the
-        # same path is legal (Spark rejects overwriting a path still
-        # referenced by the write's own plan)
-        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            target_path
-        )
+        merge_upsert(spark, target_path, batch, list(keys), order_col)
 
     writer = stream.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint

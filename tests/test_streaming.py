@@ -265,3 +265,64 @@ def test_windowed_drift_monitor(spark, tmp_path):
     # closes once the 11:00 data advances the watermark
     assert rows[10]["n_events"] == 4 and rows[10]["tvd_micros"] == 0
     assert rows[11]["n_events"] == 4 and rows[11]["tvd_micros"] == 500_000
+
+
+def test_stream_neardup_index_incremental(spark, tmp_path):
+    # continuous LSH-index maintenance: wave 2's batch generates pairs
+    # against the PERSISTED wave-1 index (old x new), never re-emitting
+    # the old x old pair wave 1 already produced
+    from lakeflow.streaming.corpus_intake import stream_neardup_index
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "completely different content with other words entirely here"
+
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": same},
+            {"doc_id": 2, "ts": "2024-01-01T00:01:00", "text": same},
+            {"doc_id": 3, "ts": "2024-01-01T00:02:00", "text": other},
+        ],
+    )
+    q = stream_neardup_index(spark, src, schema, idx, prs, ck)
+    q.awaitTermination(120)
+    pairs1 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in spark.read.parquet(prs).distinct().collect()
+    }
+    assert (1, 2) in pairs1 and all(p[0] < p[1] for p in pairs1)
+    n_pairs_w1 = spark.read.parquet(prs).count()
+    # the index holds bands for all three docs
+    assert {
+        r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    } == {1, 2, 3}
+
+    # wave 2: one more duplicate of the cluster + one unrelated doc
+    _write_events(
+        src,
+        "w2.json",
+        [
+            {"doc_id": 10, "ts": "2024-01-01T01:00:00", "text": same},
+            {"doc_id": 11, "ts": "2024-01-01T01:01:00", "text": "yet more unrelated words in this separate document"},
+        ],
+    )
+    q = stream_neardup_index(spark, src, schema, idx, prs, ck)
+    q.awaitTermination(120)
+    all_pairs = [
+        (r["doc_id_a"], r["doc_id_b"]) for r in spark.read.parquet(prs).collect()
+    ]
+    # new x stored pairs surfaced for the newcomer...
+    assert (1, 10) in all_pairs and (2, 10) in all_pairs
+    # ...and the old x old pair was NOT emitted again: wave 2 appended
+    # only rows whose pair involves a new doc
+    assert all_pairs.count((1, 2)) == 1
+    assert len(all_pairs) == n_pairs_w1 + 2
+    assert {
+        r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    } == {1, 2, 3, 10, 11}
