@@ -13,9 +13,10 @@ vectors a single narrow scan instead of a vector-payload shuffle.
 
 Spark realization — everything is built-in expressions:
 
-- TRAIN: one k-means per subspace over the SLICED corpus (reuses
-  ``operators.kmeans.kmeans_centroids`` — exact micro-int Lloyd's, so
-  codebooks are deterministic and reproducible cross-engine).
+- TRAIN: m sub-k-means fitted in the SAME corpus scans (one combined
+  assignment pass + one hash-aggregate per Lloyd's round — see
+  ``pq_codebooks``); exact micro-int arithmetic, so codebooks are
+  deterministic and reproducible cross-engine.
 - ENCODE: nearest-subcentroid per subspace with the codebook
   constant-folded into the plan (same ``_best_struct`` argmax shape as
   k-means assignment) — a narrow, whole-stage-codegen'd map over the
@@ -62,24 +63,80 @@ def pq_codebooks(
     """Fit ``m`` independent sub-codebooks of ``k_sub`` centroids each
     (micro-int components), one k-means per ``dim/m``-wide subspace.
     Returns [subspace][centroid][component] — m*k_sub*(dim/m) ints,
-    bounded and safe to fold into plans."""
-    from lakeflow.operators.kmeans import kmeans_centroids
+    bounded and safe to fold into plans.
+
+    All m sub-k-means run in the SAME scans: init slices the m initial
+    books out of one deterministic seeded-hash draw of k_sub corpus
+    vectors, and each Lloyd's round is ONE pass — per row the m
+    subspace assignments are computed side by side (folded-literal
+    argmax, as in ``kmeans``), exploded to (subspace, cell, pos, x) and
+    reduced by one hash-aggregate whose map-side combine bounds the
+    shuffle at m*k_sub*sub rows per partition. A naive per-subspace
+    loop runs m scans and m aggregates per round (24 jobs vs 3 at m=8,
+    n_iter=2) — measured only 1.2x slower on the small local sf0.1
+    table where the scan is nearly free, but at 100 TB the fit cost IS
+    the scan cost, so the single-pass shape is the one that survives.
+    Arithmetic is exact micro-ints with truncating division, so
+    codebooks are deterministic, partitioning-invariant, and
+    SQL-reproducible."""
+    from lakeflow.functions.hashing import seeded_hash
+    from lakeflow.operators.kmeans import _best_struct, _trunc_div
 
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for s in range(m):
-        sliced = emb.select(
+    base = _with_vectors(emb, id_col, vec_col)
+    picked = (
+        base.select(
+            "__v",
+            seeded_hash(F.col(id_col).cast("string"), seed).alias("__h"),
             F.col(id_col),
-            _slice(F.col(vec_col), s, sub).alias(vec_col),
         )
-        books.append(
-            kmeans_centroids(
-                sliced, k=k_sub, n_iter=n_iter, id_col=id_col,
-                vec_col=vec_col, seed=f"{seed}{s}",
-            )
+        .orderBy("__h", id_col)
+        .limit(k_sub)
+        .collect()
+    )
+    if len(picked) < k_sub:
+        raise ValueError(f"corpus has fewer than k_sub={k_sub} vectors")
+    books = [
+        [[int(x) for x in r["__v"][s * sub : (s + 1) * sub]] for r in picked]
+        for s in range(m)
+    ]
+    for _ in range(n_iter):
+        # one pass: per row, the m winning cells side by side, then one
+        # partial-combined aggregate over (subspace, cell, component)
+        assigned = base.select(
+            "__v",
+            *[
+                _best_struct(_slice(F.col("__v"), s, sub), books[s])
+                .getField("i")
+                .alias(f"__c{s}")
+                for s in range(m)
+            ],
         )
+        exploded = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col(f"__c{s}").alias("cell"),
+                            _slice(F.col("__v"), s, sub).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("z")
+        ).select("z.s", "z.cell", F.posexplode("z.sv").alias("pos", "x"))
+        rows = (
+            exploded.groupBy("s", "cell", "pos")
+            .agg(F.sum("x").alias("sum"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [[list(c) for c in b] for b in books]  # empty cells carry over
+        for r in rows:
+            new[r["s"]][r["cell"]][r["pos"]] = _trunc_div(int(r["sum"]), int(r["n"]))
+        books = new
     return books
 
 
@@ -171,7 +228,7 @@ def pq_ann_topk(
     the corpus'. Raw ADC alone under-resolves close neighbors (the
     quantization error floor); the rerank restores recall while keeping
     the expensive exact arithmetic O(queries * shortlist). Measured
-    recall@5 vs exact truth: 0.96 / 0.98 / 0.80 at sf0.001/0.01/0.1
+    recall@5 vs exact truth: 0.94 / 0.92 / 0.78 at sf0.001/0.01/0.1
     with m=8, k_sub=16, shortlist=200 (contract-tested >= 0.6).
     Returns (q_id, vec_id, d2, rnk)."""
     short = pq_adc_topk(

@@ -1979,7 +1979,7 @@ def q_exact_k_sample(spark, sf_dir):
     "raw vectors) shortlists 200 candidates/query, exact L2 re-ranks "
     "the shortlist. The compressed-index scan + bounded-rerank shape "
     "that makes billion-vector search a narrow scan; recall@5 >= 0.6 "
-    "contract vs exact truth (measured 0.96/0.98/0.80 at "
+    "contract vs exact truth (measured 0.94/0.92/0.78 at "
     "sf0.001/0.01/0.1).",
     refs=("§2.12",),
 )
