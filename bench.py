@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_exact_k_sample",
     "q_pq_ann",
     "q_doc_surprisal",
+    "q_dedup_survivors",
 ]
 
 

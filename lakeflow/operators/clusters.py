@@ -166,3 +166,55 @@ def star_contraction_components(
     raise RuntimeError(
         f"star_contraction_components did not converge in {max_iter} rounds"
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col,
+    id_a: str | None = None,
+    id_b: str | None = None,
+) -> DataFrame:
+    """Materialize the DEDUPLICATED corpus: cluster the candidate pairs
+    (connected components), keep exactly one row per cluster — the one
+    with the highest ``order_col`` (quality score, recency), ties to
+    the smallest id — and pass every unpaired row through untouched.
+    Returns df's columns plus ``n_merged`` (cluster size; 1 for
+    singletons). This is the final step of the near-dup funnel:
+    detect (LSH) -> verify (Jaccard) -> cluster (components) ->
+    SELECT SURVIVORS.
+
+    100 TB shape: singleton rows — the overwhelming majority of a real
+    corpus — take a broadcast-able left join against the (small) label
+    relation and NEVER enter a window; only rows in some candidate
+    pair (bounded by the pair population, not the corpus) are
+    window-ranked per cluster. The pair relation should come from the
+    capped LSH path so one degenerate template cluster cannot pull the
+    whole corpus into the ranked branch."""
+    from pyspark.sql import Window
+
+    id_a = id_a or f"{id_col}_a"
+    id_b = id_b or f"{id_col}_b"
+    order_c = F.col(order_col) if isinstance(order_col, str) else order_col
+    lbl = min_label_components(
+        pairs, id_a, id_b, out_id=id_col, out_label="__cluster"
+    )
+    with_lbl = df.join(lbl, id_col, "left")
+    singles = with_lbl.filter(F.col("__cluster").isNull()).select(
+        *df.columns, F.lit(1).cast("long").alias("n_merged")
+    )
+    w = Window.partitionBy("__cluster").orderBy(
+        order_c.desc(), F.col(id_col).asc()
+    )
+    best = (
+        with_lbl.filter(F.col("__cluster").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_merged",
+            F.count(F.lit(1)).over(Window.partitionBy("__cluster")).cast("long"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(*df.columns, "n_merged")
+    )
+    return singles.unionByName(best)

@@ -2063,3 +2063,56 @@ def q_doc_surprisal(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return surprisal_profile(d)
+
+
+@query(
+    "q_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_cand_cte()},
+    e AS (SELECT da AS src, db AS dst FROM cand
+          UNION SELECT db, da FROM cand),
+    reach AS (
+      SELECT src AS id, src AS r FROM e
+      UNION
+      SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id),
+    lbl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    {_quality_lang_cte().lstrip()},
+    j AS (
+      SELECT s1.doc_id, s1.source, s1.quality_micros, lbl.cluster_id
+      FROM s1 LEFT JOIN lbl ON s1.doc_id = lbl.doc_id),
+    ranked AS (
+      SELECT doc_id, source, quality_micros,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY quality_micros DESC, doc_id ASC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_merged
+      FROM j WHERE cluster_id IS NOT NULL)
+    SELECT doc_id, source, quality_micros, CAST(1 AS BIGINT) AS n_merged
+    FROM j WHERE cluster_id IS NULL
+    UNION ALL
+    SELECT doc_id, source, quality_micros, n_merged
+    FROM ranked WHERE rn = 1
+    """,
+    description="Deduplicated-corpus materialization "
+    "(operators/clusters.dedup_survivors) — the last step of the "
+    "near-dup funnel: LSH candidate pairs -> connected-component "
+    "clusters -> keep the HIGHEST-QUALITY doc per cluster (ties to "
+    "min id), singletons pass through a broadcastable left join "
+    "without ever entering a window — only the pair-bounded clustered "
+    "minority is ranked. Returns survivors with n_merged.",
+    refs=("§2.12",),
+)
+def q_dedup_survivors(spark, sf_dir):
+    from lakeflow.operators.clusters import dedup_survivors
+    from lakeflow.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.floor(quality_score("text") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_micros"),
+    )
+    sig = minhash_signatures(d, "doc_id", "text", k=8)
+    cand = lsh_candidate_pairs(sig, "doc_id", k=8, band_size=2)
+    return dedup_survivors(scored, cand, "doc_id", "quality_micros")

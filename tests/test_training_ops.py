@@ -454,3 +454,27 @@ def test_surprisal_profile_known_values(spark):
         assert out[i]["n_tokens"] == 4
         assert out[i]["surprisal_bits"] == 7
         assert out[i]["mean_surprisal_milli"] == 1750
+
+
+def test_dedup_survivors_keeps_best_per_cluster(spark):
+    from lakeflow.operators.clusters import dedup_survivors
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, q=10),
+            Row(doc_id=2, q=30),  # best of cluster {1,2,3} -> survives
+            Row(doc_id=3, q=20),
+            Row(doc_id=7, q=5),   # unpaired singleton -> survives
+            Row(doc_id=8, q=50),  # cluster {8,9}: tie on q -> min id
+            Row(doc_id=9, q=50),
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [Row(doc_id_a=1, doc_id_b=2), Row(doc_id_a=2, doc_id_b=3),
+         Row(doc_id_a=8, doc_id_b=9)]
+    )
+    out = {r["doc_id"]: r for r in dedup_survivors(df, pairs, "doc_id", "q").collect()}
+    assert set(out) == {2, 7, 8}
+    assert out[2]["n_merged"] == 3
+    assert out[7]["n_merged"] == 1
+    assert out[8]["n_merged"] == 2
