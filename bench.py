@@ -9,7 +9,8 @@ execution, no driver-side materialization cost in the measurement).
 Load robustness (round 4, after BENCH_r03's 2.7x anomaly on unchanged
 code — adjudicated environmental by the r3 judge): a fixed CPU-bound
 calibration job is timed at the start, middle, and end of the session
-and reported in the JSON. ``calibration_sec`` is the median probe;
+and reported in the JSON. ``calibration_sec`` is the MINIMUM probe
+(see CALIBRATION_REF_SEC for why min, not median);
 ``queries_normalized`` rescales each raw timing by
 ``CALIBRATION_REF_SEC / calibration_sec`` so a contended machine reads
 the same as an idle one. Raw timings stay the headline ``value`` for
@@ -25,16 +26,18 @@ from __future__ import annotations
 import json
 import os
 import re
-import statistics
 import sys
 import time
 
-#: Wall seconds the calibration job takes on an idle 32-thread sandbox
-#: (median of probes during an unloaded round-4 session: 0.24/0.20/0.11
-#: across the session — residual drift is C2-JIT tiering, damped by
-#: taking the session median). Normalization anchor only — has no
-#: effect on raw timings.
-CALIBRATION_REF_SEC = 0.195
+#: Wall seconds the calibration job takes on an idle 32-thread sandbox.
+#: Anchor = the session MINIMUM of the start/middle/end probes: C2-JIT
+#: tiering keeps lowering later probes toward the true steady state, so
+#: the session median swings ~50% between otherwise-identical runs
+#: (measured 0.195 vs 0.130) while the minimum is stable within ~5%
+#: (0.106 vs 0.111). Contention raises ALL probes, so the minimum still
+#: detects a loaded machine. Normalization anchor only — no effect on
+#: raw timings.
+CALIBRATION_REF_SEC = 0.108
 
 
 def _sf_from_dir(d: str) -> float:
@@ -198,7 +201,7 @@ def main() -> None:
             probes.append(_calibrate(spark))
     probes.append(_calibrate(spark))
 
-    calibration = statistics.median(probes)
+    calibration = min(probes)
     scale = CALIBRATION_REF_SEC / calibration
     normalized = {n: round(t * scale, 3) for n, t in timings.items()}
 
