@@ -120,6 +120,34 @@ def compact_parquet(
     return int(n_files)
 
 
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    col_x: str,
+    col_y: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Delta ``OPTIMIZE ... ZORDER BY (x, y)`` equivalent for plain
+    parquet: rewrite the table Z-ordered on (col_x, col_y) into
+    ~target-sized files, staged in a sibling temp dir and swapped in
+    atomically — compaction and clustering in one maintenance pass, the
+    live table readable throughout. Returns the new file count."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    tmp, old = base + "._compact_tmp", base + "._compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    total = _parquet_bytes(base)
+    n_files = int(max(1, (total + target_file_bytes - 1) // target_file_bytes))
+    zorder_write(spark.read.parquet(base), tmp, col_x, col_y, n_files)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
+    return n_files
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

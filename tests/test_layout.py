@@ -140,3 +140,35 @@ def test_compact_partitions_per_partition_swap(spark, tmp_path):
     for p in out:
         assert len(glob.glob(os.path.join(tgt, p, "*.parquet"))) == 1
     assert sorted(map(tuple, spark.read.parquet(tgt).collect())) == before
+
+
+def test_optimize_table_compacts_and_clusters(spark, tmp_path):
+    from lakeflow.sinks.layout import optimize_table
+
+    tgt = str(tmp_path / "opt")
+    n = 32
+    grid = spark.createDataFrame(
+        [Row(x=i, y=j) for i in range(n) for j in range(n)]
+    )
+    # fragmented, unclustered initial layout
+    grid.repartition(40).write.parquet(tgt)
+    assert len(glob.glob(os.path.join(tgt, "*.parquet"))) == 40
+    before = sorted(map(tuple, spark.read.parquet(tgt).collect()))
+    # tiny target size so the rewrite produces several z-ordered files
+    n_files = optimize_table(spark, tgt, "x", "y", target_file_bytes=4096)
+    files = glob.glob(os.path.join(tgt, "*.parquet"))
+    assert len(files) == n_files < 40
+    assert sorted(map(tuple, spark.read.parquet(tgt).collect())) == before
+    assert not os.path.exists(tgt + "._compact_tmp")
+    # clustering took effect: each file covers a bounded x AND y range
+    if n_files >= 4:
+        per_file = (
+            spark.read.parquet(tgt)
+            .groupBy(F.col("_metadata.file_name").alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("xr"),
+                (F.max("y") - F.min("y")).alias("yr"),
+            )
+            .collect()
+        )
+        assert all(r["xr"] <= n - 2 or r["yr"] <= n - 2 for r in per_file)
