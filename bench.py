@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "q_pq_ann",
     "q_doc_surprisal",
     "q_dedup_survivors",
+    "q_ivf_pq_ann",
 ]
 
 

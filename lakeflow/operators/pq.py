@@ -250,3 +250,103 @@ def pq_ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    codebooks: list[list[list[int]]],
+    n_cells: int = 16,
+    n_probe: int = 8,
+    k: int = 5,
+    shortlist: int = 200,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ivf",
+) -> DataFrame:
+    """IVF-PQ — the composed FAISS serving shape for billion-vector
+    search: a coarse k-means partitions the corpus into ``n_cells``
+    Voronoi cells (narrow folded-literal assignment, no shuffle), each
+    query probes its ``n_probe`` nearest cells, and ADC over the PQ
+    codes runs ONLY within the probed cells — so per query the scan
+    touches ~n_probe/n_cells of the compressed index instead of all of
+    it, and full-precision vectors are read only for the ``shortlist``
+    rows the exact L2 re-rank keeps. Both prunings compose: cell probe
+    cuts the candidate population, PQ codes shrink what a candidate
+    costs to score. Returns (q_id, vec_id, d2, rnk).
+
+    Determinism: coarse centroids and sub-codebooks are exact micro-int
+    k-means (seeded init), the probe set is an exact integer argsort —
+    bit-reproducible across partitionings and engines."""
+    from lakeflow.operators.kmeans import _best_struct, kmeans_centroids
+
+    coarse = kmeans_centroids(
+        emb, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    m = len(codebooks)
+    base = _with_vectors(emb, id_col, vec_col)
+    cell = _best_struct(F.col("__v"), coarse).getField("i").cast("long")
+    codes = pq_encode(emb, codebooks, id_col, vec_col).join(
+        base.select(id_col, cell.alias("cell")), id_col
+    )
+    # query side: n_probe nearest coarse cells via an exact integer
+    # argsort over the folded centroid scores (query rows are few —
+    # the probe relation broadcasts)
+    c2s = [sum(x * x for x in c) for c in coarse]
+    scores = F.array(
+        *[
+            F.struct(
+                (
+                    dot_long(F.col("__qv"), F.array([F.lit(x) for x in c]))
+                    * F.lit(2)
+                    - F.lit(c2s[i])
+                ).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(coarse)
+        ]
+    )
+    q = (
+        _with_vectors(emb.filter(query_pred), id_col, vec_col)
+        .withColumnRenamed(id_col, "q_id")
+        .withColumnRenamed("__v", "__qv")
+        .drop("__n2")
+    )
+    probes = q.select(
+        "q_id",
+        "__qv",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
+        ).alias("p"),
+    ).select("q_id", "__qv", F.col("p.i").cast("long").alias("cell"))
+    # ADC only where the corpus row's cell is probed by the query
+    joined = codes.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    adc = None
+    for s in range(m):
+        t = _adc_term(F.col("__qv"), F.col("codes"), s, codebooks[s])
+        adc = t if adc is None else adc + t
+    scored = joined.select("q_id", id_col, adc.alias("adc_d2"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    short = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= shortlist)
+        .select("q_id", id_col)
+    )
+    qv = (
+        _with_vectors(emb.filter(query_pred), id_col, vec_col)
+        .withColumnRenamed(id_col, "q_id")
+        .withColumnRenamed("__v", "__qv")
+        .withColumnRenamed("__n2", "__qn2")
+    )
+    cand = short.join(base, id_col).join(F.broadcast(qv), "q_id")
+    d2 = F.col("__n2") + F.col("__qn2") - F.lit(2) * dot_long(
+        F.col("__v"), F.col("__qv")
+    )
+    rer = cand.select("q_id", id_col, d2.alias("d2"))
+    w2 = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc(id_col))
+    return rer.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= k
+    )

@@ -177,3 +177,24 @@ def test_pq_adc_orders_by_quantized_distance(spark):
     out = pq_adc_topk(emb, F.col("vec_id") == 0, books, k=2, vec_col="embedding")
     got = {r["vec_id"] for r in out.collect()}
     assert got == {1, 2}, got
+
+
+def test_ivf_pq_prunes_to_probed_cells(spark):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.pq import ivf_pq_topk, pq_codebooks
+
+    # two well-separated clusters in 8-dim space; with n_probe=1 the
+    # query must only ever see candidates from its own coarse cell
+    a, b = [1.0] * 8, [-1.0] * 8
+    rows = [Row(vec_id=i, embedding=[x + 0.01 * i for x in a]) for i in range(5)]
+    rows += [Row(vec_id=10 + i, embedding=[x - 0.01 * i for x in b]) for i in range(5)]
+    emb = spark.createDataFrame(rows)
+    books = pq_codebooks(emb, m=2, k_sub=2, n_iter=2, dim=8)
+    out = ivf_pq_topk(
+        emb, F.col("vec_id") == 0, books, n_cells=2, n_probe=1, k=9, shortlist=9
+    )
+    got = {r["vec_id"] for r in out.collect()}
+    # only same-cluster neighbors (cell pruning), never the far cluster
+    assert got <= {1, 2, 3, 4}, got
+    assert len(got) == 4
