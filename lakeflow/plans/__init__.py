@@ -37,7 +37,7 @@ from lakeflow.plans import scalar_ops  # noqa: F401
 #: were green in CORRECTNESS_r01-r03, so no §2 row loses its only
 #: covering check anywhere.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- §2.12 LLM data-pipeline operators (28) ---
+    # --- §2.12 LLM data-pipeline operators (32) ---
     "q_text_stats",
     "q_lang_id",
     "q_exact_dedup_docs",
@@ -67,25 +67,31 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_salted_agg",
     "q_funnel_steps",
     "q_cohort_retention",
-    # --- relational / aggregation / join coverage (22) ---
+    # round-4 flagships: PQ ANN, line cleaning, survivor materialization,
+    # LM surprisal (swapped in for A5/§2.9/§2.10 slots that retain other
+    # in-window coverage: q_grouping_sets/q_having for A5 via q1 +
+    # q_rollup_lineitem + q_approx_distinct + q_pivot_event_types;
+    # q_analytic_windows via q_window_running + q_sessionize_batch;
+    # q_tumbling_hourly via q_sessionize_batch)
+    "q_pq_ann",
+    "q_clean_lines",
+    "q_dedup_survivors",
+    "q_doc_surprisal",
+    # --- relational / aggregation / join coverage (18) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q_topk_orders_per_customer",
     "q_dedup_latest_event",
     "q_rollup_lineitem",
-    "q_grouping_sets",
     "q_approx_distinct",
-    "q_having",
     "q_pivot_event_types",
     "q_set_ops",
     "q_json_extract_events",
     "q_window_running",
-    "q_analytic_windows",
     "q_sessionize_batch",
     "q_theta_join_richer",
     "q_mode_event_type",
     "q_asof_latest_order",
-    "q_tumbling_hourly",
     "q_correlated_subquery",
     "q_like_between",
     "q_array_ops",
