@@ -478,3 +478,37 @@ def test_dedup_survivors_keeps_best_per_cluster(spark):
     assert out[2]["n_merged"] == 3
     assert out[7]["n_merged"] == 1
     assert out[8]["n_merged"] == 2
+
+
+def test_clean_lines_idempotent(spark):
+    # cleaning a cleaned document is a no-op: every surviving line
+    # already satisfies the filter, and array_join/split round-trips
+    from lakeflow.operators.text import clean_lines
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="Keep this proper sentence.\nno\nAnother good line stays!"),
+            Row(doc_id=1, text="all lowercase junk without punct\n{code}"),
+            Row(doc_id=2, text="One survivor only, right here."),
+        ]
+    )
+    once = clean_lines(docs)
+    again = clean_lines(
+        once.select(F.col("doc_id"), F.col("clean_text").alias("text"))
+    )
+    a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["clean_text"] for r in again.collect()}
+    assert a == b
+    kept = {r["doc_id"]: (r["n_lines_kept"], r["n_lines_total"]) for r in again.collect()}
+    # after cleaning, every remaining line is kept (except the empty doc,
+    # where '' splits to one empty line that is dropped again)
+    assert kept[0] == (2, 2) and kept[2] == (1, 1)
+    assert kept[1][0] == 0
+
+
+def test_exact_k_sample_k_exceeds_n(spark):
+    from lakeflow.operators.sampling import exact_k_sample
+
+    df = spark.range(7).withColumnRenamed("id", "k")
+    out = exact_k_sample(df, "k", 100)
+    assert out.count() == 7  # k > n returns everything, no error
