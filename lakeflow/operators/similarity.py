@@ -439,17 +439,26 @@ def incremental_candidate_pairs(
     (self-join). Old×old pairs are never generated — the cost of an
     ingest increment is |new| × bucket density, NOT |corpus|², which is
     what makes continuous dedup against a 100 TB corpus affordable.
-    Caller contract: the two band relations cover DISJOINT id sets.
-    Returns (id_a, id_b) with id_a < id_b."""
+    Caller contract: the two band relations cover DISJOINT id sets —
+    but a crashed-and-replayed streaming batch can violate it (the
+    batch's ids already appended to the stored index), so the new×stored
+    join drops same-id matches rather than emit self-pairs (id_a ==
+    id_b) that downstream clustering would treat as real edges; replays
+    then degrade to pure duplicates, which pairs consumers distinct()
+    away. Returns (id_a, id_b) with id_a < id_b."""
     a = new_bands.select(
         F.col(id_col).alias("__n"), "band_id", "band_hash"
     )
     stored = stored_bands.select(
         F.col(id_col).alias("__o"), "band_id", "band_hash"
     )
-    cross = a.join(stored, ["band_id", "band_hash"]).select(
-        F.least("__n", "__o").alias(f"{id_col}_a"),
-        F.greatest("__n", "__o").alias(f"{id_col}_b"),
+    cross = (
+        a.join(stored, ["band_id", "band_hash"])
+        .filter(F.col("__n") != F.col("__o"))
+        .select(
+            F.least("__n", "__o").alias(f"{id_col}_a"),
+            F.greatest("__n", "__o").alias(f"{id_col}_b"),
+        )
     )
     b2 = new_bands.select(F.col(id_col).alias("__n2"), "band_id", "band_hash")
     nn = (

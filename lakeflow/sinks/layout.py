@@ -84,6 +84,54 @@ def _parquet_bytes(path: str) -> int:
     return total
 
 
+def _recover_staged_swap(base: str) -> tuple[str, str]:
+    """Crash recovery + staging cleanup for the two-rename swap used by
+    :func:`compact_parquet` / :func:`optimize_table`.
+
+    A prior run may have died between ``os.rename(base, old)`` and
+    ``os.rename(tmp, base)`` — at that instant the only live copy of the
+    table is ``._compact_old`` (and possibly a complete ``._compact_tmp``).
+    Unconditionally deleting the siblings before reading ``base`` would
+    destroy every remaining copy. So: if ``base`` is missing but ``old``
+    exists, restore it first; if neither exists, abort loudly rather than
+    proceed against a vanished table. Only then is it safe to clear
+    leftover staging dirs. Returns (tmp, old) paths."""
+    import os
+    import shutil
+
+    tmp, old = base + "._compact_tmp", base + "._compact_old"
+    if not os.path.exists(base):
+        if os.path.exists(old):
+            os.rename(old, base)  # roll back the interrupted swap
+        else:
+            raise FileNotFoundError(
+                f"compact: table path {base!r} missing and no "
+                f"._compact_old sibling to restore from"
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    return tmp, old
+
+
+def _staged_swap(base: str, tmp: str, old: str) -> None:
+    """Swap the staged rewrite in via two renames; on any failure remove
+    the staging dir (never the live table). Between the two renames the
+    table path briefly does not exist — readers that open the path in
+    that window see a missing directory, not partial data."""
+    import os
+    import shutil
+
+    try:
+        os.rename(base, old)
+        os.rename(tmp, base)
+    except BaseException:
+        if not os.path.exists(base) and os.path.exists(old):
+            os.rename(old, base)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:
@@ -103,20 +151,15 @@ def compact_parquet(
     maintenance op: not fault-tolerant, and O(table) executor memory.)
     Directory rename is atomic on POSIX/HDFS; on an object store run
     this per partition under a table format's transactional commit
-    instead (see :func:`compact_partitions`)."""
-    import os
-    import shutil
-
+    instead (see :func:`compact_partitions`). A crash between the two
+    renames is recovered on the next run (``._compact_old`` is restored
+    before staging dirs are cleaned)."""
     base = path.rstrip("/")
-    tmp, old = base + "._compact_tmp", base + "._compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    tmp, old = _recover_staged_swap(base)
     total = _parquet_bytes(base)
     n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
     spark.read.parquet(base).coalesce(int(n_files)).write.parquet(tmp)
-    os.rename(base, old)
-    os.rename(tmp, base)
-    shutil.rmtree(old)
+    _staged_swap(base, tmp, old)
     return int(n_files)
 
 
@@ -132,19 +175,12 @@ def optimize_table(
     ~target-sized files, staged in a sibling temp dir and swapped in
     atomically — compaction and clustering in one maintenance pass, the
     live table readable throughout. Returns the new file count."""
-    import os
-    import shutil
-
     base = path.rstrip("/")
-    tmp, old = base + "._compact_tmp", base + "._compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    tmp, old = _recover_staged_swap(base)
     total = _parquet_bytes(base)
     n_files = int(max(1, (total + target_file_bytes - 1) // target_file_bytes))
     zorder_write(spark.read.parquet(base), tmp, col_x, col_y, n_files)
-    os.rename(base, old)
-    os.rename(tmp, base)
-    shutil.rmtree(old)
+    _staged_swap(base, tmp, old)
     return n_files
 
 

@@ -22,7 +22,10 @@ and does not guarantee:
   merge-private staging directory FIRST (the live target is untouched
   — and fully readable — during the long write), then swapped in with
   directory renames after the version fence is claimed. A failure at
-  any point before the swap leaves the old table intact. (Earlier
+  any point before the swap leaves the old table intact; a failure
+  mid-swap rolls the old table back. During the swap itself the target
+  path is briefly absent (two renames are not one atomic op) — readers
+  see old data, new data, or a missing directory, never a mix. (Earlier
   rounds instead pinned the merged result on executor storage via
   ``localCheckpoint`` before overwriting the target in place — not
   fault-tolerant and O(table) executor memory; that path survives only
@@ -67,8 +70,22 @@ class ConcurrentMergeError(RuntimeError):
     merge from a fresh read of the target."""
 
 
+def _local_path(p: str) -> str:
+    """Strip a ``file:`` scheme to a plain OS path. Fencing and the
+    staged swap use os-level calls (``os.rename``, ``shutil.rmtree``)
+    that cannot resolve URIs — Spark would stage to the real local path
+    while ``os.rename`` raised FileNotFoundError on the URI string.
+    Spark itself accepts either form, so all os-visible paths go through
+    here."""
+    if p.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(p).path
+    return p
+
+
 def _versions_dir(target_path: str) -> str:
-    return target_path.rstrip("/") + "._versions"
+    return _local_path(target_path).rstrip("/") + "._versions"
 
 
 def _fencing_enabled(target_path: str) -> bool:
@@ -115,17 +132,25 @@ def _fenced_overwrite(df: DataFrame, target_path: str, expected_version: int) ->
     readable; the fence is claimed only after the staged write
     succeeds, then the swap is two directory renames. Compute/write
     failures therefore never damage the target, and nothing is pinned
-    on executor storage. Object-store path (no atomic rename, fencing
-    already disabled): materialize via localCheckpoint and overwrite in
-    place — the documented emulation limit; use a transactional table
-    format there."""
+    on executor storage. Caveats mirroring :func:`..layout.compact_parquet`:
+    between the two renames the target path briefly does not exist, so a
+    reader opening it in that window sees a missing directory (never
+    partial data); and a failure after the fence is claimed leaves the
+    version marker advanced with the old data in place — later mergers
+    still see a consistent (if stale-numbered) table, but the marker no
+    longer implies a successful commit for that version. Object-store
+    path (no atomic rename, fencing already disabled): materialize via
+    localCheckpoint and overwrite in place — the documented emulation
+    limit; use a transactional table format there."""
     import shutil
     import uuid
 
     if not _fencing_enabled(target_path):
         df.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
         return
-    base = target_path.rstrip("/")
+    # os-level swap needs a plain path even when the caller passed
+    # file://…; Spark resolves the plain path to the same location
+    base = _local_path(target_path).rstrip("/")
     # staging dir is unique per attempt: two racing mergers must never
     # share one (both may stage fully; the fence then picks the winner)
     tmp = f"{base}._merge_tmp_{uuid.uuid4().hex[:12]}"
@@ -133,12 +158,16 @@ def _fenced_overwrite(df: DataFrame, target_path: str, expected_version: int) ->
     try:
         df.write.parquet(tmp)
         _claim_version(base, expected_version)
+        if os.path.isdir(base):
+            os.rename(base, old)
+        os.rename(tmp, base)
     except BaseException:
+        # roll the live table back if the first rename happened but the
+        # second didn't, then drop the staging dir — never the target
+        if not os.path.isdir(base) and os.path.isdir(old):
+            os.rename(old, base)
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    if os.path.isdir(base):
-        os.rename(base, old)
-    os.rename(tmp, base)
     shutil.rmtree(old, ignore_errors=True)
 
 

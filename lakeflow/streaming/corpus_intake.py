@@ -97,10 +97,14 @@ def stream_neardup_index(
     Honest exactly-once caveat: the two appends inside one foreachBatch
     are not jointly atomic over plain parquet — a crash between them
     replays the batch, which can re-append rows. Both outputs are
-    replay-safe by construction (pairs are consumed via distinct();
-    bands are keyed by (id, band_id) and duplicate-insensitive for
-    candidate generation), and a transactional table format (Delta/
-    Iceberg) upgrades this to true exactly-once with txn batch ids."""
+    replay-safe by construction: pairs are consumed via distinct(), and
+    a replayed batch whose ids already reached the index produces no
+    self-pairs because incremental_candidate_pairs drops same-id
+    matches in its new×stored join — the replay degrades to pure
+    duplicates. Bands are keyed by (id, band_id) and
+    duplicate-insensitive for candidate generation. A transactional
+    table format (Delta/Iceberg) upgrades this to true exactly-once
+    with txn batch ids."""
     from lakeflow.operators.similarity import banded_signatures
     from lakeflow.sinks.merge import read_target_if_exists
     from lakeflow.streaming.pipeline import stream_ndjson

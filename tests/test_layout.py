@@ -172,3 +172,26 @@ def test_optimize_table_compacts_and_clusters(spark, tmp_path):
             .collect()
         )
         assert all(r["xr"] <= n - 2 or r["yr"] <= n - 2 for r in per_file)
+
+
+def test_compact_parquet_crash_recovery_restores_old(spark, tmp_path):
+    # a prior run died between os.rename(base, old) and os.rename(tmp,
+    # base): the table lives only in ._compact_old (plus a staged tmp).
+    # A rerun must restore it, not rmtree the only remaining copy.
+    tgt = str(tmp_path / "crashed")
+    spark.range(1000).repartition(4).write.parquet(tgt)
+    rows = sorted(r["id"] for r in spark.read.parquet(tgt).collect())
+    os.rename(tgt, tgt + "._compact_old")
+    os.makedirs(tgt + "._compact_tmp")  # leftover staging garbage
+    n = compact_parquet(spark, tgt, target_file_bytes=1 << 30)
+    assert n == 1
+    assert sorted(r["id"] for r in spark.read.parquet(tgt).collect()) == rows
+    assert not os.path.exists(tgt + "._compact_old")
+    assert not os.path.exists(tgt + "._compact_tmp")
+
+
+def test_compact_parquet_missing_table_aborts_loudly(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        compact_parquet(spark, str(tmp_path / "never_existed"))

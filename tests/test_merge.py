@@ -274,3 +274,32 @@ def test_merge_failure_mid_stage_leaves_target_intact(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(tgt).collect())) == rows_before
     stray = [d for d in os.listdir(tmp_path) if "._merge_tmp" in d]
     assert stray == []
+
+
+def test_merge_upsert_file_scheme_target(spark, tmp_path):
+    # file://-scheme targets take the fenced staged-swap path; the
+    # os-level swap must strip the scheme (os.rename can't resolve URIs)
+    tgt = "file://" + str(tmp_path / "uri_t")
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([Row(k=1, v="a", ts=_ts("2024-01-01"))]),
+        ["k"],
+        "ts",
+    )
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [Row(k=1, v="a2", ts=_ts("2024-02-01")), Row(k=2, v="b", ts=_ts("2024-02-01"))]
+        ),
+        ["k"],
+        "ts",
+    )
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {1: "a2", 2: "b"}
+    import os
+
+    plain = str(tmp_path / "uri_t")
+    # fencing actually engaged (versions dir at the plain path)
+    assert os.path.isdir(plain + "._versions")

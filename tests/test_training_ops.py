@@ -114,6 +114,31 @@ def test_incremental_candidates_never_old_old(spark):
     assert pairs == {(1, 10), (2, 10)}
 
 
+def test_incremental_candidates_replay_no_self_pairs(spark):
+    from lakeflow.operators.similarity import (
+        banded_signatures,
+        incremental_candidate_pairs,
+    )
+
+    # a crashed streaming batch can replay AFTER its bands reached the
+    # stored index — the disjoint-id contract is violated and the same
+    # id sits on both sides. The join must not emit self-pairs
+    # (id_a == id_b); the replay degrades to duplicate real pairs.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=10, text="alpha beta gamma delta epsilon zeta"),
+        ]
+    )
+    stored = banded_signatures(docs, "doc_id", "text")  # replay: 10 already stored
+    new = banded_signatures(docs.filter(F.col("doc_id") == 10), "doc_id", "text")
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in incremental_candidate_pairs(new, stored, "doc_id").collect()
+    }
+    assert pairs == {(1, 10)}  # no (10, 10)
+
+
 def test_pii_profile_counts_and_redaction(spark):
     from lakeflow.operators.pii import pii_profile
 
