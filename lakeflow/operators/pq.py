@@ -25,8 +25,10 @@ Spark realization — everything is built-in expressions:
   with codes (j_1..j_m), approx ||q - x||^2 = sum_s ||q_s - c_{s,j_s}||^2.
   Each subspace term is a CASE over the k_sub folded centroids using
   only the stored code — the corpus side touches codes, never raw
-  vectors. Top-k per query comes from a per-query ranking window over
-  the (tiny) scored relation.
+  vectors. Top-k per query is the bounded two-phase heap merge
+  (``operators.topk.topk_per_key``), never a per-``q_id`` window over
+  the full scored relation — with few query keys such a window funnels
+  O(corpus) rows through one task's sorter.
 
 Exactness policy: vectors are exact integer micro-units end to end
 (``to_micro_ints``), centroid averaging truncates toward zero, and ADC
@@ -36,11 +38,12 @@ codebooks reproduces every code and distance bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakeflow.operators.kmeans import _argbest_cell
 from lakeflow.operators.similarity import _with_vectors, dot_long
+from lakeflow.operators.topk import topk_per_key
 
 Codebooks = "list[list[list[int]]]"  # [subspace][centroid][component]
 
@@ -206,10 +209,7 @@ def pq_adc_topk(
         t = _adc_term(F.col("__qv"), F.col("codes"), s, codebooks[s])
         adc = t if adc is None else adc + t
     scored = joined.select("q_id", id_col, adc.alias("adc_d2"))
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= k
-    )
+    return topk_per_key(scored, "q_id", "adc_d2", id_col, k)
 
 
 def pq_ann_topk(
@@ -246,10 +246,7 @@ def pq_ann_topk(
         F.col("__v"), F.col("__qv")
     )
     scored = cand.select("q_id", id_col, d2.alias("d2"))
-    w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= k
-    )
+    return topk_per_key(scored, "q_id", "d2", id_col, k)
 
 
 def ivf_pq_topk(
@@ -264,6 +261,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "ivf",
+    target_cell_size: int | None = None,
 ) -> DataFrame:
     """IVF-PQ — the composed FAISS serving shape for billion-vector
     search: a coarse k-means partitions the corpus into ``n_cells``
@@ -276,11 +274,28 @@ def ivf_pq_topk(
     cuts the candidate population, PQ codes shrink what a candidate
     costs to score. Returns (q_id, vec_id, d2, rnk).
 
+    Sizing: a FIXED ``n_cells`` stops pruning as the corpus grows (16
+    cells / 8 probes scans half the index forever). Pass
+    ``target_cell_size`` to derive ``n_cells = ceil(N / target)`` (one
+    count pass — the rule ``semantic_dedup`` uses) so cell population
+    stays ~constant and, with ``n_probe`` fixed, per-query probed rows
+    stay ~``n_probe * target_cell_size`` REGARDLESS of corpus size —
+    the probed fraction shrinks as data grows, which is the whole point
+    of IVF. ``target_cell_size`` is deployment-tuned: the recall floor
+    rises with it (more of the index probed) and the folded-literal
+    centroid assignment stops paying beyond a few hundred cells, at
+    which point the coarse assignment becomes a broadcast join against
+    a centroid table — same plan family, different constant.
+
     Determinism: coarse centroids and sub-codebooks are exact micro-int
     k-means (seeded init), the probe set is an exact integer argsort —
     bit-reproducible across partitionings and engines."""
-    from lakeflow.operators.kmeans import _best_struct, kmeans_centroids
+    from lakeflow.operators.kmeans import _best_struct, derive_k, kmeans_centroids
 
+    if target_cell_size is not None:
+        n_cells = derive_k(
+            emb.count(), target_cell_size, k_min=max(2, n_probe)
+        )
     coarse = kmeans_centroids(
         emb, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
     )
@@ -329,11 +344,8 @@ def ivf_pq_topk(
         t = _adc_term(F.col("__qv"), F.col("codes"), s, codebooks[s])
         adc = t if adc is None else adc + t
     scored = joined.select("q_id", id_col, adc.alias("adc_d2"))
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
-    short = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= shortlist)
-        .select("q_id", id_col)
+    short = topk_per_key(scored, "q_id", "adc_d2", id_col, shortlist).select(
+        "q_id", id_col
     )
     qv = (
         _with_vectors(emb.filter(query_pred), id_col, vec_col)
@@ -346,7 +358,4 @@ def ivf_pq_topk(
         F.col("__v"), F.col("__qv")
     )
     rer = cand.select("q_id", id_col, d2.alias("d2"))
-    w2 = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc(id_col))
-    return rer.withColumn("rnk", F.row_number().over(w2)).filter(
-        F.col("rnk") <= k
-    )
+    return topk_per_key(rer, "q_id", "d2", id_col, k)

@@ -2126,16 +2126,20 @@ def q_dedup_survivors(spark, sf_dir):
     FROM embeddings WHERE vec_id < 10
     """,
     description="IVF-PQ composed ANN (operators/pq.ivf_pq_topk): a "
-    "coarse 16-cell k-means partitions the corpus (narrow folded "
-    "assignment), each query probes its 8 nearest cells via an exact "
-    "integer argsort, ADC over the PQ codes runs ONLY within probed "
-    "cells, exact L2 re-ranks the 200-row shortlist — both prunings "
-    "compose: the cell probe cuts the candidate population "
-    "(n_probe/n_cells of the index per query), the codes cut what a "
+    "coarse k-means partitions the corpus into corpus-derived cells "
+    "(n_cells = ceil(N/128), the semantic-dedup sizing rule — cell "
+    "population stays ~constant so a FIXED n_probe=8 probes a "
+    "SHRINKING fraction of the index as data grows, ~n_probe*128 "
+    "candidate rows per query regardless of corpus size), each query "
+    "probes its 8 nearest cells via an exact integer argsort, ADC "
+    "over the PQ codes runs ONLY within probed cells, exact L2 "
+    "re-ranks the 200-row shortlist — both prunings compose: the "
+    "cell probe cuts the candidate population, the codes cut what a "
     "candidate costs; full-precision vectors are read only for the "
-    "shortlist. The billion-vector FAISS serving shape; recall@5 >= "
-    "0.6 contract vs exact truth (measured 0.82/0.72/0.72 at "
-    "sf0.001/0.01/0.1).",
+    "shortlist. Per-query top-k is the bounded two-phase heap merge "
+    "(operators/topk.py), never a per-q_id window over the full "
+    "scored relation. The billion-vector FAISS serving shape; "
+    "recall@5 >= 0.6 contract vs exact truth.",
     refs=("§2.12",),
 )
 def q_ivf_pq_ann(spark, sf_dir):
@@ -2147,7 +2151,9 @@ def q_ivf_pq_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 10
     books = pq_codebooks(emb, m=8, k_sub=16)
-    ann = ivf_pq_topk(emb, pred, books, n_cells=16, n_probe=8, k=5, shortlist=200)
+    ann = ivf_pq_topk(
+        emb, pred, books, n_probe=8, k=5, shortlist=200, target_cell_size=128
+    )
     base = _with_vectors(emb, "vec_id", "embedding")
     q = (
         _with_vectors(emb.filter(pred), "vec_id", "embedding")

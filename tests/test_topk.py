@@ -1,0 +1,111 @@
+"""topk_per_key: the bounded two-phase per-key top-k (operators/topk.py).
+
+Contract: identical output to ``row_number() OVER (PARTITION BY key
+ORDER BY val, tie) <= k`` under ANY input partitioning, while never
+feeding a whole key's rows through one task — each phase-1 group is
+partition-local, the final window ranks ≤ partitions×k rows per key.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from lakeflow.operators.topk import topk_per_key
+
+
+def _window_truth(df, key, val, tie, k):
+    w = Window.partitionBy(key).orderBy(F.asc(val), F.asc(tie))
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(key, tie, val, "rnk")
+    )
+
+
+def test_topk_per_key_matches_window_any_partitioning(spark):
+    rows = [
+        Row(q=q, i=i, v=(i * 7919 + q * 104729) % 1000)
+        for q in range(3)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    truth = {
+        tuple(r) for r in _window_truth(df, "q", "v", "i", 7).collect()
+    }
+    for parts in (1, 5, 32):
+        got = {
+            tuple(r)
+            for r in topk_per_key(
+                df.repartition(parts), "q", "v", "i", 7
+            ).collect()
+        }
+        assert got == truth, parts
+
+
+def test_topk_per_key_ties_on_value_break_by_id(spark):
+    # equal values: the tie column decides, same as orderBy(v, i)
+    df = spark.createDataFrame(
+        [Row(q=1, i=i, v=42) for i in range(20)]
+    ).repartition(8)
+    got = [
+        (r["i"], r["rnk"]) for r in topk_per_key(df, "q", "v", "i", 3).collect()
+    ]
+    assert sorted(got) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_topk_per_key_fewer_rows_than_k(spark):
+    df = spark.createDataFrame([Row(q=1, i=1, v=5), Row(q=1, i=2, v=3)])
+    got = sorted(
+        (r["i"], r["rnk"]) for r in topk_per_key(df, "q", "v", "i", 10).collect()
+    )
+    assert got == [(1, 2), (2, 1)]
+
+
+def test_topk_per_key_plan_is_partition_local_heaps(spark):
+    # the phase-1 reduction must key on spark_partition_id (no task ever
+    # sorts more than one partition's share of one key) and reduce via
+    # collect_list heaps; the final Window then ranks the bounded pool
+    df = spark.createDataFrame(
+        [Row(q=1, i=i, v=i % 97) for i in range(500)]
+    ).repartition(8)
+    out = topk_per_key(df, "q", "v", "i", 5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    assert "collect_list" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_pq_module_never_windows_the_corpus(spark):
+    # regression gate for the round-4 weak finding: pq.py's per-query
+    # rankings (ADC shortlist, IVF shortlist, exact rerank) must all go
+    # through the bounded two-phase topk_per_key — a per-q_id Window
+    # over the scored corpus funnels O(corpus) rows into one task
+    import inspect
+
+    import lakeflow.operators.pq as pq
+
+    src = inspect.getsource(pq)
+    assert "Window" not in src
+    assert "topk_per_key" in src
+
+
+def test_pq_adc_plan_uses_bounded_heaps(spark):
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.pq import pq_adc_topk, pq_codebooks
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_codebooks(emb, m=4, k_sub=8)
+    out = pq_adc_topk(emb, F.col("vec_id") < 3, books, k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    assert "collect_list" in plan, plan
