@@ -299,12 +299,35 @@ def ivf_pq_topk(
     coarse = kmeans_centroids(
         emb, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    m = len(codebooks)
     base = _with_vectors(emb, id_col, vec_col)
     cell = _best_struct(F.col("__v"), coarse).getField("i").cast("long")
     codes = pq_encode(emb, codebooks, id_col, vec_col).join(
         base.select(id_col, cell.alias("cell")), id_col
     )
+    return _ivf_search(
+        emb, query_pred, codes, coarse, codebooks, n_probe, k, shortlist,
+        id_col, vec_col,
+    )
+
+
+def _ivf_search(
+    emb: DataFrame,
+    query_pred: Column,
+    codes: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    n_probe: int,
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The serving half of IVF-PQ: cell probe × ADC within probed cells
+    × exact rerank, over an ALREADY-BUILT index (``codes`` relation +
+    folded ``coarse``/``codebooks``). Shared by the inline
+    :func:`ivf_pq_topk` and the persisted-index :func:`ivf_pq_search`."""
+    m = len(codebooks)
+    base = _with_vectors(emb, id_col, vec_col)
     # query side: n_probe nearest coarse cells via an exact integer
     # argsort over the folded centroid scores (query rows are few —
     # the probe relation broadcasts)
@@ -359,3 +382,110 @@ def ivf_pq_topk(
     )
     rer = cand.select("q_id", id_col, d2.alias("d2"))
     return topk_per_key(rer, "q_id", "d2", id_col, k)
+
+
+# ---------------------------------------------------------------------------
+# fit / search split — index BUILD is a batch job, SEARCH is serving.
+#
+# Conflating them (refitting codebooks inside every query) hides the
+# real serving cost: training is driver-collect round trips + Lloyd
+# passes over the corpus, while a search against a built index touches
+# only probed codes + the shortlist's full vectors. At scale the
+# codebooks/centroids are fit once (or refreshed on drift) and persisted
+# as tiny tables; every query loads ~m*k_sub + n_cells rows and folds
+# them into its plan.
+
+
+def ivf_pq_fit(
+    spark,
+    emb: DataFrame,
+    index_path: str,
+    m: int = 8,
+    k_sub: int = 16,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ivf",
+    target_cell_size: int | None = None,
+) -> None:
+    """Build and persist an IVF-PQ index for ``emb``:
+
+    - ``{index_path}/codebooks``: (s, j, centroid array<long>) —
+      m*k_sub rows, the PQ sub-codebooks;
+    - ``{index_path}/coarse``: (i, centroid array<long>) — n_cells rows;
+    - ``{index_path}/codes``: (id, codes array<long>, cell long) — the
+      actual index, one narrow row per corpus vector (the ~2-orders
+      compression that makes exhaustive ADC affordable).
+
+    The only non-scan work is the bounded k-means collects; the codes
+    write is a narrow projection of the corpus scan."""
+    from lakeflow.operators.kmeans import _best_struct, derive_k, kmeans_centroids
+
+    if target_cell_size is not None:
+        n_cells = derive_k(emb.count(), target_cell_size, k_min=2)
+    books = pq_codebooks(
+        emb, m=m, k_sub=k_sub, n_iter=n_iter, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    coarse = kmeans_centroids(
+        emb, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    spark.createDataFrame(
+        [(s, j, c) for s, b in enumerate(books) for j, c in enumerate(b)],
+        "s int, j int, centroid array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    spark.createDataFrame(
+        list(enumerate(coarse)), "i int, centroid array<long>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/coarse")
+    base = _with_vectors(emb, id_col, vec_col)
+    cell = _best_struct(F.col("__v"), coarse).getField("i").cast("long")
+    codes = pq_encode(emb, books, id_col, vec_col).join(
+        base.select(id_col, cell.alias("cell")), id_col
+    )
+    codes.write.mode("overwrite").parquet(f"{index_path}/codes")
+
+
+def load_ivf_pq_index(
+    spark, index_path: str
+) -> tuple[list[list[list[int]]], list[list[int]], DataFrame]:
+    """(codebooks, coarse, codes): the two folded-constant tables are
+    collected (bounded: m*k_sub + n_cells rows); codes stays a lazy
+    relation over the persisted parquet."""
+    cb = spark.read.parquet(f"{index_path}/codebooks").collect()
+    m = 1 + max(r["s"] for r in cb)
+    k_sub = 1 + max(r["j"] for r in cb)
+    books: list[list[list[int]]] = [[None] * k_sub for _ in range(m)]
+    for r in cb:
+        books[r["s"]][r["j"]] = [int(x) for x in r["centroid"]]
+    cr = spark.read.parquet(f"{index_path}/coarse").collect()
+    coarse = [None] * len(cr)
+    for r in cr:
+        coarse[r["i"]] = [int(x) for x in r["centroid"]]
+    codes = spark.read.parquet(f"{index_path}/codes")
+    return books, coarse, codes
+
+
+def ivf_pq_search(
+    spark,
+    emb: DataFrame,
+    query_pred: Column,
+    index_path: str,
+    n_probe: int = 8,
+    k: int = 5,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN queries against a PREBUILT index (:func:`ivf_pq_fit`):
+    no training, no corpus encode — load the two tiny constant tables,
+    fold them, and run cell probe × ADC × exact rerank. Per query the
+    cost is ~n_probe cells of codes plus ``shortlist`` full vectors,
+    independent of how the index was sized. Returns
+    (q_id, vec_id, d2, rnk)."""
+    books, coarse, codes = load_ivf_pq_index(spark, index_path)
+    return _ivf_search(
+        emb, query_pred, codes, coarse, books, n_probe, k, shortlist,
+        id_col, vec_col,
+    )

@@ -41,24 +41,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_text_stats",
     "q_lang_id",
     "q_exact_dedup_docs",
-    "q_doc_fingerprint",
     "q_simhash",
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard",
-    "q_cosine_topk",
-    "q_embedding_stats",
     "q_lsh_ann",
-    "q_ivf_ann",
     "q_multimodal_meta",
-    "q_token_classes",
-    "q_winnow_fingerprint",
     "q_embedding_near_dup",
     "q_near_dup_pipeline",
     "q_edit_distance_pairs",
     "q_drift_tvd",
-    # round-4 first-timers: dup clustering / semantic dedup / corpus prep
     "q_dup_clusters",
-    "q_kmeans_cells",
     "q_semantic_dedup",
     "q_incremental_near_dup",
     "q_pii_redact",
@@ -66,24 +58,36 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_heavy_hitters",
     "q_salted_agg",
     "q_funnel_steps",
-    "q_cohort_retention",
-    # round-4 flagships: PQ ANN, line cleaning, survivor materialization,
-    # LM surprisal (swapped in for A5/§2.9/§2.10 slots that retain other
-    # in-window coverage: q_grouping_sets/q_having for A5 via q1 +
-    # q_rollup_lineitem + q_approx_distinct + q_pivot_event_types;
-    # q_analytic_windows via q_window_running + q_sessionize_batch;
-    # q_tumbling_hourly via q_sessionize_batch)
-    "q_pq_ann",
     "q_clean_lines",
     "q_dedup_survivors",
     "q_doc_surprisal",
+    # round-5 first-timers (VERDICT r4 task #5): the three ops whose r4
+    # fixes never had a driver row (collocations top-20, GK quality
+    # band, approx heavy hitters), the fixed IVF-PQ + new serving-path
+    # ANN, exactly-k sampling, and the boilerplate/contamination/TF-IDF
+    # corpus ops. Rotated out to make room (all green in CORRECTNESS_r04
+    # and in the 118-query local gate): q_doc_fingerprint +
+    # q_winnow_fingerprint (fingerprint row keeps q_simhash),
+    # q_cosine_topk + q_ivf_ann + q_pq_ann (ANN ladder keeps q_lsh_ann +
+    # the two IVF-PQ paths, which compose the same PQ machinery),
+    # q_embedding_stats (keeps q_embedding_near_dup), q_token_classes
+    # (text keeps stats/lang-id/clean-lines/surprisal), q_kmeans_cells
+    # (kept via q_semantic_dedup + IVF-PQ coarse fit), q_cohort_retention
+    # (funnel keeps q_funnel_steps + q_gold_funnel_join).
+    "q_collocations",
+    "q_quality_band",
+    "q_heavy_hitters_approx",
+    "q_ivf_pq_ann",
+    "q_ann_serving",
+    "q_exact_k_sample",
+    "q_boilerplate",
+    "q_contamination",
+    "q_tfidf_terms",
     # --- relational / aggregation / join coverage (18) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q_topk_orders_per_customer",
     "q_dedup_latest_event",
     "q_rollup_lineitem",
-    "q_approx_distinct",
     "q_pivot_event_types",
     "q_set_ops",
     "q_json_extract_events",
@@ -92,10 +96,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_theta_join_richer",
     "q_mode_event_type",
     "q_asof_latest_order",
-    "q_correlated_subquery",
     "q_like_between",
     "q_array_ops",
     "q_scalar_funcs_wide",
+    # round-5 relational first-timers: two TPC-H plan shapes + the gold
+    # card-funnel star query (VERDICT r4 task #7). Rotated out:
+    # q_approx_distinct (A5 keeps q1 + rollup + pivot),
+    # q_topk_orders_per_customer (D3 keeps q3's TakeOrdered + limit),
+    # q_correlated_subquery (J-coverage keeps q3/theta/as-of).
+    "q21_waiting_suppliers",
+    "q16_supplier_relationship",
+    "q_gold_funnel_join",
 )
 
 

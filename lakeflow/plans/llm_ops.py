@@ -2031,6 +2031,104 @@ def q_pq_ann(spark, sf_dir):
     )
 
 
+def _serving_index(spark, sf_dir: str) -> str:
+    """Build-once-per-corpus IVF-PQ index for q_ann_serving: the fit
+    (codebook + coarse k-means training, corpus encode) happens the
+    first time a corpus is served and persists under /tmp; every later
+    call — including all timed bench runs — loads the prebuilt index.
+    Contents are deterministic (seeded exact-int k-means), so a stale
+    directory from an earlier process is byte-equivalent and safe to
+    reuse. Build is race-safe via unique-tmp + rename."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = f"/tmp/lakeflow_ivfpq_{key}"
+    if not os.path.isdir(path):
+        from lakeflow.operators.pq import ivf_pq_fit
+
+        tmp = f"{path}._build_{uuid.uuid4().hex[:8]}"
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivf_pq_fit(
+            spark, emb, tmp, m=8, k_sub=16, target_cell_size=128
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a build race
+    return path
+
+
+@query(
+    "q_ann_serving",
+    # approximate-by-design: recall-contract pattern (see q_lsh_ann)
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_pass
+    FROM embeddings WHERE vec_id < 10
+    """,
+    description="ANN SERVING against a prebuilt IVF-PQ index "
+    "(operators/pq.ivf_pq_search): index build (codebook + coarse "
+    "k-means fits, corpus encode) is a separate batch job "
+    "(ivf_pq_fit) persisted as three tables — search loads the "
+    "m*k_sub codebook rows and n_cells centroids (bounded collect), "
+    "folds them into the plan, and runs cell probe x ADC over the "
+    "persisted codes x exact rerank of the 200-row shortlist. This "
+    "is the cost a query actually pays in production; q_ivf_pq_ann "
+    "keeps measuring the composed build+search path. Same recall@5 "
+    ">= 0.6 contract vs exact truth.",
+    refs=("§2.12",),
+)
+def q_ann_serving(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from lakeflow.operators.pq import ivf_pq_search
+    from lakeflow.operators.similarity import _with_vectors, dot_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    ann = ivf_pq_search(
+        spark, emb, pred, _serving_index(spark, sf_dir),
+        n_probe=8, k=5, shortlist=200,
+    )
+    base = _with_vectors(emb, "vec_id", "embedding")
+    q = (
+        _with_vectors(emb.filter(pred), "vec_id", "embedding")
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("__v", "__qv")
+        .withColumnRenamed("__n2", "__qn2")
+    )
+    scored = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        (
+            F.col("__n2")
+            + F.col("__qn2")
+            - F.lit(2) * dot_long(F.col("__v"), F.col("__qv"))
+        ).alias("d2"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = scored.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5")
+    hits = ann.join(
+        exact.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+    )
+    per_q = (
+        exact.select("q_id")
+        .distinct()
+        .join(
+            hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("hits")),
+            "q_id",
+            "left",
+        )
+        .select("q_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.sum("hits") >= F.count(F.lit(1)) * F.lit(3)).alias("recall_pass"),
+    )
+
+
 @query(
     "q_doc_surprisal",
     oracle=f"""

@@ -1974,3 +1974,77 @@ def q20_potential_promotion(spark, sf_dir):
         )
         .select("s_name", "n_name")
     )
+
+
+@query(
+    "q_gold_funnel_join",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS invitation_ts,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS application_start,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS approval_ts
+      FROM events GROUP BY user_id)
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_invited,
+           CAST(SUM(CASE WHEN u.application_start IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_applied,
+           CAST(SUM(CASE WHEN u.approval_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_approved,
+           CAST(SUM(CASE WHEN u.application_start >= u.invitation_ts
+                    THEN epoch_us(u.application_start) - epoch_us(u.invitation_ts) END)
+                AS BIGINT) AS invite_to_apply_us
+    FROM per_user u
+    JOIN customer c ON c.c_custkey = u.user_id
+    WHERE u.invitation_ts IS NOT NULL
+    GROUP BY segment
+    """,
+    description="Gold-layer card-funnel star build collapsed to its "
+    "essential plan (pipelines/gold.py; reference card_funnel/"
+    "create_card_funnel_schema.py + sqls/create_customers_table.sql): "
+    "the status timeline becomes per-entity milestones via ONE "
+    "conditional hash-aggregate over the event stream (the "
+    "_applications_from_events shape — min ts per status, no second "
+    "scan, no per-status self-joins), the funnel dims FK-join to the "
+    "broadcast customer dimension, and conversion counts + exact "
+    "integer invite-to-apply latency aggregate per market segment. "
+    "At 100 TB: one events scan, one user_id shuffle, dimension "
+    "broadcast, tiny result.",
+    refs=("J2", "A5", "§2.5"),
+)
+def q_gold_funnel_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "invitation_ts"
+            ),
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "application_start"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "approval_ts"
+            ),
+        )
+        .filter(F.col("invitation_ts").isNotNull())
+    )
+    joined = per_user.join(
+        F.broadcast(
+            cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        ),
+        "user_id",
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_invited"),
+        F.sum(F.col("application_start").isNotNull().cast("long")).alias(
+            "n_applied"
+        ),
+        F.sum(F.col("approval_ts").isNotNull().cast("long")).alias("n_approved"),
+        F.sum(
+            F.when(
+                F.col("application_start") >= F.col("invitation_ts"),
+                us("application_start") - us("invitation_ts"),
+            )
+        ).alias("invite_to_apply_us"),
+    )

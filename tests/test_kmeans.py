@@ -198,3 +198,47 @@ def test_ivf_pq_prunes_to_probed_cells(spark):
     # only same-cluster neighbors (cell pruning), never the far cluster
     assert got <= {1, 2, 3, 4}, got
     assert len(got) == 4
+
+
+def test_ivf_pq_fit_search_matches_inline(spark, tmp_path):
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.pq import ivf_pq_fit, ivf_pq_search, ivf_pq_topk, pq_codebooks
+
+    # fit persists the index; search against it must return exactly what
+    # the inline (train-in-query) composition returns for the same
+    # params — codebooks/centroids are deterministic seeded exact-int
+    # k-means, so the two paths are bit-identical
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    ivf_pq_fit(spark, emb, idx, m=4, k_sub=8, n_cells=4)
+    pred = F.col("vec_id") < 3
+    served = {
+        tuple(r)
+        for r in ivf_pq_search(
+            spark, emb, pred, idx, n_probe=2, k=5, shortlist=50
+        ).collect()
+    }
+    books = pq_codebooks(emb, m=4, k_sub=8)
+    inline = {
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, pred, books, n_cells=4, n_probe=2, k=5, shortlist=50
+        ).collect()
+    }
+    assert served == inline and len(served) == 15
+
+
+def test_ivf_pq_fit_persists_bounded_tables(spark, tmp_path):
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.pq import ivf_pq_fit, load_ivf_pq_index
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivfpq2")
+    ivf_pq_fit(spark, emb, idx, m=4, k_sub=8, n_cells=4)
+    books, coarse, codes = load_ivf_pq_index(spark, idx)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)  # dim/m components
+    assert len(coarse) == 4 and all(len(c) == 64 for c in coarse)
+    # the index relation is one narrow row per corpus vector
+    assert codes.count() == emb.count()
+    assert set(codes.columns) == {"vec_id", "codes", "cell"}
