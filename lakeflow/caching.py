@@ -61,9 +61,54 @@ class CacheScope:
 
 
 def maybe_persist(df: DataFrame, cache: CacheScope | None) -> DataFrame:
-    """Persist ``df`` under ``cache`` if a scope was provided, else
-    persist at MEMORY_AND_DISK with session lifetime (legacy behavior —
-    the caller owns ``spark.catalog.clearCache()``)."""
-    if cache is not None:
-        return cache.persist(df)
+    """Persist ``df`` under ``cache`` (or, with ``cache=None``, under
+    the ambient :func:`scoped_cache` scope if one is active). Only when
+    neither exists does the persist fall back to session lifetime
+    (legacy behavior — the caller owns ``spark.catalog.clearCache()``)."""
+    scope = cache if cache is not None else _ACTIVE
+    if scope is not None:
+        return scope.persist(df)
     return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+#: Ambient scope for callers whose signature cannot thread a
+#: ``cache=`` parameter — the driver-contract registry queries are
+#: fixed at ``(spark, sf_dir)``, so without this every persist they
+#: trigger would be session-lifetime and only a blanket
+#: ``clearCache()`` could reclaim it.
+_ACTIVE: CacheScope | None = None
+
+
+def active_scope() -> CacheScope | None:
+    """The innermost :func:`scoped_cache` scope, if any."""
+    return _ACTIVE
+
+
+class scoped_cache:
+    """Context manager installing an ambient CacheScope: every
+    ``maybe_persist(df, None)`` inside the block registers with it, and
+    exiting releases exactly those relations — nothing else a session
+    may have cached. Used by bench.py around each timed query (release
+    what the query persisted, instead of blanket ``clearCache()``) and
+    usable by any job runner:
+
+        with scoped_cache() as scope:
+            out = QUERIES["q_near_dup_pipeline"].fn(spark, sf_dir)
+            out.write.parquet(dst)   # materialize INSIDE the block
+
+    Nested scopes stack; the innermost wins."""
+
+    def __init__(self, storage_level: StorageLevel | None = None) -> None:
+        self._scope = CacheScope(storage_level)
+        self._prev: CacheScope | None = None
+
+    def __enter__(self) -> CacheScope:
+        global _ACTIVE
+        self._prev = _ACTIVE
+        _ACTIVE = self._scope
+        return self._scope
+
+    def __exit__(self, *exc) -> None:
+        global _ACTIVE
+        _ACTIVE = self._prev
+        self._scope.release()

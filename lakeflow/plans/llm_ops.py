@@ -691,10 +691,11 @@ def q_edit_distance_pairs(spark, sf_dir):
     # three consumers (distinct pairs, needed fingerprints, final join)
     # sit downstream of the expensive minhash+LSH subtree — persist the
     # narrow (ids + fingerprints) relation so it materializes once.
-    # Cache lifetime is the session's (see similarity.py persist notes).
-    from pyspark import StorageLevel
+    # Lifetime: the ambient scoped_cache if the runner installed one
+    # (bench does, per query), else the session's.
+    from lakeflow.caching import maybe_persist
 
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = maybe_persist(pairs, None)
     uniq = pairs.select("__fa", "__fb").distinct()
     needed = (
         uniq.select(F.col("__fa").alias("f"))
@@ -873,20 +874,23 @@ def q_corpus_prep(spark, sf_dir):
     scores = lang_scores("text")
     # per-doc stats feed three consumers (per-source totals, the keep
     # filter, the dedup winners) — persist so the regex-heavy scoring
-    # scan runs once; rows are narrow (no text). Session cache
-    # lifetime (see similarity.py persist notes).
-    from pyspark import StorageLevel
+    # scan runs once; rows are narrow (no text). Lifetime: the ambient
+    # scoped_cache if the runner installed one, else the session's.
+    from lakeflow.caching import maybe_persist
 
-    stats = d.select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("fp"),
-        token_count("text").cast("long").alias("n_tokens"),
-        F.floor(quality_score("text") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("quality_micros"),
-        lang_pred(scores).alias("pred_lang"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = maybe_persist(
+        d.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("fp"),
+            token_count("text").cast("long").alias("n_tokens"),
+            F.floor(quality_score("text") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("quality_micros"),
+            lang_pred(scores).alias("pred_lang"),
+        ),
+        None,
+    )
     kept = stats.filter(
         (F.col("pred_lang") == "en") & (F.col("quality_micros") >= 500000)
     )

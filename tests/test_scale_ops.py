@@ -229,3 +229,36 @@ def test_cache_scope_explicit_release(spark):
     assert df.count() == 100
     assert scope.release() == 1
     assert scope.release() == 0
+
+
+def test_scoped_cache_releases_registry_query_persists(spark):
+    # driver-contract queries are fixed at (spark, sf_dir) and cannot
+    # thread a cache= handle; the ambient scoped_cache must capture
+    # every maybe_persist they trigger and release it on exit — the
+    # bench's per-query lifetime (no blanket clearCache needed)
+    from lakeflow.caching import active_scope, scoped_cache
+    from lakeflow.plans import QUERIES
+
+    def cache_registry_empty():
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    spark.catalog.clearCache()
+    assert cache_registry_empty()
+    assert active_scope() is None
+    with scoped_cache():
+        assert active_scope() is not None
+        out = QUERIES["q_near_dup_pipeline"].fn(spark, SF)
+        assert out.count() >= 0  # materialize INSIDE the scope
+        assert not cache_registry_empty()  # the shingle persist landed
+    assert active_scope() is None
+    assert cache_registry_empty(), "scoped_cache exit must release the persists"
+
+
+def test_scoped_cache_nests(spark):
+    from lakeflow.caching import active_scope, scoped_cache
+
+    with scoped_cache() as outer:
+        with scoped_cache() as inner:
+            assert active_scope() is inner
+        assert active_scope() is outer
+    assert active_scope() is None
