@@ -6,7 +6,9 @@
   gives per-term products < 2^41 and 64-dim sums < 2^47, well inside
   both long and double exactness.
 - Brute-force top-k broadcasts the (small) query side over the big
-  corpus scan: no shuffle of the corpus, one narrow window on q_id.
+  corpus scan: no shuffle of the corpus; per-query ranking is the
+  bounded two-phase heap merge (``operators.topk``), never a per-q_id
+  window funneling the whole scored corpus through one task.
 - The scale path (LSH) buckets by deterministic hyperplane signs and
   joins only within buckets — candidate generation is an equi-join,
   which Catalyst shuffles hash-partitioned (AQE handles bucket skew).
@@ -19,11 +21,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakeflow.functions.hashing import seeded_hash
 from lakeflow.operators.text import explode_shingles, shingles_from_tokens, tokens
+from lakeflow.operators.topk import topk_per_key
 
 MICRO = 1_000_000.0
 
@@ -83,8 +86,7 @@ def brute_force_topk(
             dot_long(F.col("__v"), F.col("__qv")), F.col("__n2"), F.col("__qn2")
         ).alias("cos_micros"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_micros"), F.asc(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return topk_per_key(scored, "q_id", "cos_micros", id_col, k, descending=True)
 
 
 def plane_signs(table: int, j: int, dim: int) -> list[int]:
@@ -183,8 +185,7 @@ def lsh_ann_topk(
             dot_long(F.col("__v"), F.col("__qv")), F.col("__n2"), F.col("__qn2")
         ).alias("cos_micros"),
     ).distinct()
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_micros"), F.asc(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return topk_per_key(scored, "q_id", "cos_micros", id_col, k, descending=True)
 
 
 def ivf_ann_topk(
@@ -275,8 +276,7 @@ def ivf_ann_topk(
             dot_long(F.col("__v"), F.col("__qv")), F.col("__n2"), F.col("__qn2")
         ).alias("cos_micros"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_micros"), F.asc(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return topk_per_key(scored, "q_id", "cos_micros", id_col, k, descending=True)
 
 
 def embedding_near_dup(

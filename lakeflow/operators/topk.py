@@ -38,19 +38,26 @@ def topk_per_key(
     tie_col: str,
     k: int,
     rank_col: str = "rnk",
+    descending: bool = False,
 ) -> DataFrame:
-    """Smallest-``k`` rows per ``key`` by ``(val_col, tie_col)``
-    ascending, with a 1-based ``rank_col`` — equivalent to
-    ``row_number() OVER (PARTITION BY key ORDER BY val, tie) <= k``
-    but never feeding a whole key through one task. ``tie_col`` must be
-    unique within a key (it is the deterministic tie-break). Returns
+    """Top-``k`` rows per ``key`` by ``val_col`` (ties broken by
+    ``tie_col`` ascending), with a 1-based ``rank_col`` — equivalent to
+    ``row_number() OVER (PARTITION BY key ORDER BY val [DESC], tie)
+    <= k`` but never feeding a whole key through one task. ``tie_col``
+    must be unique within a key (it is the deterministic tie-break).
+    ``descending=True`` ranks largest-first by negating the partial
+    heaps' sort key (``val_col`` must therefore not be Long.MIN_VALUE —
+    fine for every micro-int domain here). Returns
     (key, tie_col, val_col, rank_col)."""
+    sort_v = (-F.col(val_col)) if descending else F.col(val_col)
     part = scored.groupBy(key, F.spark_partition_id().alias("__p")).agg(
         F.slice(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        F.col(val_col).alias("v"), F.col(tie_col).alias("i")
+                        sort_v.alias("s"),
+                        F.col(tie_col).alias("i"),
+                        F.col(val_col).alias("v"),
                     )
                 )
             ),
@@ -61,7 +68,8 @@ def topk_per_key(
     pooled = part.select(key, F.explode("__top").alias("t")).select(
         key, F.col("t.i").alias(tie_col), F.col("t.v").alias(val_col)
     )
-    w = Window.partitionBy(key).orderBy(F.asc(val_col), F.asc(tie_col))
+    order = F.desc(val_col) if descending else F.asc(val_col)
+    w = Window.partitionBy(key).orderBy(order, F.asc(tie_col))
     return pooled.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )

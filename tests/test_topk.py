@@ -109,3 +109,40 @@ def test_pq_adc_plan_uses_bounded_heaps(spark):
     plan = buf.getvalue()
     assert "SPARK_PARTITION_ID" in plan.upper(), plan
     assert "collect_list" in plan, plan
+
+
+def test_topk_per_key_descending_matches_window(spark):
+    rows = [
+        Row(q=q, i=i, v=(i * 6271 + q * 31337) % 500)
+        for q in range(2)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows)
+    w = Window.partitionBy("q").orderBy(F.desc("v"), F.asc("i"))
+    truth = {
+        tuple(r)
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 6)
+        .select("q", "i", "v", "rnk")
+        .collect()
+    }
+    for parts in (1, 7):
+        got = {
+            tuple(r)
+            for r in topk_per_key(
+                df.repartition(parts), "q", "v", "i", 6, descending=True
+            ).collect()
+        }
+        assert got == truth, parts
+
+
+def test_similarity_module_never_windows_the_corpus(spark):
+    # brute-force / sign-LSH / IVF ANN rank through the bounded
+    # two-phase topk_per_key, same contract as operators/pq.py
+    import inspect
+
+    import lakeflow.operators.similarity as sim
+
+    src = inspect.getsource(sim)
+    assert "Window" not in src
+    assert "topk_per_key" in src
