@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     # the gold card-funnel star query)
     "q_ann_serving",
     "q_gold_funnel_join",
+    "q_repeated_spans",
+    "q_percent_rank",
 ]
 
 

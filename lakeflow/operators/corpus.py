@@ -19,7 +19,7 @@ text), and join against a derived hot/benchmark set:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakeflow.functions.hashing import seeded_hash
@@ -248,4 +248,49 @@ def vocab_heavy_hitters(
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         "token", "n_occurrences", "doc_freq", "rnk"
+    )
+
+
+def exact_percent_rank(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "pr_micros",
+) -> DataFrame:
+    """EXACT percentile rank of every row's ``value_col`` — scalably.
+
+    ``percent_rank() OVER (ORDER BY v)`` is an unpartitioned window: the
+    whole relation funnels through ONE task's sorter (and the exact
+    ``percentile`` aggregate buffers every value). The histogram-CDF
+    shape computes the same number with bounded state:
+
+    1. ONE hash-aggregate counts rows per DISTINCT VALUE (map-side
+       combine: shuffle is <= |distinct values| rows per partition);
+    2. a running-sum window over the distinct-VALUE relation computes
+       rows-strictly-below per value — its input is bounded by the
+       value domain's cardinality (quality scores here are micro-ints
+       in [0, 1e6]), not by corpus rows;
+    3. an equi-join (broadcast when the domain is small) attaches
+       rows_below to every row: percent_rank = below / (N - 1), ties
+       share the rank exactly as the SQL window defines.
+
+    Returns ``df`` + ``out_col`` (micro-int percent_rank, floor(x*1e6
+    + 0.5), SQL-oracle-exact). For a value domain too large to window
+    (raw doubles), quantize to micro-ints first — which quality scores
+    already are."""
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdf = counts.select(
+        value_col,
+        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__below"),
+    )
+    total = df.count()
+    denom = max(total - 1, 1)
+    # round-half-up in pure integer arithmetic (no doubles anywhere):
+    # floor((below*1e6 + denom/2) / denom) == (below*2e6 + denom) div 2*denom
+    pr = F.expr(f"(__below * 2000000 + {denom}) div {2 * denom}").cast("long")
+    return df.join(F.broadcast(cdf), value_col).withColumn(out_col, pr).drop(
+        "__below"
     )

@@ -298,3 +298,86 @@ def clean_lines(
         F.size(lines).cast("long").alias("n_lines_total"),
         F.size(kept).cast("long").alias("n_lines_kept"),
     )
+
+
+def repeated_span_starts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, pos) rows: 0-based token positions starting an ``n``-token
+    span whose CONTENT occurs at least ``min_count`` times across the
+    whole corpus (intra-doc repeats count — Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    ExactSubstr criterion at fixed span length).
+
+    Spark shape: tokenize once, posexplode the n-gram array, hash each
+    gram to a 60-bit seeded integer (the shuffle key is a long, never
+    the text), ONE hash-aggregate with map-side combine counts
+    occurrences, and a left-semi join marks the duplicated starts. The
+    suffix-array construction the paper uses is a single-machine
+    algorithm; fixed-n gram counting is its scalable streaming-friendly
+    approximation (spans longer than n are caught as runs of
+    overlapping duplicated n-grams, which the excision below merges)."""
+    from lakeflow.functions.hashing import seeded_hash
+
+    pre = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    grams = pre.select(
+        F.col(id_col),
+        F.posexplode(shingles_from_tokens("__toks", n)).alias("pos", "g"),
+    )
+    hashed = grams.select(
+        F.col(id_col), "pos", seeded_hash(F.col("g"), "span").alias("h")
+    )
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return hashed.join(dup.select("h"), "h", "left_semi").select(id_col, "pos")
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every corpus-repeated ``n``-token span from each document
+    (overlapping spans merge naturally: a token survives only if NO
+    duplicated span covers it). Returns
+    (id, n_tokens, n_dup_starts, n_excised, clean_text).
+
+    100 TB shape: the only shuffles are the gram-count aggregate and
+    the per-doc collect of duplicated starts (both keyed by long
+    hashes / ids); the excision itself is a narrow higher-order-array
+    projection — token index i survives iff no start p in the doc's
+    span list satisfies p <= i < p+n. Per-row cost is
+    O(tokens x spans); span lists are usually tiny (they only contain
+    CORPUS-DUPLICATED material). Exact-integer + md5 arithmetic keeps
+    it SQL-oracle-reproducible."""
+    spans = repeated_span_starts(df, id_col, text_col, n, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__ps")
+    )
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).join(
+        per_doc, id_col, "left"
+    )
+    ps = F.coalesce(F.col("__ps"), F.array().cast("array<int>"))
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    kept_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(ps, lambda p: (p <= i) & (i < p + F.lit(n))),
+    )
+    clean = F.concat_ws(" ", F.transform(kept_idx, lambda i: F.get(toks, i)))
+    return base.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(ps).cast("long").alias("n_dup_starts"),
+        (F.size(toks) - F.size(kept_idx)).cast("long").alias("n_excised"),
+        clean.alias("clean_text"),
+    )

@@ -2291,3 +2291,110 @@ def q_ivf_pq_ann(spark, sf_dir):
         F.count(F.lit(1)).alias("n_queries"),
         (F.sum("hits") >= F.count(F.lit(1)) * F.lit(3)).alias("recall_pass"),
     )
+
+
+@query(
+    "q_repeated_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             (('0x' || substr(md5('span|' || array_to_string(toks[(u.i+1):(u.i+8)], ' ')), 1, 15))::BIGINT) AS h
+      FROM t, unnest(range(0, greatest(len(toks)-8+1, 0))) AS u(i)),
+    d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    s AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM d)),
+    p AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM s GROUP BY doc_id),
+    o AS (
+      SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             CAST(coalesce(len(p.ps), 0) AS BIGINT) AS n_dup_starts,
+             list_filter(range(0, len(t.toks)),
+                         i -> len(list_filter(coalesce(p.ps, []),
+                                              q -> q <= i AND i < q + 8)) = 0) AS kept,
+             t.toks AS toks
+      FROM t LEFT JOIN p ON t.doc_id = p.doc_id)
+    SELECT doc_id, n_tokens, n_dup_starts,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_excised,
+           md5(coalesce(array_to_string(list_transform(kept, i -> toks[CAST(i AS INT)+1]), ' '), '')) AS clean_fp
+    FROM o
+    """,
+    description="Repeated-substring excision (operators/text."
+    "excise_repeated_spans; Lee et al. 2022 ExactSubstr at fixed span "
+    "length): every 8-token span whose content occurs >= 2 times in "
+    "the corpus (intra-doc repeats count) is cut from every document; "
+    "overlapping duplicated spans merge naturally because a token "
+    "survives only if NO duplicated span covers it. Spark shape: "
+    "tokenize -> posexplode n-grams -> 60-bit seeded-hash shuffle key "
+    "-> ONE partial-combined count aggregate -> left-semi mark -> "
+    "per-doc start-list collect -> narrow higher-order-array excision "
+    "projection (no Python, no text on the shuffle). The paper's "
+    "suffix array is single-machine; fixed-n gram counting is its "
+    "distributed approximation (longer duplicates appear as runs of "
+    "overlapping duplicated n-grams and excise identically).",
+    refs=("§2.12",),
+)
+def q_repeated_spans(spark, sf_dir):
+    from lakeflow.operators.text import excise_repeated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    out = excise_repeated_spans(d, "doc_id", "text", n=8, min_count=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_starts",
+        "n_excised",
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+_PR_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(FLOOR((
+               0.4e0 * least(CAST(len({_SQL_TOKS}) AS DOUBLE) / 100e0, 1e0)
+               + 0.3e0 * (1e0 - ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)))
+               + 0.3e0 * least((CAST({_sql_hits(STOPWORDS)} AS DOUBLE) / CAST(greatest(len({_SQL_TOKS}), 1) AS DOUBLE)) * 5e0, 1e0)
+             ) * 1000000e0 + 0.5e0) AS BIGINT) AS quality_micros
+      FROM documents),
+    c AS (SELECT quality_micros, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM s GROUP BY quality_micros),
+    cdf AS (SELECT quality_micros,
+                   CAST(COALESCE(SUM(cnt) OVER (ORDER BY quality_micros
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+            FROM c),
+    t AS (SELECT GREATEST(COUNT(*) - 1, 1) AS denom FROM s)
+    SELECT s.doc_id, s.quality_micros,
+           CAST((cdf.below * 2000000 + t.denom) // (2 * t.denom) AS BIGINT) AS pr_micros
+    FROM s JOIN cdf USING (quality_micros) CROSS JOIN t
+"""
+
+
+@query(
+    "q_percent_rank",
+    oracle=_PR_ORACLE,
+    description="Exact per-document percentile rank of the quality "
+    "score via the histogram-CDF shape (operators/corpus."
+    "exact_percent_rank): percent_rank() OVER (ORDER BY v) funnels the "
+    "whole corpus through one task's sorter — instead, ONE "
+    "partial-combined count per DISTINCT VALUE, a running-sum window "
+    "whose input is bounded by the VALUE DOMAIN (micro-ints, <= 1e6+1 "
+    "rows) not the corpus, and a broadcast equi-join back. Integer "
+    "round-half-up, bit-identical to the SQL window definition "
+    "(ties share the rank).",
+    refs=("§2.12", "§2.9", "A5"),
+)
+def q_percent_rank(spark, sf_dir):
+    from lakeflow.operators.corpus import exact_percent_rank
+    from lakeflow.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.floor(quality_score("text") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_micros"),
+    )
+    return exact_percent_rank(scored, "quality_micros").select(
+        "doc_id", "quality_micros", "pr_micros"
+    )

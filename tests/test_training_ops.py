@@ -537,3 +537,62 @@ def test_exact_k_sample_k_exceeds_n(spark):
     df = spark.range(7).withColumnRenamed("id", "k")
     out = exact_k_sample(df, "k", 100)
     assert out.count() == 7  # k > n returns everything, no error
+
+
+def test_excise_repeated_spans_behavior(spark):
+    from lakeflow.operators.text import excise_repeated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha {shared} omega"),
+            Row(doc_id=2, text=f"start {shared} finish line here"),
+            Row(doc_id=3, text="совершенно unique content nothing repeats at all"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in excise_repeated_spans(docs, n=8, min_count=2).collect()
+    }
+    # the shared 9-token phrase contains two duplicated 8-gram starts in
+    # each doc; every token of the phrase is covered, the unique frame
+    # words survive
+    assert out[1]["n_excised"] == 9 and out[1]["clean_text"] == "alpha omega"
+    assert out[2]["n_excised"] == 9
+    assert out[2]["clean_text"] == "start finish line here"
+    # untouched doc: zero spans, text preserved verbatim (token-joined)
+    assert out[3]["n_excised"] == 0 and out[3]["n_dup_starts"] == 0
+    assert out[3]["clean_text"] == "совершенно unique content nothing repeats at all"
+
+
+def test_excise_repeated_spans_intra_doc(spark):
+    from lakeflow.operators.text import excise_repeated_spans
+
+    # repetition WITHIN one document also counts (Lee et al. semantics)
+    phrase = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=f"{phrase} middle {phrase}")]
+    )
+    r = excise_repeated_spans(docs, n=8, min_count=2).collect()[0]
+    assert r["n_dup_starts"] == 2
+    assert r["clean_text"] == "middle"
+
+
+def test_exact_percent_rank_matches_window(spark):
+    from pyspark.sql import Window as W
+
+    from lakeflow.operators.corpus import exact_percent_rank
+
+    df = spark.createDataFrame(
+        [Row(id=i, v=(i * 37) % 11) for i in range(200)]  # heavy ties
+    ).repartition(8)
+    got = {
+        (r["id"], r["pr_micros"])
+        for r in exact_percent_rank(df, "v").collect()
+    }
+    w = W.orderBy("v")
+    truth = {
+        (r["id"], round(r["pr"] * 1_000_000))
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert got == truth
