@@ -6,18 +6,22 @@ fixed-size sequences. This operator computes each document's placement
 — which sequence its first token lands in and at what offset — as a
 pure window expression: a running token sum partitioned by shard.
 
-Scale shape: the window partitions by the SHARD column, never globally
-— a global running sum would plan as a single-partition window (one
-task owns 100 TB). Shards (source, file, date bucket …) bound the
-per-partition work exactly the way real packing jobs shard their
-input. All arithmetic is integer (long div/mod), so any engine
-reproduces placements bit-for-bit.
+Scale shape: the running sum is the DISTRIBUTED prefix sum of
+``operators/prefix.py`` — per-shard quantile buckets computed in the
+plan, per-bucket totals, bucket offsets, within-bucket windows — so no
+task ever sorts more than ~1/n_buckets of a shard. (A plain
+per-shard window bounds the work only while shards stay small; the
+biggest shard grows with the corpus, and ORDER BY inside a window
+partition is a single task.) All arithmetic is integer (long
+div/mod), so any engine reproduces placements bit-for-bit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from lakeflow.operators.prefix import bucketed_running_sum
 
 
 def pack_sequences(
@@ -26,6 +30,7 @@ def pack_sequences(
     token_col: str,
     shard_col: str,
     budget: int,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Assign concat-and-chunk placements: per shard (ordered by id),
     ``start`` = running token sum before the doc, ``seq_id`` =
@@ -33,16 +38,22 @@ def pack_sequences(
     straddle sequence boundaries (standard chunk packing); ``seq_id``
     is the sequence holding its FIRST token. Returns the input keys
     plus (start_token, seq_id, offset_in_seq)."""
-    w = (
-        Window.partitionBy(shard_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = bucketed_running_sum(
+        df.select(
+            F.col(id_col), F.col(shard_col), F.col(token_col).cast("long").alias(token_col)
+        ),
+        shard_col,
+        id_col,
+        (),
+        token_col,
+        out_col="__run",
+        n_buckets=n_buckets,
     )
-    start = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
-    return df.select(
+    start = (F.col("__run") - F.col(token_col)).cast("long")
+    return run.select(
         F.col(id_col),
         F.col(shard_col),
-        F.col(token_col).cast("long").alias(token_col),
+        F.col(token_col),
         start.alias("start_token"),
     ).select(
         id_col,

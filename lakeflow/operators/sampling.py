@@ -76,25 +76,32 @@ def token_budget_sample(
     most B tokens per domain" — which is how mixture weights are
     enforced when domain sizes are wildly skewed.
 
-    Plan shape at 100 TB: ONE shuffle (hash-partition by group for the
-    running-sum window); the hash order is computed at the scan, no
-    global sort. A row is kept iff its running total (inclusive) stays
-    within budget, so the kept set is a stable function of the data —
-    reruns, retries and other engines agree bit-for-bit.
+    Plan shape at 100 TB: the running sum is the distributed prefix sum
+    of ``operators/prefix.py`` (per-group quantile buckets over the
+    hash order, per-bucket totals, bucket offsets, within-bucket
+    windows) — a plain per-group window would put each DOMAIN through
+    one task's sorter, and domains are exactly the keys whose biggest
+    member grows with the corpus. The hash order is computed at the
+    scan, no global sort. A row is kept iff its running total
+    (inclusive) stays within budget, so the kept set is a stable
+    function of the data — reruns, retries and other engines agree
+    bit-for-bit.
     """
-    w_col = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    from pyspark.sql import Window
+    from lakeflow.operators.prefix import bucketed_running_sum
 
-    order = [
-        seeded_hash(F.col(key_col).cast("string"), seed).asc(),
-        F.col(key_col).asc(),
-    ]
-    win = Window.partitionBy(group_col).orderBy(*order)
+    w_col = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = seeded_hash(F.col(key_col).cast("string"), seed)
+    run = bucketed_running_sum(
+        df.withColumn("__w", w_col.cast("long")).withColumn("__h", h),
+        group_col,
+        "__h",
+        (key_col,),
+        "__w",
+        out_col="__run",
+    )
     return (
-        df.withColumn("__w", w_col.cast("long"))
-        .withColumn("__run", F.sum("__w").over(win))
-        .filter(F.col("__run") <= F.lit(budget))
-        .drop("__w", "__run")
+        run.filter(F.col("__run") <= F.lit(budget))
+        .drop("__w", "__run", "__h")
     )
 
 

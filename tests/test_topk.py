@@ -146,3 +146,57 @@ def test_similarity_module_never_windows_the_corpus(spark):
     src = inspect.getsource(sim)
     assert "Window" not in src
     assert "topk_per_key" in src
+
+
+def test_bucketed_running_sum_matches_window(spark):
+    from lakeflow.operators.prefix import bucketed_running_sum
+
+    rows = [
+        Row(g=f"g{q}", i=i, v=(i * 13 + q) % 50 + 1)
+        for q in range(3)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    truth = {
+        (r["g"], r["i"], r["run"])
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    for parts, nb in ((1, 4), (8, 32), (16, 7)):
+        got = {
+            (r["g"], r["i"], r["run"])
+            for r in bucketed_running_sum(
+                df.repartition(parts), "g", "i", (), "v", n_buckets=nb
+            ).collect()
+        }
+        assert got == truth, (parts, nb)
+
+
+def test_bucketed_running_sum_tiny_groups(spark):
+    # groups smaller than n_buckets: boundary list collapses, still exact
+    from lakeflow.operators.prefix import bucketed_running_sum
+
+    df = spark.createDataFrame([Row(g="a", i=1, v=5), Row(g="a", i=2, v=7), Row(g="b", i=1, v=3)])
+    got = {
+        (r["g"], r["i"], r["run"])
+        for r in bucketed_running_sum(df, "g", "i", (), "v").collect()
+    }
+    assert got == {("a", 1, 5), ("a", 2, 12), ("b", 1, 3)}
+
+
+def test_packing_and_budget_mix_never_window_whole_group(spark):
+    # pack_sequences / token_budget_sample must route their running sums
+    # through the bucketed prefix sum, not a per-group ordered window
+    import inspect
+
+    import lakeflow.operators.packing as packing
+    import lakeflow.operators.sampling as sampling
+
+    assert "bucketed_running_sum" in inspect.getsource(packing)
+    src = inspect.getsource(sampling)
+    assert "bucketed_running_sum" in src
+    assert "Window.partitionBy(group_col)" not in src
