@@ -149,3 +149,62 @@ def test_pack_sequences_invariants(spark, docs, budget):
         assert 0 <= r["offset_in_seq"] < budget
         assert r["seq_id"] * budget + r["offset_in_seq"] == r["start_token"]
         by_shard[r["shard"]] = run + r["n_tokens"]
+
+
+pairs_vals = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # key / group
+        st.integers(0, 40),  # order value (ties likely)
+        st.integers(1, 9),  # weight / payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@slow
+@given(pairs_vals, st.integers(1, 5))
+def test_topk_per_key_equals_window(spark, rows, k):
+    from pyspark.sql import Window
+
+    from lakeflow.operators.topk import topk_per_key
+
+    df = spark.createDataFrame(
+        [Row(q=q, i=i, v=v) for i, (q, v, _w) in enumerate(rows)]
+    ).repartition(5)
+    w = Window.partitionBy("q").orderBy(F.asc("v"), F.asc("i"))
+    truth = {
+        tuple(r)
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q", "i", "v", "rnk")
+        .collect()
+    }
+    got = {tuple(r) for r in topk_per_key(df, "q", "v", "i", k).collect()}
+    assert got == truth
+
+
+@slow
+@given(pairs_vals, st.integers(2, 6))
+def test_bucketed_running_sum_equals_window(spark, rows, nb):
+    from pyspark.sql import Window
+
+    from lakeflow.operators.prefix import bucketed_running_sum
+
+    df = spark.createDataFrame(
+        [Row(g=g, i=i, v=w) for i, (g, _o, w) in enumerate(rows)]
+    ).repartition(4)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    truth = {
+        (r["g"], r["i"], r["run"])
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    got = {
+        (r["g"], r["i"], r["run"])
+        for r in bucketed_running_sum(df, "g", "i", (), "v", n_buckets=nb).collect()
+    }
+    assert got == truth
