@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "q_gold_funnel_join",
     "q_repeated_spans",
     "q_percent_rank",
+    "q_paragraph_dedup",
 ]
 
 

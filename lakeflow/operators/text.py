@@ -381,3 +381,65 @@ def excise_repeated_spans(
         (F.size(toks) - F.size(kept_idx)).cast("long").alias("n_excised"),
         clean.alias("clean_text"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    pos_base: int = 100_000,
+) -> DataFrame:
+    """Corpus-global paragraph-level dedup (the Dolma/FineWeb pass
+    between document dedup and span excision): split each document on
+    ``sep``, and for every paragraph whose trimmed content occurs more
+    than once ACROSS THE CORPUS, keep only the FIRST occurrence —
+    "first" by (doc_id, position), a deterministic total order any
+    engine agrees on. Blank paragraphs never dedup (layout is
+    preserved). Returns (id, n_paragraphs, n_dropped, clean_text).
+
+    Spark shape: posexplode paragraphs, hash trimmed content to a
+    60-bit seeded key, ONE hash-aggregate takes min(doc*base+pos) per
+    hash (map-side combined), an equi-join marks winners, and the
+    survivors reassemble per doc via sort_array(collect_list(struct)) —
+    grouping is by doc id (high cardinality), text rides only the
+    explode and the final per-doc collect, never a corpus-wide
+    sort. ``pos_base`` bounds paragraphs per doc (composite-key
+    encoding)."""
+    from lakeflow.functions.hashing import seeded_hash
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    key = (F.col(id_col) * F.lit(pos_base) + F.col("pos")).cast("long")
+    norm = F.trim(F.col("para"))
+    hashed = ex.select(
+        F.col(id_col), "pos", "para", key.alias("__k"),
+        F.when(norm != "", seeded_hash(norm, "para")).alias("__h"),
+    )
+    winners = (
+        hashed.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.min("__k").alias("__w"))
+    )
+    marked = hashed.join(winners, "__h", "left").withColumn(
+        "__keep", F.col("__h").isNull() | (F.col("__k") == F.col("__w"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+        F.sum((~F.col("__keep")).cast("long")).alias("n_dropped"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"), F.struct(F.col("pos"), F.col("para"))
+                        )
+                    )
+                ),
+                lambda s: s.getField("para"),
+            ),
+        ).alias("clean_text"),
+    )

@@ -2398,3 +2398,53 @@ def q_percent_rank(spark, sf_dir):
     return exact_percent_rank(scored, "quality_micros").select(
         "doc_id", "quality_micros", "pr_micros"
     )
+
+
+@query(
+    "q_paragraph_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents),
+    ex AS (SELECT doc_id, CAST(u.i AS INT) AS pos, ps[CAST(u.i AS INT)+1] AS para
+           FROM d, unnest(range(0, len(ps))) AS u(i)),
+    h AS (SELECT doc_id, pos, para,
+                 doc_id * 100000 + pos AS k,
+                 CASE WHEN trim(para) <> ''
+                      THEN (('0x' || substr(md5('para|' || trim(para)), 1, 15))::BIGINT)
+                 END AS hh
+          FROM ex),
+    w AS (SELECT hh, MIN(k) AS wk FROM h WHERE hh IS NOT NULL GROUP BY hh),
+    m AS (SELECT h.doc_id, h.pos, h.para,
+                 (h.hh IS NULL OR h.k = w.wk) AS keep
+          FROM h LEFT JOIN w ON h.hh = w.hh)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           md5(coalesce(array_to_string(
+             list_transform(
+               list_sort(list(struct_pack(p := pos, t := para)) FILTER (WHERE keep)),
+               x -> x.t),
+             chr(10)), '')) AS clean_fp
+    FROM m GROUP BY doc_id
+    """,
+    description="Corpus-global paragraph dedup (operators/text."
+    "dedup_paragraphs; the Dolma/FineWeb pass between document dedup "
+    "and span excision): every paragraph whose trimmed content occurs "
+    "more than once ACROSS the corpus keeps only its first occurrence "
+    "by (doc_id, position); blanks preserve layout. Spark shape: "
+    "posexplode paragraphs -> 60-bit content hash -> ONE min-key "
+    "aggregate (map-side combined) -> equi-join winner mark -> per-doc "
+    "reassembly via sort_array(collect_list(struct)). Text rides only "
+    "the explode and the per-doc collect, never a corpus sort.",
+    refs=("§2.12",),
+)
+def q_paragraph_dedup(spark, sf_dir):
+    from lakeflow.operators.text import dedup_paragraphs
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup_paragraphs(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_paragraphs",
+        "n_dropped",
+        F.md5("clean_text").alias("clean_fp"),
+    )

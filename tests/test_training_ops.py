@@ -596,3 +596,50 @@ def test_exact_percent_rank_matches_window(spark):
         for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
     }
     assert got == truth
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    from lakeflow.operators.text import dedup_paragraphs
+
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"unique intro one\n{boiler}\nunique body one"),
+            Row(doc_id=2, text=f"{boiler}\nunique body two"),
+            Row(doc_id=3, text=f"unique three\n\n{boiler}"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    # first occurrence = (doc 1, pos 1): doc 1 intact, later copies drop
+    assert out[1]["n_dropped"] == 0
+    assert out[1]["clean_text"] == f"unique intro one\n{boiler}\nunique body one"
+    assert out[2]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "unique body two"
+    # blank paragraphs preserve layout and never dedup
+    assert out[3]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "unique three\n"
+    assert out[3]["n_paragraphs"] == 3
+
+
+def test_dedup_paragraphs_intra_doc(spark):
+    from lakeflow.operators.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=5, text="same line here\nsame line here\nother")]
+    )
+    r = dedup_paragraphs(docs).collect()[0]
+    assert r["n_dropped"] == 1
+    assert r["clean_text"] == "same line here\nother"
+
+
+def test_dedup_paragraphs_whitespace_normalized_match(spark):
+    from lakeflow.operators.text import dedup_paragraphs
+
+    # trim-normalized comparison: '  x  ' matches 'x'; the ORIGINAL
+    # text of the surviving occurrence is preserved verbatim
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="  x  \npad"), Row(doc_id=2, text="x\npad2")]
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert out[1]["n_dropped"] == 0 and out[1]["clean_text"] == "  x  \npad"
+    assert out[2]["n_dropped"] == 1 and out[2]["clean_text"] == "pad2"
