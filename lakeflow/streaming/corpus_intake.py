@@ -132,3 +132,63 @@ def stream_neardup_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_corpus_counters(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    target_path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Continuous AGGREGATE maintenance (§2.10 + merge_additive
+    composed): as documents stream in, fold each micro-batch's
+    per-``group_col`` (n_docs, n_tokens) delta into a running totals
+    table — the pattern that keeps corpus-level counters current
+    without ever re-scanning history. Per-batch work is
+    O(|batch| + |distinct groups|); the totals table is one row per
+    group. Returns the StreamingQuery.
+
+    Exactly-once on replays: ``merge_additive`` is NOT idempotent (a
+    re-applied delta double-counts), so each batch commit drops a
+    ``_applied_<batch_id>`` marker next to the target AFTER the merge;
+    a replayed batch (crash between merge and checkpoint commit) sees
+    its marker and becomes a no-op — the standard transactional-id
+    upgrade a real table format provides natively. Markers are keyed by
+    the checkpoint lineage's batch ids: to legitimately REPROCESS into
+    an existing target (new checkpoint, same totals table), clear the
+    ``._applied`` directory along with the target."""
+    import os
+
+    from lakeflow.operators.text import token_count
+    from lakeflow.sinks.merge import _local_path, merge_additive
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        markers = _local_path(target_path).rstrip("/") + "._applied"
+        marker = os.path.join(markers, f"b{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch: delta already folded in
+        delta = batch.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(text_col).cast("long")).alias("n_tokens"),
+        )
+        merge_additive(
+            spark, target_path, delta, [group_col], ["n_docs", "n_tokens"]
+        )
+        os.makedirs(markers, exist_ok=True)
+        with open(marker, "x"):
+            pass
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

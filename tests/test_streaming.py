@@ -326,3 +326,52 @@ def test_stream_neardup_index_incremental(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
     } == {1, 2, 3, 10, 11}
+
+
+def test_stream_corpus_counters_additive_and_replay_safe(spark, tmp_path):
+    # continuous aggregate maintenance: per-source totals fold in batch
+    # deltas; a replayed batch (marker present) is a no-op
+    from lakeflow.streaming.corpus_intake import stream_corpus_counters
+
+    src = str(tmp_path / "docs")
+    tgt = str(tmp_path / "totals")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, source string, text string"
+
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"doc_id": 1, "ts": "2024-01-01T00:00:00", "source": "web", "text": "a b c"},
+            {"doc_id": 2, "ts": "2024-01-01T00:01:00", "source": "web", "text": "d e"},
+            {"doc_id": 3, "ts": "2024-01-01T00:02:00", "source": "book", "text": "f"},
+        ],
+    )
+    q = stream_corpus_counters(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    t1 = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in spark.read.parquet(tgt).collect()}
+    assert t1 == {"web": (2, 5), "book": (1, 1)}
+
+    # wave 2 folds in; totals accumulate, never recompute history
+    _write_events(
+        src,
+        "w2.json",
+        [
+            {"doc_id": 4, "ts": "2024-01-01T01:00:00", "source": "web", "text": "g h i j"},
+            {"doc_id": 5, "ts": "2024-01-01T01:01:00", "source": "wiki", "text": "k"},
+        ],
+    )
+    q = stream_corpus_counters(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    t2 = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in spark.read.parquet(tgt).collect()}
+    assert t2 == {"web": (3, 9), "book": (1, 1), "wiki": (1, 1)}
+
+    # simulate a crash-replay of the LAST batch: a fresh checkpoint
+    # would replay both waves; the applied-markers must no-op them
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_corpus_counters(spark, src, schema, tgt, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    t3 = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in spark.read.parquet(tgt).collect()}
+    assert t3 == t2, "replayed batches must not double-count"
