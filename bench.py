@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q_repeated_spans",
     "q_percent_rank",
     "q_paragraph_dedup",
+    "q_expectations",
 ]
 
 

@@ -2448,3 +2448,42 @@ def q_paragraph_dedup(spark, sf_dir):
         "n_dropped",
         F.md5("clean_text").alias("clean_fp"),
     )
+
+
+@query(
+    "q_expectations",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+                          AND o_totalprice > 0
+                          AND o_orderstatus IN ('O', 'F', 'P')
+                          AND o_orderdate >= TIMESTAMP '1990-01-01'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_custkey_present,
+           CAST(SUM(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_positive,
+           CAST(SUM(CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_status_known,
+           CAST(SUM(CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1990-01-01', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_date_sane
+    FROM orders
+    """,
+    description="Declarative data-quality expectations (operators/"
+    "expectations.py, the DLT expect/expect_or_drop shape the "
+    "reference lacked entirely — malformed rows rode straight into "
+    "the warehouse): rules are boolean Columns evaluated in ONE "
+    "conditional hash-aggregate over a single scan (per-rule "
+    "violation counts + clean-row count); the companion "
+    "split_expectations routes violators to a quarantine relation "
+    "with their failed-rule names from the same one-projection "
+    "annotated plan.",
+    refs=("A5", "§2.3"),
+)
+def q_expectations(spark, sf_dir):
+    from lakeflow.operators.expectations import expectation_report
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = {
+        "custkey_present": F.col("o_custkey").isNotNull(),
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "date_sane": F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"),
+    }
+    return expectation_report(o, rules)

@@ -134,3 +134,49 @@ def test_analyze_table_records_cbo_stats(spark, tmp_path):
             analyze_table(spark, "t_stats; DROP TABLE x")
     finally:
         drop_table(spark, "t_stats")
+
+
+def test_expectations_annotate_and_split(spark):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.expectations import (
+        check_expectations,
+        duplicate_keys,
+        split_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, price=10.0, status="O"),
+            Row(id=2, price=-5.0, status="O"),
+            Row(id=3, price=3.0, status="X"),
+            Row(id=4, price=None, status="F"),
+            Row(id=4, price=2.0, status="F"),
+        ]
+    )
+    rules = {
+        "price_positive": F.col("price") > 0,
+        "status_known": F.col("status").isin("O", "F"),
+    }
+    marked = {
+        (r["id"], r["price"]): set(r["failed_rules"])
+        for r in check_expectations(df, rules).collect()
+    }
+    assert marked[(1, 10.0)] == set()
+    assert marked[(2, -5.0)] == {"price_positive"}
+    assert marked[(3, 3.0)] == {"status_known"}
+    # NULL predicate counts as a violation (coalesce to false), never silently passes
+    assert marked[(4, None)] == {"price_positive"}
+    assert marked[(4, 2.0)] == set()
+
+    good, bad = split_expectations(df, rules)
+    good_ids = sorted(r["id"] for r in good.collect())
+    assert good_ids == [1, 4]  # the (4, price=2.0) row is clean
+    assert "failed_rules" not in good.columns
+    assert {tuple(sorted(r["failed_rules"])) for r in bad.collect()} == {
+        ("price_positive",),
+        ("status_known",),
+    }
+
+    dups = duplicate_keys(df, ["id"]).collect()
+    assert [(r["id"], r["n_rows"]) for r in dups] == [(4, 2)]
