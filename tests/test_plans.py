@@ -220,3 +220,22 @@ def test_q15_broadcasts_the_global_max(spark):
     plan = _plan(spark, "q15_top_supplier")
     assert "BroadcastExchange" in plan, plan
     assert "GlobalLimit" not in plan and "Sort [total_rev" not in plan, plan
+
+
+def test_gold_funnel_broadcasts_customer_dim(spark):
+    plan = _plan(spark, "q_gold_funnel_join")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_percent_rank_cdf_joins_broadcast(spark):
+    # the distinct-value CDF relation is tiny (bounded by the value
+    # domain) — it must broadcast into the corpus join, never shuffle
+    # the corpus by value
+    plan = _plan(spark, "q_percent_rank")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repeated_spans_single_count_aggregate(spark):
+    # the dup-gram mark must be a left-semi against ONE count aggregate
+    plan = _plan(spark, "q_repeated_spans")
+    assert "LeftSemi" in plan, plan
