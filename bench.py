@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q_percent_rank",
     "q_paragraph_dedup",
     "q_expectations",
+    "q_resample_locf",
 ]
 
 

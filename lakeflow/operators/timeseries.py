@@ -1,0 +1,81 @@
+"""Hypertable-style time-series resampling: per-key regular grids with
+last-observation-carried-forward (LOCF) gap fill — the
+``time_bucket_gapfill`` / ``LOCF`` primitive of time-series stores,
+Spark-first.
+
+Why not a join per grid point: the naive form ("for each grid instant,
+the latest observation at or before it") is an as-of join from the grid
+to the observations — per key per grid point. The union+window form
+computes ALL grid points' carries in ONE pass: union the (tagged)
+observations with the generated grid rows, sort per key by (ts, obs
+first), and ``last(value, ignorenulls=True)`` over the preceding frame
+carries each observation forward to every later grid instant until the
+next observation. One shuffle, keyed by the series key (high
+cardinality — one window partition per series, never per grid point).
+
+Exactness: the grid is integer epoch-second arithmetic (floor-aligned
+to the step), values are carried verbatim (no cross-row arithmetic), so
+any engine — including an ASOF JOIN oracle — reproduces every row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step_seconds: int,
+    out_ts: str = "grid_ts",
+    out_val: str = "val",
+) -> DataFrame:
+    """Per-key regular grid from ``floor(min_ts/step)*step`` through
+    ``max_ts`` at ``step_seconds``; each grid instant carries the value
+    of the LAST observation at-or-before it (null before the first
+    observation — leading gaps stay visible). Duplicate observations at
+    one (key, ts) instant collapse to the max value first (deterministic
+    caller-independent tie rule). Returns (key, grid_ts, val).
+
+    Scale: grid fan-out is a narrow sequence+explode off a 1-row-per-key
+    bounds aggregate; the LOCF window partitions by the series key."""
+    ep = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("long")
+    obs = (
+        df.select(F.col(key_col), ep.alias("__t"), F.col(val_col).alias("__v"))
+        .groupBy(key_col, "__t")
+        .agg(F.max("__v").alias("__v"))
+        .withColumn("__is_obs", F.lit(1))
+    )
+    step = int(step_seconds)
+    bounds = obs.groupBy(key_col).agg(
+        (F.floor(F.min("__t") / step) * step).cast("long").alias("__g0"),
+        F.max("__t").alias("__g1"),
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__g0"), F.col("__g1"), F.lit(step))
+        ).alias("__t"),
+    ).select(
+        key_col, "__t", F.lit(None).cast(obs.schema["__v"].dataType).alias("__v"),
+        F.lit(0).alias("__is_obs"),
+    )
+    unioned = obs.unionByName(grid)
+    # at one instant the observation must sort BEFORE the grid row so
+    # the carry includes same-instant observations
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc("__t"), F.desc("__is_obs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__c", F.last("__v", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("__is_obs") == 0).select(
+        F.col(key_col),
+        F.timestamp_seconds(F.col("__t")).cast("timestamp_ntz").alias(out_ts),
+        F.col("__c").alias(out_val),
+    )

@@ -2487,3 +2487,46 @@ def q_expectations(spark, sf_dir):
         "date_sane": F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"),
     }
     return expectation_report(o, rules)
+
+
+@query(
+    "q_resample_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+             MAX(CAST(FLOOR(value * 100e0 + 0.5e0) AS BIGINT)) AS v
+      FROM events GROUP BY user_id, CAST(FLOOR(epoch(ts)) AS BIGINT)),
+    b AS (SELECT user_id,
+                 CAST(FLOOR(MIN(t) / 86400) * 86400 AS BIGINT) AS g0,
+                 MAX(t) AS g1
+          FROM obs GROUP BY user_id),
+    g AS (SELECT user_id, CAST(u.t AS BIGINT) AS t
+          FROM b, unnest(range(g0, g1 + 1, 86400)) AS u(t))
+    SELECT g.user_id, make_timestamp(g.t * 1000000) AS grid_ts, o.v AS val
+    FROM g ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.t >= o.t
+    """,
+    description="Hypertable-style resample + gap fill (operators/"
+    "timeseries.resample_locf, the time_bucket_gapfill/LOCF primitive): "
+    "per-user daily grid from the floor-aligned first observation "
+    "through the last, each instant carrying the last observation "
+    "at-or-before it. Spark shape: 1-row-per-key bounds aggregate -> "
+    "narrow sequence+explode grid -> union with tagged observations -> "
+    "ONE per-key ordered window with last(ignorenulls) carries every "
+    "observation to all later grid instants in a single pass (vs an "
+    "as-of join per grid point); the oracle is DuckDB's native ASOF "
+    "LEFT JOIN, so two entirely different physical strategies must "
+    "agree bit-for-bit. Exact integer epoch/cents arithmetic.",
+    refs=("J4", "§2.9", "§2.12"),
+)
+def q_resample_locf(spark, sf_dir):
+    from lakeflow.operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return resample_locf(cents, "user_id", "ts", "cents", 86_400)

@@ -45,3 +45,37 @@ def test_payload_is_atomic_not_stitched(spark):
     assert rows[(1, 25)] == (None, "b20")  # NOT ("a5", "b20")
     assert rows[(2, 10)] == (None, None)  # unmatched left row kept in left mode
     assert len(rows) == 3
+
+
+def test_resample_locf_semantics(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from lakeflow.operators.timeseries import resample_locf
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    df = spark.createDataFrame(
+        [
+            # key "a": obs at 00:30 and 02:00; hourly grid from 00:00
+            Row(k="a", t=ts("2024-01-01T00:30:00"), v=10),
+            Row(k="a", t=ts("2024-01-01T02:00:00"), v=20),
+            # same-instant duplicate: max wins deterministically
+            Row(k="a", t=ts("2024-01-01T02:00:00"), v=15),
+            # key "b": single obs exactly on a grid instant
+            Row(k="b", t=ts("2024-01-01T05:00:00"), v=7),
+        ]
+    )
+    out = {
+        (r["k"], r["grid_ts"].isoformat(), r["val"])
+        for r in resample_locf(df, "k", "t", "v", 3600).collect()
+    }
+    assert out == {
+        # 00:00 precedes the first observation: leading gap stays null
+        ("a", "2024-01-01T00:00:00", None),
+        ("a", "2024-01-01T01:00:00", 10),  # 00:30 obs carried forward
+        ("a", "2024-01-01T02:00:00", 20),  # same-instant obs included, max of dup
+        ("b", "2024-01-01T05:00:00", 7),
+    }
