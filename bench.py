@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q_paragraph_dedup",
     "q_expectations",
     "q_resample_locf",
+    "q_resample_interp",
 ]
 
 

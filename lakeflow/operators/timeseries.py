@@ -79,3 +79,72 @@ def resample_locf(
         F.timestamp_seconds(F.col("__t")).cast("timestamp_ntz").alias(out_ts),
         F.col("__c").alias(out_val),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step_seconds: int,
+    out_ts: str = "grid_ts",
+    out_val: str = "val",
+) -> DataFrame:
+    """Linear-interpolation resampling (the ``interpolate()`` companion
+    to :func:`resample_locf`): each grid instant gets the straight-line
+    value between the surrounding observations,
+    v = v0 + trunc((v1-v0)*(t-t0)/(t1-t0)) in pure integer arithmetic
+    (truncation toward zero — reproducible in any engine); an instant
+    coinciding with an observation gets that observation exactly; grid
+    points outside the observed range (before the first observation)
+    are null, never extrapolated.
+
+    Same single-pass shape as LOCF plus ONE extra window direction: the
+    preceding frame carries (t0, v0), the following frame carries
+    (t1, v1) — still one shuffle keyed by the series key, no per-grid
+    as-of join."""
+    ep = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("long")
+    obs = (
+        df.select(F.col(key_col), ep.alias("__t"), F.col(val_col).alias("__v"))
+        .groupBy(key_col, "__t")
+        .agg(F.max("__v").alias("__v"))
+        .withColumn("__is_obs", F.lit(1))
+    )
+    step = int(step_seconds)
+    bounds = obs.groupBy(key_col).agg(
+        (F.floor(F.min("__t") / step) * step).cast("long").alias("__g0"),
+        F.max("__t").alias("__g1"),
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__g0"), F.col("__g1"), F.lit(step))
+        ).alias("__t"),
+    ).select(
+        key_col, "__t", F.lit(None).cast(obs.schema["__v"].dataType).alias("__v"),
+        F.lit(0).alias("__is_obs"),
+    )
+    unioned = obs.unionByName(grid)
+    base = Window.partitionBy(key_col).orderBy(F.asc("__t"), F.desc("__is_obs"))
+    w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_t = F.when(F.col("__is_obs") == 1, F.col("__t"))
+    obs_v = F.when(F.col("__is_obs") == 1, F.col("__v"))
+    marked = (
+        unioned.withColumn("__t0", F.last(obs_t, ignorenulls=True).over(w_prev))
+        .withColumn("__v0", F.last(obs_v, ignorenulls=True).over(w_prev))
+        .withColumn("__t1", F.first(obs_t, ignorenulls=True).over(w_next))
+        .withColumn("__v1", F.first(obs_v, ignorenulls=True).over(w_next))
+    )
+    lerp = F.when(F.col("__t0") == F.col("__t"), F.col("__v0")).otherwise(
+        F.when(
+            F.col("__v0").isNotNull() & F.col("__v1").isNotNull(),
+            F.col("__v0")
+            + F.expr("(__v1 - __v0) * (__t - __t0) div (__t1 - __t0)"),
+        )
+    )
+    return marked.filter(F.col("__is_obs") == 0).select(
+        F.col(key_col),
+        F.timestamp_seconds(F.col("__t")).cast("timestamp_ntz").alias(out_ts),
+        lerp.cast("long").alias(out_val),
+    )

@@ -2530,3 +2530,55 @@ def q_resample_locf(spark, sf_dir):
         .alias("cents"),
     )
     return resample_locf(cents, "user_id", "ts", "cents", 86_400)
+
+
+@query(
+    "q_resample_interp",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+             MAX(CAST(FLOOR(value * 100e0 + 0.5e0) AS BIGINT)) AS v
+      FROM events GROUP BY user_id, CAST(FLOOR(epoch(ts)) AS BIGINT)),
+    b AS (SELECT user_id,
+                 CAST(FLOOR(MIN(t) / 86400) * 86400 AS BIGINT) AS g0,
+                 MAX(t) AS g1
+          FROM obs GROUP BY user_id),
+    g AS (SELECT user_id, CAST(u.t AS BIGINT) AS t
+          FROM b, unnest(range(g0, g1 + 1, 86400)) AS u(t)),
+    obs_n AS (SELECT user_id, -t AS nt, t, v FROM obs),
+    p AS (SELECT g.user_id, g.t, o.t AS t0, o.v AS v0
+          FROM g ASOF LEFT JOIN obs o
+            ON g.user_id = o.user_id AND g.t >= o.t),
+    n AS (SELECT g.user_id, g.t, o.t AS t1, o.v AS v1
+          FROM g ASOF LEFT JOIN obs_n o
+            ON g.user_id = o.user_id AND -g.t >= o.nt)
+    SELECT p.user_id, make_timestamp(p.t * 1000000) AS grid_ts,
+           CASE WHEN p.t0 = p.t THEN p.v0
+                WHEN p.v0 IS NULL OR n.v1 IS NULL THEN NULL
+                ELSE p.v0 + CAST(TRUNC(CAST((n.v1 - p.v0) * (p.t - p.t0) AS DOUBLE)
+                                       / (n.t1 - p.t0)) AS BIGINT)
+           END AS val
+    FROM p JOIN n ON p.user_id = n.user_id AND p.t = n.t
+    """,
+    description="Linear-interpolation resampling (operators/timeseries."
+    "resample_interpolate, the interpolate() companion to LOCF): each "
+    "daily grid instant gets trunc-integer straight-line value between "
+    "its surrounding observations; instants on an observation take it "
+    "exactly; nothing extrapolates past the observed range. One "
+    "union+two-direction-window pass per key vs the oracle's TWO "
+    "native DuckDB ASOF joins (backward + direction-reversed forward) "
+    "— different physical strategies, bit-identical integer results.",
+    refs=("J4", "§2.9", "§2.12"),
+)
+def q_resample_interp(spark, sf_dir):
+    from lakeflow.operators.timeseries import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return resample_interpolate(cents, "user_id", "ts", "cents", 86_400)

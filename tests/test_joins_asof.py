@@ -79,3 +79,62 @@ def test_resample_locf_semantics(spark):
         ("a", "2024-01-01T02:00:00", 20),  # same-instant obs included, max of dup
         ("b", "2024-01-01T05:00:00", 7),
     }
+
+
+def test_resample_interpolate_semantics(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from lakeflow.operators.timeseries import resample_interpolate
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", t=ts("2024-01-01T01:00:00"), v=100),
+            Row(k="a", t=ts("2024-01-01T04:00:00"), v=400),
+        ]
+    )
+    out = {
+        (r["grid_ts"].isoformat(), r["val"])
+        for r in resample_interpolate(df, "k", "t", "v", 3600).collect()
+    }
+    assert out == {
+        ("2024-01-01T01:00:00", 100),  # exactly on the first obs
+        ("2024-01-01T02:00:00", 200),  # 1/3 of the way 100 -> 400
+        ("2024-01-01T03:00:00", 300),
+        ("2024-01-01T04:00:00", 400),
+    }
+
+
+def test_resample_interpolate_truncation_and_leading_gap(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from lakeflow.operators.timeseries import resample_interpolate
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    # descending segment with non-integer slope: trunc toward zero
+    df = spark.createDataFrame(
+        [
+            Row(k="a", t=ts("2024-01-01T00:30:00"), v=10),
+            Row(k="a", t=ts("2024-01-01T02:30:00"), v=3),
+        ]
+    )
+    out = {
+        (r["grid_ts"].isoformat(), r["val"])
+        for r in resample_interpolate(df, "k", "t", "v", 3600).collect()
+    }
+    # grid 00:00 precedes the first obs -> null; 01:00 is 30/120 of the
+    # way down 10->3: 10 + trunc(-7*1800/7200) = 10 + trunc(-1.75) = 9
+    # (toward-zero truncation, not floor); 02:00 = 10 + trunc(-5.25) = 5
+    assert out == {
+        ("2024-01-01T00:00:00", None),
+        ("2024-01-01T01:00:00", 9),
+        ("2024-01-01T02:00:00", 5),
+    }
