@@ -263,3 +263,54 @@ def merge_additive(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
     _fenced_overwrite(out, target_path, v0)
+
+
+def merge_delete(
+    spark: SparkSession,
+    target_path: str,
+    keys_df: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """Targeted row deletion (GDPR / right-to-be-forgotten): remove
+    every target row whose key tuple appears in ``keys_df`` — the
+    ``DeltaTable.delete`` / ``MERGE ... WHEN MATCHED THEN DELETE``
+    emulation, with the same version fencing and staged-swap
+    failure-atomicity as the other mergers. The delete list is
+    typically tiny: it broadcasts into a LEFT ANTI join against the
+    target scan, one pass, no shuffle of the target. A missing target
+    is a no-op (nothing to forget)."""
+    v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
+    existing = read_target_if_exists(spark, target_path)
+    if existing is None:
+        return
+    out = existing.join(
+        F.broadcast(keys_df.select(*keys).distinct()), list(keys), "left_anti"
+    )
+    _fenced_overwrite(out, target_path, v0)
+
+
+def vacuum_versions(target_path: str, keep_last: int = 10) -> int:
+    """Retention for the merge fence's version markers (and the
+    streaming counters' applied-batch markers, which share the naming
+    scheme): both directories grow one empty file per commit forever.
+    Keeps the ``keep_last`` highest version markers — enough history to
+    detect concurrent writers — and every applied-batch marker at or
+    above the surviving minimum. Returns files removed."""
+    removed = 0
+    d = _versions_dir(target_path)
+    if os.path.isdir(d):
+        ns = sorted(
+            int(f[1:]) for f in os.listdir(d) if f[:1] == "v" and f[1:].isdigit()
+        )
+        for n in ns[:-keep_last] if keep_last else ns:
+            os.remove(os.path.join(d, f"v{n}"))
+            removed += 1
+    a = _local_path(target_path).rstrip("/") + "._applied"
+    if os.path.isdir(a):
+        ns = sorted(
+            int(f[1:]) for f in os.listdir(a) if f[:1] == "b" and f[1:].isdigit()
+        )
+        for n in ns[:-keep_last] if keep_last else ns:
+            os.remove(os.path.join(a, f"b{n}"))
+            removed += 1
+    return removed

@@ -303,3 +303,58 @@ def test_merge_upsert_file_scheme_target(spark, tmp_path):
     plain = str(tmp_path / "uri_t")
     # fencing actually engaged (versions dir at the plain path)
     assert os.path.isdir(plain + "._versions")
+
+
+def test_merge_delete_removes_only_listed_keys(spark, tmp_path):
+    from lakeflow.sinks.merge import merge_delete
+
+    tgt = str(tmp_path / "del_t")
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [
+                Row(k=1, v="a", ts=_ts("2024-01-01")),
+                Row(k=2, v="b", ts=_ts("2024-01-01")),
+                Row(k=3, v="c", ts=_ts("2024-01-01")),
+            ]
+        ),
+        ["k"],
+        "ts",
+    )
+    merge_delete(spark, tgt, spark.createDataFrame([Row(k=2)]), ["k"])
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {1: "a", 3: "c"}
+    # fence advanced: delete is a committed version like any merge
+    from lakeflow.sinks.merge import _current_version
+
+    assert _current_version(tgt) == 2
+    # deleting against a missing target is a no-op
+    merge_delete(spark, str(tmp_path / "never"), spark.createDataFrame([Row(k=1)]), ["k"])
+
+
+def test_vacuum_versions_keeps_recent(spark, tmp_path):
+    from lakeflow.sinks.merge import _current_version, vacuum_versions
+
+    tgt = str(tmp_path / "vac_t")
+    for i in range(5):
+        merge_upsert(
+            spark,
+            tgt,
+            spark.createDataFrame([Row(k=1, v=f"v{i}", ts=_ts(f"2024-01-0{i+1}"))]),
+            ["k"],
+            "ts",
+        )
+    assert _current_version(tgt) == 5
+    removed = vacuum_versions(tgt, keep_last=2)
+    assert removed == 3
+    # the CURRENT version is still discoverable: fencing keeps working
+    assert _current_version(tgt) == 5
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([Row(k=1, v="v9", ts=_ts("2024-01-09"))]),
+        ["k"],
+        "ts",
+    )
+    assert _current_version(tgt) == 6
