@@ -24,6 +24,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+#: max elements per generated sequence array — a long-lived key at a
+#: fine step would otherwise materialize its WHOLE grid as one in-memory
+#: array on a single row (a year at 1 s is 31M elements); chunking keeps
+#: every generated array bounded while the explode output is identical
+_GRID_CHUNK = 65_536
+
+
+def _grid_rows(bounds: DataFrame, key_col: str, step: int) -> DataFrame:
+    """(key, __t) grid instants from the per-key [__g0, __g1] bounds:
+    two nested bounded explodes (chunk starts, then instants within the
+    chunk) instead of one unbounded sequence per key."""
+    span = step * _GRID_CHUNK
+    chunks = bounds.select(
+        F.col(key_col),
+        F.col("__g1"),
+        F.explode(
+            F.sequence(F.col("__g0"), F.col("__g1"), F.lit(span))
+        ).alias("__c"),
+    )
+    return chunks.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("__c"),
+                F.least(F.col("__c") + F.lit(span - step), F.col("__g1")),
+                F.lit(step),
+            )
+        ).alias("__t"),
+    )
+
+
 def resample_locf(
     df: DataFrame,
     key_col: str,
@@ -54,12 +86,7 @@ def resample_locf(
         (F.floor(F.min("__t") / step) * step).cast("long").alias("__g0"),
         F.max("__t").alias("__g1"),
     )
-    grid = bounds.select(
-        F.col(key_col),
-        F.explode(
-            F.sequence(F.col("__g0"), F.col("__g1"), F.lit(step))
-        ).alias("__t"),
-    ).select(
+    grid = _grid_rows(bounds, key_col, step).select(
         key_col, "__t", F.lit(None).cast(obs.schema["__v"].dataType).alias("__v"),
         F.lit(0).alias("__is_obs"),
     )
@@ -115,12 +142,7 @@ def resample_interpolate(
         (F.floor(F.min("__t") / step) * step).cast("long").alias("__g0"),
         F.max("__t").alias("__g1"),
     )
-    grid = bounds.select(
-        F.col(key_col),
-        F.explode(
-            F.sequence(F.col("__g0"), F.col("__g1"), F.lit(step))
-        ).alias("__t"),
-    ).select(
+    grid = _grid_rows(bounds, key_col, step).select(
         key_col, "__t", F.lit(None).cast(obs.schema["__v"].dataType).alias("__v"),
         F.lit(0).alias("__is_obs"),
     )

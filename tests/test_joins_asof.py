@@ -138,3 +138,25 @@ def test_resample_interpolate_truncation_and_leading_gap(spark):
         ("2024-01-01T01:00:00", 9),
         ("2024-01-01T02:00:00", 5),
     }
+
+
+def test_resample_grid_chunking_boundary(spark, monkeypatch):
+    # force multi-chunk grids: results identical across chunk boundaries
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    import lakeflow.operators.timeseries as T
+
+    monkeypatch.setattr(T, "_GRID_CHUNK", 4)
+    df = spark.createDataFrame(
+        [
+            Row(k="a", t=datetime.fromisoformat("2024-01-01T00:00:00"), v=0),
+            Row(k="a", t=datetime.fromisoformat("2024-01-01T10:00:00"), v=10),
+        ]
+    )
+    out = sorted(
+        (r["grid_ts"].hour, r["val"])
+        for r in T.resample_interpolate(df, "k", "t", "v", 3600).collect()
+    )
+    assert out == [(h, h) for h in range(11)]
