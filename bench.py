@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q_expectations",
     "q_resample_locf",
     "q_resample_interp",
+    "q_image_dims",
 ]
 
 

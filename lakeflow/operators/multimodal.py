@@ -168,3 +168,107 @@ def sample_frames(
             )
 
     return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
+DIMS_SCHEMA = "id long, format string, width long, height long"
+
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+
+
+def _u8(payload_col: str, pos: int):
+    return F.conv(
+        F.hex(F.expr(f"substring({payload_col}, {pos}, 1)")), 16, 10
+    ).cast("long")
+
+
+def _be32(payload_col: str, pos: int):
+    return F.conv(
+        F.hex(F.expr(f"substring({payload_col}, {pos}, 4)")), 16, 10
+    ).cast("long")
+
+
+def image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image metadata without any media library: PNG and GIF store
+    their dimensions at fixed header offsets, so width/height parse as
+    PURE JVM built-ins — binary substring + hex + conv, whole-stage
+    codegen, 100 TB of images never cross the Arrow boundary to be
+    sized. PNG: IHDR width/height are 4-byte big-endian at offsets
+    17/21 (after the 8-byte signature + 4-byte length + "IHDR"). GIF:
+    the logical screen descriptor holds 2-byte little-endian
+    width/height at offsets 7/9. Unknown/JPEG payloads get null dims
+    here — JPEG needs a variable-offset marker scan, which is
+    :func:`jpeg_dims` (Arrow-batched Python, also library-free).
+    Returns (id, format, width, height)."""
+    sig8 = F.hex(F.expr(f"substring({payload_col}, 1, 8)"))
+    sig3 = F.hex(F.expr(f"substring({payload_col}, 1, 3)"))
+    sig2 = F.hex(F.expr(f"substring({payload_col}, 1, 2)"))
+    png = sig8 == _PNG_SIG_HEX
+    gif = sig3 == "474946"
+    jpg = sig2 == "FFD8"
+
+    def le16(pos: int):
+        return _u8(payload_col, pos) + _u8(payload_col, pos + 1) * 256
+
+    fmt = (
+        F.when(png, F.lit("png"))
+        .when(gif, F.lit("gif"))
+        .when(jpg, F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = F.when(png, _be32(payload_col, 17)).when(gif, le16(7))
+    height = F.when(png, _be32(payload_col, 21)).when(gif, le16(9))
+    return df.select(
+        F.col("id").cast("long").alias("id"),
+        fmt.alias("format"),
+        width.cast("long").alias("width"),
+        height.cast("long").alias("height"),
+    )
+
+
+def jpeg_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JPEG dimensions via a real marker scan — no image library
+    involved (the JFIF container is just length-prefixed segments):
+    walk 0xFF-marker segments until a start-of-frame (SOF0/1/2/...)
+    whose body carries height then width as 2-byte big-endian at
+    offsets 3/5. Arrow-batched ``mapInPandas`` because the offsets are
+    data-dependent (not expressible as fixed-position built-ins);
+    malformed payloads yield null dims, never an exception. Returns
+    (id, format, width, height)."""
+    import struct
+
+    sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+    def parse(b: bytes):
+        if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+            return None
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in sof:
+                if i + 9 > len(b):
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return (w, h)
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            i += 2 + seg_len
+        return None
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, fmts = [], [], []
+            for b in pdf[payload_col]:
+                dims = parse(bytes(b)) if b is not None else None
+                fmts.append("jpeg" if b is not None and bytes(b)[:2] == b"\xff\xd8" else "unknown")
+                ws.append(dims[0] if dims else None)
+                hs.append(dims[1] if dims else None)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "format": fmts, "width": ws, "height": hs}
+            )
+
+    return df.mapInPandas(fn, DIMS_SCHEMA)

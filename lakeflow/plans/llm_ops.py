@@ -2582,3 +2582,40 @@ def q_resample_interp(spark, sf_dir):
         .alias("cents"),
     )
     return resample_interpolate(cents, "user_id", "ts", "cents", 86_400)
+
+
+@query(
+    "q_image_dims",
+    oracle="""
+    SELECT doc_id AS id, 'png' AS format,
+           CAST(1 + doc_id % 512 AS BIGINT) AS width,
+           CAST(1 + n_chars % 512 AS BIGINT) AS height
+    FROM documents
+    """,
+    description="Image metadata via PURE JVM built-ins (operators/"
+    "multimodal.image_dims): PNG/GIF dimensions live at fixed header "
+    "offsets, so width/height parse as binary substring + hex + conv "
+    "inside whole-stage codegen — 100 TB of images never cross the "
+    "Arrow boundary to be sized (JPEG's variable-offset marker scan "
+    "is the separate library-free jpeg_dims mapInPandas, "
+    "golden-byte-tested). The query synthesizes valid PNG headers "
+    "from doc fields with binary concat built-ins and parses them "
+    "back; the oracle recomputes the embedded dims arithmetically, so "
+    "a construct/parse asymmetry anywhere fails the hash compare.",
+    refs=("§2.12",),
+)
+def q_image_dims(spark, sf_dir):
+    from lakeflow.operators.multimodal import image_dims
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.col("doc_id") % 512).cast("long")
+    h = (F.lit(1) + F.col("n_chars") % 512).cast("long")
+    payload = F.concat(
+        F.lit(bytes.fromhex("89504E470D0A1A0A")),  # PNG signature
+        F.lit(bytes.fromhex("0000000D")),  # IHDR length
+        F.lit(b"IHDR"),
+        F.unhex(F.lpad(F.hex(w), 8, "0")),  # width, 4-byte big-endian
+        F.unhex(F.lpad(F.hex(h), 8, "0")),  # height
+    )
+    synth = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
+    return image_dims(synth)

@@ -180,3 +180,62 @@ def test_expectations_annotate_and_split(spark):
 
     dups = duplicate_keys(df, ["id"]).collect()
     assert [(r["id"], r["n_rows"]) for r in dups] == [(4, 2)]
+
+
+def _png_bytes(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _jpeg_bytes(w, h):
+    import struct
+
+    # SOI + APP0(JFIF) + SOF0 carrying the dims + EOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\x08" + struct.pack(">HH", h, w) + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+
+
+def test_image_dims_real_headers(spark):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.multimodal import image_dims, jpeg_dims
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, payload=bytearray(_png_bytes(640, 480))),
+            Row(id=2, payload=bytearray(_gif_bytes(320, 200))),
+            Row(id=3, payload=bytearray(_jpeg_bytes(1920, 1080))),
+            Row(id=4, payload=bytearray(b"not an image at all")),
+        ]
+    )
+    fixed = {r["id"]: (r["format"], r["width"], r["height"]) for r in image_dims(df).collect()}
+    # PNG/GIF: dims via pure built-ins; JPEG recognized but dims deferred
+    assert fixed[1] == ("png", 640, 480)
+    assert fixed[2] == ("gif", 320, 200)
+    assert fixed[3] == ("jpeg", None, None)
+    assert fixed[4] == ("unknown", None, None)
+
+    jp = {r["id"]: (r["format"], r["width"], r["height"]) for r in jpeg_dims(df).collect()}
+    assert jp[3] == ("jpeg", 1920, 1080)  # real marker scan
+    assert jp[1][1] is None and jp[4] == ("unknown", None, None)
