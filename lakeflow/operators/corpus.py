@@ -286,11 +286,17 @@ def exact_percent_rank(
         value_col,
         F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__below"),
     )
-    total = df.count()
-    denom = max(total - 1, 1)
+    # the 1-row total broadcasts like percentile_band's thresholds — no
+    # eager driver action, the whole operator stays one lazy plan
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     # round-half-up in pure integer arithmetic (no doubles anywhere):
     # floor((below*1e6 + denom/2) / denom) == (below*2e6 + denom) div 2*denom
-    pr = F.expr(f"(__below * 2000000 + {denom}) div {2 * denom}").cast("long")
-    return df.join(F.broadcast(cdf), value_col).withColumn(out_col, pr).drop(
-        "__below"
+    pr = F.expr(
+        "(__below * 2000000 + greatest(__n - 1, 1)) div (2 * greatest(__n - 1, 1))"
+    ).cast("long")
+    return (
+        df.join(F.broadcast(cdf), value_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn(out_col, pr)
+        .drop("__below", "__n")
     )
