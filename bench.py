@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q_resample_locf",
     "q_resample_interp",
     "q_image_dims",
+    "q_wav_meta",
 ]
 
 

@@ -272,3 +272,106 @@ def jpeg_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(fn, DIMS_SCHEMA)
+
+
+WAV_SCHEMA = "id long, format string, n_channels long, sample_rate long, bits_per_sample long"
+MP4_SCHEMA = "id long, format string, duration_ms long"
+
+
+def _le16(payload_col: str, pos: int):
+    return _u8(payload_col, pos) + _u8(payload_col, pos + 1) * 256
+
+
+def _le32(payload_col: str, pos: int):
+    return (
+        _u8(payload_col, pos)
+        + _u8(payload_col, pos + 1) * 256
+        + _u8(payload_col, pos + 2) * 65536
+        + _u8(payload_col, pos + 3) * 16777216
+    )
+
+
+def wav_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio metadata without an audio library: the canonical WAV
+    layout (every mainstream encoder) puts the ``fmt `` chunk right
+    after the 12-byte RIFF/WAVE header, so channels (LE16 @23), sample
+    rate (LE32 @25) and bits/sample (LE16 @35) parse as pure JVM
+    built-ins — codegen, zero Python, payloads never shuffled.
+    Non-canonical chunk orders (rare: LIST-before-fmt) fall out as
+    nulls here; a box-scanning Python variant would cover them the way
+    :func:`jpeg_dims` covers JPEG. Returns
+    (id, format, n_channels, sample_rate, bits_per_sample)."""
+    riff = F.hex(F.expr(f"substring({payload_col}, 1, 4)")) == "52494646"
+    wave = F.hex(F.expr(f"substring({payload_col}, 9, 4)")) == "57415645"
+    fmt_ = F.hex(F.expr(f"substring({payload_col}, 13, 4)")) == "666D7420"
+    is_wav = riff & wave
+    canonical = is_wav & fmt_
+    return df.select(
+        F.col("id").cast("long").alias("id"),
+        F.when(is_wav, F.lit("wav")).otherwise(F.lit("unknown")).alias("format"),
+        F.when(canonical, _le16(payload_col, 23)).cast("long").alias("n_channels"),
+        F.when(canonical, _le32(payload_col, 25)).cast("long").alias("sample_rate"),
+        F.when(canonical, _le16(payload_col, 35)).cast("long").alias("bits_per_sample"),
+    )
+
+
+def mp4_duration(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Video container metadata without ffmpeg: MP4/ISO-BMFF is a tree
+    of length-prefixed boxes, so duration = mvhd.duration/mvhd.timescale
+    comes from a real box walk (top level → moov → mvhd, version 0 or
+    1) — data-dependent offsets, hence Arrow-batched ``mapInPandas``
+    like :func:`jpeg_dims`; still zero external libraries. Malformed or
+    non-MP4 payloads yield null duration. Returns
+    (id, format, duration_ms)."""
+    import struct
+
+    def boxes(b: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            typ = b[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            if size < 8 or i + size > end:
+                return
+            yield typ, i + 8, i + size
+            i += size
+
+    def parse(b: bytes):
+        is_mp4 = len(b) >= 12 and b[4:8] == b"ftyp"
+        if not is_mp4:
+            return None, False
+        for typ, s, e in boxes(b, 0, len(b)):
+            if typ != b"moov":
+                continue
+            for t2, s2, e2 in boxes(b, s, e):
+                if t2 != b"mvhd" or s2 + 4 > e2:
+                    continue
+                version = b[s2]
+                # after version(1)+flags(3): v0 has 4-byte creation +
+                # modification then II (ts, dur); v1 has 8-byte ones
+                # then I ts + Q dur
+                if version == 0 and s2 + 20 <= e2:
+                    ts, dur = struct.unpack(">II", b[s2 + 12 : s2 + 20])
+                elif version == 1 and s2 + 32 <= e2:
+                    ts, dur = struct.unpack(">IQ", b[s2 + 20 : s2 + 32])
+                else:
+                    continue
+                if ts:
+                    return dur * 1000 // ts, True
+        return None, True
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            durs, fmts = [], []
+            for b in pdf[payload_col]:
+                d, is_mp4 = parse(bytes(b)) if b is not None else (None, False)
+                durs.append(d)
+                fmts.append("mp4" if is_mp4 else "unknown")
+            yield pd.DataFrame(
+                {"id": pdf["id"], "format": fmts, "duration_ms": durs}
+            )
+
+    return df.mapInPandas(fn, MP4_SCHEMA)

@@ -2619,3 +2619,54 @@ def q_image_dims(spark, sf_dir):
     )
     synth = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
     return image_dims(synth)
+
+
+@query(
+    "q_wav_meta",
+    oracle="""
+    SELECT doc_id AS id, 'wav' AS format,
+           CAST(1 + doc_id % 8 AS BIGINT) AS n_channels,
+           CAST(8000 + (n_chars % 8) * 4000 AS BIGINT) AS sample_rate,
+           CAST(8 * (1 + doc_id % 4) AS BIGINT) AS bits_per_sample
+    FROM documents
+    """,
+    description="Audio metadata via PURE JVM built-ins (operators/"
+    "multimodal.wav_meta): the canonical RIFF/WAVE layout holds "
+    "channels/sample-rate/bits at fixed little-endian offsets, so they "
+    "parse as binary substring + hex + conv in whole-stage codegen — "
+    "no audio library, no Python, payloads never shuffled. The query "
+    "synthesizes valid canonical WAV headers from doc fields "
+    "(little-endian byte construction with unhex/lpad built-ins) and "
+    "parses them back; the oracle recomputes the embedded fields "
+    "arithmetically, so any construct/parse endianness asymmetry "
+    "fails the hash compare.",
+    refs=("§2.12",),
+)
+def q_wav_meta(spark, sf_dir):
+    from lakeflow.operators.multimodal import wav_meta
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def le(col, nbytes):
+        return F.concat(
+            *[
+                F.unhex(
+                    F.lpad(F.hex(F.expr(f"({col}) div {256 ** i} % 256")), 2, "0")
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    payload = F.concat(
+        F.lit(b"RIFF"),
+        F.lit(bytes(4)),  # RIFF size: not read by the parser
+        F.lit(b"WAVEfmt "),
+        F.lit((16).to_bytes(4, "little")),  # fmt chunk size
+        F.lit((1).to_bytes(2, "little")),  # PCM
+        le("1 + doc_id % 8", 2),  # channels
+        le("8000 + (n_chars % 8) * 4000", 4),  # sample rate
+        F.lit(bytes(6)),  # byte rate + block align: not read
+        le("8 * (1 + doc_id % 4)", 2),  # bits per sample
+    )
+    synth = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
+    return wav_meta(synth)

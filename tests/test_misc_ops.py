@@ -239,3 +239,55 @@ def test_image_dims_real_headers(spark):
     jp = {r["id"]: (r["format"], r["width"], r["height"]) for r in jpeg_dims(df).collect()}
     assert jp[3] == ("jpeg", 1920, 1080)  # real marker scan
     assert jp[1][1] is None and jp[4] == ("unknown", None, None)
+
+
+def _wav_bytes(channels, rate, bits):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    data = b"\x00" * 8
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+           + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4_bytes(timescale, duration, version=0):
+    import struct
+
+    if version == 0:
+        mvhd_body = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(
+            ">II", timescale, duration
+        ) + b"\x00" * 80
+    else:
+        mvhd_body = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, duration
+        ) + b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_wav_and_mp4_meta_real_headers(spark):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.multimodal import mp4_duration, wav_meta
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, payload=bytearray(_wav_bytes(2, 44100, 16))),
+            Row(id=2, payload=bytearray(_mp4_bytes(1000, 95_500))),
+            Row(id=3, payload=bytearray(_mp4_bytes(90_000, 90_000 * 61, version=1))),
+            Row(id=4, payload=bytearray(b"garbage bytes, not media")),
+        ]
+    )
+    wav = {r["id"]: (r["format"], r["n_channels"], r["sample_rate"], r["bits_per_sample"])
+           for r in wav_meta(df).collect()}
+    assert wav[1] == ("wav", 2, 44100, 16)
+    assert wav[2][0] == "unknown" and wav[4][0] == "unknown"
+
+    mp4 = {r["id"]: (r["format"], r["duration_ms"]) for r in mp4_duration(df).collect()}
+    assert mp4[2] == ("mp4", 95_500)       # v0 mvhd: 95.5s at timescale 1000
+    assert mp4[3] == ("mp4", 61_000)       # v1 mvhd: 61s at timescale 90000
+    assert mp4[1] == ("unknown", None) and mp4[4] == ("unknown", None)
