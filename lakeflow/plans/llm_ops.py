@@ -2587,7 +2587,8 @@ def q_resample_interp(spark, sf_dir):
 @query(
     "q_image_dims",
     oracle="""
-    SELECT doc_id AS id, 'png' AS format,
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
            CAST(1 + doc_id % 512 AS BIGINT) AS width,
            CAST(1 + n_chars % 512 AS BIGINT) AS height
     FROM documents
@@ -2610,13 +2611,25 @@ def q_image_dims(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     w = (F.lit(1) + F.col("doc_id") % 512).cast("long")
     h = (F.lit(1) + F.col("n_chars") % 512).cast("long")
-    payload = F.concat(
+    png = F.concat(
         F.lit(bytes.fromhex("89504E470D0A1A0A")),  # PNG signature
         F.lit(bytes.fromhex("0000000D")),  # IHDR length
         F.lit(b"IHDR"),
         F.unhex(F.lpad(F.hex(w), 8, "0")),  # width, 4-byte big-endian
         F.unhex(F.lpad(F.hex(h), 8, "0")),  # height
     )
+
+    # GIF logical screen descriptor: 2-byte LITTLE-endian dims — the
+    # opposite byte order from PNG, so the round trip catches an
+    # endianness asymmetry on either side
+    gif = F.concat(
+        F.lit(b"GIF89a"),
+        F.unhex(F.lpad(F.hex(w % 256), 2, "0")),
+        F.unhex(F.lpad(F.hex(F.floor(w / 256).cast("long")), 2, "0")),
+        F.unhex(F.lpad(F.hex(h % 256), 2, "0")),
+        F.unhex(F.lpad(F.hex(F.floor(h / 256).cast("long")), 2, "0")),
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif)
     synth = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
     return image_dims(synth)
 
