@@ -276,14 +276,18 @@ def exact_percent_rank(
     Returns ``df`` + ``out_col`` (micro-int percent_rank, floor(x*1e6
     + 0.5), SQL-oracle-exact). For a value domain too large to window
     (raw doubles), quantize to micro-ints first — which quality scores
-    already are."""
+    already are. NULL values follow Spark's ascending-sort placement
+    (NULLS FIRST, so every null row ranks 0 and counts toward later
+    ranks — identical to ``percent_rank()`` in Spark; a DuckDB oracle
+    must say ``ORDER BY v NULLS FIRST``); the CDF attaches null-safely,
+    so no row is ever dropped."""
     counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     w = (
         Window.orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cdf = counts.select(
-        value_col,
+        F.col(value_col).alias("__cv"),
         F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__below"),
     )
     # the 1-row total broadcasts like percentile_band's thresholds — no
@@ -295,8 +299,8 @@ def exact_percent_rank(
         "(__below * 2000000 + greatest(__n - 1, 1)) div (2 * greatest(__n - 1, 1))"
     ).cast("long")
     return (
-        df.join(F.broadcast(cdf), value_col)
+        df.join(F.broadcast(cdf), F.col(value_col).eqNullSafe(F.col("__cv")))
         .crossJoin(F.broadcast(total))
         .withColumn(out_col, pr)
-        .drop("__below", "__n")
+        .drop("__below", "__n", "__cv")
     )

@@ -64,15 +64,16 @@ def expectation_report(
     per rule — ONE conditional hash-aggregate over a single scan
     (each rule becomes a SUM(CASE WHEN NOT ok)). The shape that stays
     cheap at 100 TB because nothing is materialized per rule."""
+    from functools import reduce
+
+    all_pass = reduce(
+        Column.__and__,
+        (F.coalesce(c, F.lit(False)) for c in rules.values()),
+        F.lit(True),
+    )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(
-            F.when(
-                ~functools_reduce_and([c for c in rules.values()]), 0
-            ).otherwise(1)
-        )
-        .cast("long")
-        .alias("n_clean"),
+        F.sum(all_pass.cast("long")).cast("long").alias("n_clean"),
     ]
     for name, cond in rules.items():
         aggs.append(
@@ -81,14 +82,6 @@ def expectation_report(
             .alias(f"viol_{name}")
         )
     return df.agg(*aggs)
-
-
-def functools_reduce_and(conds: Sequence[Column]) -> Column:
-    out = None
-    for c in conds:
-        c = F.coalesce(c, F.lit(False))
-        out = c if out is None else (out & c)
-    return out if out is not None else F.lit(True)
 
 
 def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:

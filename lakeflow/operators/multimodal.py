@@ -246,12 +246,20 @@ def jpeg_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None
+            # the spec allows any number of 0xFF fill bytes before the
+            # marker byte — skip them rather than mis-stride
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(b):
+                return None
             marker = b[i + 1]
             if marker in sof:
                 if i + 9 > len(b):
                     return None
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return (w, h)
+            if marker == 0xD9:  # EOI: stream over, no SOF found
+                return None
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers have no length field
                 continue

@@ -56,16 +56,19 @@ def bucketed_running_sum(
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.groupBy(group_col).agg(
         F.percentile_approx(order_c, probs, accuracy).alias("__bnds")
-    )
+    ).withColumnRenamed(group_col, "__bg")
+    # joins back to per-group relations use NULL-SAFE equality: groupBy
+    # keeps a NULL group, but a plain equi-join would silently DROP
+    # every null-keyed row (the window form it replaces kept them)
     keyed = (
         df.withColumn("__o", order_c.cast("double"))
         .withColumn("__v", val_c.cast("long"))
-        .join(bounds, group_col)
+        .join(bounds, F.col(group_col).eqNullSafe(F.col("__bg")))
         .withColumn(
             "__b",
             F.size(F.filter(F.col("__bnds"), lambda x: x.cast("double") < F.col("__o"))),
         )
-        .drop("__bnds")
+        .drop("__bnds", "__bg")
     )
     totals = keyed.groupBy(group_col, "__b").agg(F.sum("__v").alias("__bt"))
     w_off = (
@@ -73,10 +76,14 @@ def bucketed_running_sum(
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.select(
-        group_col,
-        "__b",
-        F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
+    offsets = (
+        totals.select(
+            group_col,
+            "__b",
+            F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
+        )
+        .withColumnRenamed(group_col, "__og")
+        .withColumnRenamed("__b", "__ob")
     )
     ties = [F.col(t) if isinstance(t, str) else t for t in tie_cols]
     w_in = (
@@ -85,7 +92,11 @@ def bucketed_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        keyed.join(offsets, [group_col, "__b"])
+        keyed.join(
+            offsets,
+            F.col(group_col).eqNullSafe(F.col("__og"))
+            & (F.col("__b") == F.col("__ob")),
+        )
         .withColumn(out_col, (F.sum("__v").over(w_in) + F.col("__off")).cast("long"))
-        .drop("__o", "__v", "__b", "__off")
+        .drop("__o", "__v", "__b", "__off", "__og", "__ob")
     )

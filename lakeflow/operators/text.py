@@ -368,7 +368,13 @@ def excise_repeated_spans(
     )
     ps = F.coalesce(F.col("__ps"), F.array().cast("array<int>"))
     toks = F.col("__toks")
-    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    # guard the empty-array case: sequence(0, -1) yields the DESCENDING
+    # [0, -1] (Spark infers step -1), which would fabricate phantom
+    # indices and a negative n_excised (same guard as
+    # shingles_from_tokens)
+    idx = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     kept_idx = F.filter(
         idx,
         lambda i: ~F.exists(ps, lambda p: (p <= i) & (i < p + F.lit(n))),

@@ -124,7 +124,27 @@ def _claim_version(target_path: str, expected_version: int) -> None:
         ) from None
 
 
-def _fenced_overwrite(df: DataFrame, target_path: str, expected_version: int) -> None:
+def _recover_merge_swap(target_path: str) -> None:
+    """Crash recovery for the two-rename swap: a process death between
+    ``os.rename(base, old)`` and ``os.rename(tmp, base)`` leaves the
+    table only in the deterministic ``._merge_old`` sibling — restore
+    it before anyone reads (a reader seeing the path missing would
+    otherwise treat the table as empty and the next merge would
+    silently rebuild it from just the incoming batch)."""
+    if not _fencing_enabled(target_path):
+        return
+    base = _local_path(target_path).rstrip("/")
+    old = base + "._merge_old"
+    if not os.path.isdir(base) and os.path.isdir(old):
+        os.rename(old, base)
+
+
+def _fenced_overwrite(
+    df: DataFrame,
+    target_path: str,
+    expected_version: int,
+    commit_token: str | None = None,
+) -> None:
     """Commit ``df`` over ``target_path`` iff no other merge committed
     since ``expected_version`` was observed.
 
@@ -152,13 +172,34 @@ def _fenced_overwrite(df: DataFrame, target_path: str, expected_version: int) ->
     # os-level swap needs a plain path even when the caller passed
     # file://…; Spark resolves the plain path to the same location
     base = _local_path(target_path).rstrip("/")
+    _recover_merge_swap(target_path)
     # staging dir is unique per attempt: two racing mergers must never
-    # share one (both may stage fully; the fence then picks the winner)
+    # share one (both may stage fully; the fence then picks the winner).
+    # The BACKUP dir is deterministic — only the fence winner reaches
+    # the swap, and a fixed name is what lets a crashed mid-swap state
+    # be recovered by the next merge (_recover_merge_swap) instead of
+    # rotting under an unguessable uuid.
     tmp = f"{base}._merge_tmp_{uuid.uuid4().hex[:12]}"
-    old = f"{base}._merge_old_{uuid.uuid4().hex[:12]}"
+    old = f"{base}._merge_old"
     try:
         df.write.parquet(tmp)
+        # commit tokens ride INSIDE the staged dir ('_'-prefixed files
+        # are invisible to Spark's parquet reader), so token visibility
+        # is ATOMIC with the data swap — callers use them to make
+        # non-idempotent merges replay-safe. Earlier commits' tokens
+        # carry forward (they are empty marker files; vacuum_versions
+        # prunes old ones) so replay protection survives later merges.
+        if os.path.isdir(base):
+            for f in os.listdir(base):
+                if f.startswith("_token_"):
+                    with open(os.path.join(tmp, f), "w"):
+                        pass
+        if commit_token is not None:
+            with open(os.path.join(tmp, f"_token_{commit_token}"), "w"):
+                pass
         _claim_version(base, expected_version)
+        shutil.rmtree(old, ignore_errors=True)  # stale backup from a
+        # PREVIOUS completed swap (recovery above restored any live one)
         if os.path.isdir(base):
             os.rename(base, old)
         os.rename(tmp, base)
@@ -172,6 +213,15 @@ def _fenced_overwrite(df: DataFrame, target_path: str, expected_version: int) ->
     shutil.rmtree(old, ignore_errors=True)
 
 
+def has_commit_token(target_path: str, commit_token: str) -> bool:
+    """True iff the LAST committed overwrite of ``target_path`` carried
+    ``commit_token`` (see ``_fenced_overwrite``): the token file is
+    swapped in atomically with the data, so 'token present' == 'that
+    batch's merge is fully committed' with no in-between state."""
+    base = _local_path(target_path).rstrip("/")
+    return os.path.exists(os.path.join(base, f"_token_{commit_token}"))
+
+
 def read_target_if_exists(spark: SparkSession, target_path: str) -> DataFrame | None:
     """Read an existing merge target, returning None ONLY when the path
     genuinely does not exist yet. Any other read failure (transient S3
@@ -181,6 +231,7 @@ def read_target_if_exists(spark: SparkSession, target_path: str) -> DataFrame | 
     history with just the incoming batch."""
     from pyspark.errors import AnalysisException
 
+    _recover_merge_swap(target_path)
     try:
         return spark.read.parquet(target_path)
     except AnalysisException as e:
@@ -243,6 +294,7 @@ def merge_additive(
     delta: DataFrame,
     keys: Sequence[str],
     sum_cols: Sequence[str],
+    commit_token: str | None = None,
 ) -> None:
     """Incremental AGGREGATE maintenance: fold a pre-aggregated delta
     batch into a running per-key totals table by SUMMING measure
@@ -252,7 +304,10 @@ def merge_additive(
     existing keys add. Work is O(|target keys| + |delta|), never
     O(history). Same version-fencing and failure-atomicity contract as
     the other mergers; NOT idempotent per batch (re-applying a delta
-    double-counts) — dedupe batches upstream via ingest state."""
+    double-counts) — dedupe batches upstream via ingest state, or pass
+    ``commit_token`` (e.g. the streaming batch id): the token commits
+    ATOMICALLY with the data swap, so ``has_commit_token`` answers
+    "was this exact delta already folded in" with no race window."""
     v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
     existing = read_target_if_exists(spark, target_path)
     if existing is not None:
@@ -262,7 +317,7 @@ def merge_additive(
     out = merged.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
-    _fenced_overwrite(out, target_path, v0)
+    _fenced_overwrite(out, target_path, v0, commit_token=commit_token)
 
 
 def merge_delete(
@@ -290,12 +345,11 @@ def merge_delete(
 
 
 def vacuum_versions(target_path: str, keep_last: int = 10) -> int:
-    """Retention for the merge fence's version markers (and the
-    streaming counters' applied-batch markers, which share the naming
-    scheme): both directories grow one empty file per commit forever.
-    Keeps the ``keep_last`` highest version markers — enough history to
-    detect concurrent writers — and every applied-batch marker at or
-    above the surviving minimum. Returns files removed."""
+    """Retention for the merge fence's version markers and the
+    in-table streaming commit tokens: both grow one empty file per
+    commit forever. Keeps the ``keep_last`` highest version markers —
+    enough history to detect concurrent writers — and the ``keep_last``
+    newest commit tokens. Returns files removed."""
     removed = 0
     d = _versions_dir(target_path)
     if os.path.isdir(d):
@@ -305,12 +359,14 @@ def vacuum_versions(target_path: str, keep_last: int = 10) -> int:
         for n in ns[:-keep_last] if keep_last else ns:
             os.remove(os.path.join(d, f"v{n}"))
             removed += 1
-    a = _local_path(target_path).rstrip("/") + "._applied"
-    if os.path.isdir(a):
-        ns = sorted(
-            int(f[1:]) for f in os.listdir(a) if f[:1] == "b" and f[1:].isdigit()
+    base = _local_path(target_path).rstrip("/")
+    if os.path.isdir(base):
+        toks = sorted(
+            int(f[8:])
+            for f in os.listdir(base)
+            if f.startswith("_token_b") and f[8:].isdigit()
         )
-        for n in ns[:-keep_last] if keep_last else ns:
-            os.remove(os.path.join(a, f"b{n}"))
+        for n in toks[:-keep_last] if keep_last else toks:
+            os.remove(os.path.join(base, f"_token_b{n}"))
             removed += 1
     return removed

@@ -154,37 +154,34 @@ def stream_corpus_counters(
     group. Returns the StreamingQuery.
 
     Exactly-once on replays: ``merge_additive`` is NOT idempotent (a
-    re-applied delta double-counts), so each batch commit drops a
-    ``_applied_<batch_id>`` marker next to the target AFTER the merge;
-    a replayed batch (crash between merge and checkpoint commit) sees
-    its marker and becomes a no-op — the standard transactional-id
-    upgrade a real table format provides natively. Markers are keyed by
+    re-applied delta double-counts), so each batch passes its batch id
+    as the merge's ``commit_token`` — the token file is swapped in
+    ATOMICALLY with the merged data (it rides inside the staged
+    directory), so there is no crash window between "data committed"
+    and "marker written": a replayed batch either finds its token (the
+    merge fully committed; no-op) or finds no token (the merge never
+    became visible; safe to apply). This is the transactional-batch-id
+    upgrade a real table format provides natively. Tokens are keyed by
     the checkpoint lineage's batch ids: to legitimately REPROCESS into
-    an existing target (new checkpoint, same totals table), clear the
-    ``._applied`` directory along with the target."""
-    import os
-
+    an existing target (new checkpoint, same totals table), delete the
+    totals table and start fresh."""
     from lakeflow.operators.text import token_count
-    from lakeflow.sinks.merge import _local_path, merge_additive
+    from lakeflow.sinks.merge import has_commit_token, merge_additive
     from lakeflow.streaming.pipeline import stream_ndjson
 
     stream = stream_ndjson(spark, path, schema)
 
     def _batch(batch, batch_id: int) -> None:
-        markers = _local_path(target_path).rstrip("/") + "._applied"
-        marker = os.path.join(markers, f"b{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch: delta already folded in
+        if has_commit_token(target_path, f"b{batch_id}"):
+            return  # replayed batch: its merge fully committed already
         delta = batch.groupBy(group_col).agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(token_count(text_col).cast("long")).alias("n_tokens"),
         )
         merge_additive(
-            spark, target_path, delta, [group_col], ["n_docs", "n_tokens"]
+            spark, target_path, delta, [group_col], ["n_docs", "n_tokens"],
+            commit_token=f"b{batch_id}",
         )
-        os.makedirs(markers, exist_ok=True)
-        with open(marker, "x"):
-            pass
 
     writer = stream.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint

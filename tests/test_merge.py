@@ -358,3 +358,54 @@ def test_vacuum_versions_keeps_recent(spark, tmp_path):
         "ts",
     )
     assert _current_version(tgt) == 6
+
+
+def test_merge_mid_swap_crash_recovery(spark, tmp_path):
+    # a process death between the two swap renames leaves the table
+    # only in the deterministic ._merge_old sibling; the next
+    # read/merge must restore it rather than treat the table as empty
+    # and silently rebuild history from one batch
+    import os
+
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    tgt = str(tmp_path / "crash_t")
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [Row(k=1, v="a", ts=_ts("2024-01-01")), Row(k=2, v="b", ts=_ts("2024-01-01"))]
+        ),
+        ["k"],
+        "ts",
+    )
+    os.rename(tgt, tgt + "._merge_old")  # simulate the crash point
+    # path 1: a plain read recovers
+    assert read_target_if_exists(spark, tgt).count() == 2
+    os.rename(tgt, tgt + "._merge_old")  # crash again
+    # path 2: a merge recovers before reading — history survives
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([Row(k=3, v="c", ts=_ts("2024-02-01"))]),
+        ["k"],
+        "ts",
+    )
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_commit_token_atomic_with_data(spark, tmp_path):
+    from lakeflow.sinks.merge import has_commit_token, merge_additive
+
+    tgt = str(tmp_path / "tok_t")
+    d1 = spark.createDataFrame([Row(k="web", n=2)])
+    merge_additive(spark, tgt, d1, ["k"], ["n"], commit_token="b0")
+    assert has_commit_token(tgt, "b0")
+    # a later tokened merge carries earlier tokens forward
+    merge_additive(spark, tgt, d1, ["k"], ["n"], commit_token="b1")
+    assert has_commit_token(tgt, "b0") and has_commit_token(tgt, "b1")
+    # untokened merges (upsert on the same table) preserve them too
+    merge_additive(spark, tgt, d1, ["k"], ["n"])
+    assert has_commit_token(tgt, "b1")
+    assert {r["n"] for r in spark.read.parquet(tgt).collect()} == {6}

@@ -291,3 +291,30 @@ def test_wav_and_mp4_meta_real_headers(spark):
     assert mp4[2] == ("mp4", 95_500)       # v0 mvhd: 95.5s at timescale 1000
     assert mp4[3] == ("mp4", 61_000)       # v1 mvhd: 61s at timescale 90000
     assert mp4[1] == ("unknown", None) and mp4[4] == ("unknown", None)
+
+
+def test_jpeg_dims_fill_bytes_and_eoi(spark):
+    import struct
+
+    from pyspark.sql import Row
+
+    from lakeflow.operators.multimodal import jpeg_dims
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\x08" + struct.pack(">HH", 240, 320) + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    # spec-legal 0xFF fill bytes padding before the SOF marker
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+    # EOI before any SOF: terminates cleanly with null dims
+    eoi_only = b"\xff\xd8" + b"\xff\xd9"
+    df = spark.createDataFrame(
+        [Row(id=1, payload=bytearray(padded)), Row(id=2, payload=bytearray(eoi_only))]
+    )
+    out = {r["id"]: (r["width"], r["height"]) for r in jpeg_dims(df).collect()}
+    assert out[1] == (320, 240)
+    assert out[2] == (None, None)

@@ -200,3 +200,19 @@ def test_packing_and_budget_mix_never_window_whole_group(spark):
     src = inspect.getsource(sampling)
     assert "bucketed_running_sum" in src
     assert "Window.partitionBy(group_col)" not in src
+
+
+def test_bucketed_running_sum_keeps_null_groups(spark):
+    # regression: the CDF/offset joins must be NULL-SAFE — a corpus
+    # with a null domain/shard must not silently lose those rows (the
+    # window form this replaced kept them in their own partition)
+    from lakeflow.operators.prefix import bucketed_running_sum
+
+    df = spark.createDataFrame(
+        [Row(g="a", i=1, v=5), Row(g=None, i=2, v=7), Row(g=None, i=3, v=2)]
+    )
+    got = {
+        (r["g"], r["i"], r["run"])
+        for r in bucketed_running_sum(df, "g", "i", (), "v").collect()
+    }
+    assert got == {("a", 1, 5), (None, 2, 7), (None, 3, 9)}

@@ -643,3 +643,26 @@ def test_dedup_paragraphs_whitespace_normalized_match(spark):
     out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
     assert out[1]["n_dropped"] == 0 and out[1]["clean_text"] == "  x  \npad"
     assert out[2]["n_dropped"] == 1 and out[2]["clean_text"] == "pad2"
+
+
+def test_exact_percent_rank_null_values_kept(spark):
+    # regression: null values attach null-safely and rank first
+    # (Spark's ascending NULLS FIRST), matching percent_rank() exactly
+    from pyspark.sql import Window as W
+
+    from lakeflow.operators.corpus import exact_percent_rank
+
+    df = spark.createDataFrame(
+        [Row(id=1, v=None), Row(id=2, v=None), Row(id=3, v=5), Row(id=4, v=10)]
+    )
+    got = {
+        (r["id"], r["pr_micros"])
+        for r in exact_percent_rank(df, "v").collect()
+    }
+    truth = {
+        (r["id"], round(r["pr"] * 1_000_000))
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(W.orderBy("v"))
+        ).collect()
+    }
+    assert got == truth and len(got) == 4
