@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "q_resample_interp",
     "q_image_dims",
     "q_wav_meta",
+    "q_bigram_surprisal",
 ]
 
 

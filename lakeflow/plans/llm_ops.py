@@ -2683,3 +2683,55 @@ def q_wav_meta(spark, sf_dir):
     )
     synth = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
     return wav_meta(synth)
+
+
+_BIGRAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id,
+                 toks[CAST(u.i AS INT)+1] AS cur,
+                 CASE WHEN u.i > 0 AND toks[CAST(u.i AS INT)] <> ''
+                      THEN toks[CAST(u.i AS INT)] END AS prev
+          FROM t, unnest(range(0, len(toks))) AS u(i)),
+    e2 AS (SELECT * FROM e WHERE cur <> ''),
+    uni AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS cn FROM e2 GROUP BY cur),
+    tot AS (SELECT CAST(SUM(cn) AS BIGINT) AS total FROM uni),
+    bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bn
+           FROM e2 WHERE prev IS NOT NULL GROUP BY prev, cur),
+    sc AS (
+      SELECT e2.doc_id,
+             CAST(length(bin(CASE
+               WHEN e2.prev IS NULL THEN tot.total // uni.cn
+               WHEN bi.bn IS NOT NULL THEN pu.cn // bi.bn
+               ELSE (tot.total * 5) // (2 * uni.cn) END)) AS BIGINT) AS bits
+      FROM e2
+      JOIN uni ON e2.cur = uni.cur
+      LEFT JOIN uni pu ON e2.prev = pu.cur
+      LEFT JOIN bi ON e2.prev = bi.prev AND e2.cur = bi.cur
+      CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+           CAST((SUM(bits) * 1000) // COUNT(*) AS BIGINT) AS mean_surprisal_milli
+    FROM sc GROUP BY doc_id
+"""
+
+
+@query(
+    "q_bigram_surprisal",
+    oracle=_BIGRAM_ORACLE,
+    description="Bigram corpus-LM surprisal with stupid backoff "
+    "(operators/corpus.bigram_surprisal_profile; Brants et al. 2007): "
+    "each position scores bit_length(C(prev) div C(prev,w)) when the "
+    "bigram was seen, else the 0.4-weighted unigram backoff folded "
+    "into integer division (total*5 div 2*C(w)); first tokens score "
+    "unigram. Catches common-WORDS/impossible-SEQUENCES word salad "
+    "that fools the unigram proxy. Bigrams come from one narrow array "
+    "transform (no positional self-join); counts are two map-side-"
+    "combined hash-aggregates; lookups are equi-joins AQE skew-splits; "
+    "pure-integer whole-bit surprisal, no floating log.",
+    refs=("§2.12",),
+)
+def q_bigram_surprisal(spark, sf_dir):
+    from lakeflow.operators.corpus import bigram_surprisal_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_surprisal_profile(d, "doc_id", "text")

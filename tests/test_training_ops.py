@@ -666,3 +666,48 @@ def test_exact_percent_rank_null_values_kept(spark):
         ).collect()
     }
     assert got == truth and len(got) == 4
+
+
+def test_bigram_surprisal_backoff_semantics(spark):
+    from lakeflow.operators.corpus import bigram_surprisal_profile
+
+    # corpus: "a b" x3 establishes the bigram; doc 4 has "b a" — words
+    # common, SEQUENCE unseen -> backoff path fires and doc 4 scores
+    # strictly higher mean surprisal than the template docs
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b"),
+            Row(doc_id=2, text="a b"),
+            Row(doc_id=3, text="a b"),
+            Row(doc_id=4, text="b a"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in bigram_surprisal_profile(docs).collect()}
+    assert all(out[i]["n_tokens"] == 2 for i in out)
+    # total=8, C(a)=C(b)=4, C(a,b)=3, C(b,a)=1 (from doc 4 itself)
+    # doc1: first 'a' = bl(8 div 4)=bl(2)=2; 'b' seen bigram bl(4 div 3)=bl(1)=1
+    assert out[1]["surprisal_bits"] == 3
+    assert out[1]["surprisal_bits"] == out[2]["surprisal_bits"] == out[3]["surprisal_bits"]
+    # doc4: first 'b' = 2; 'a' after 'b': C(b,a)=1 -> bl(4 div 1)=3
+    assert out[4]["surprisal_bits"] == 5
+    assert out[4]["mean_surprisal_milli"] > out[1]["mean_surprisal_milli"]
+
+
+def test_bigram_surprisal_pure_backoff(spark):
+    from lakeflow.operators.corpus import bigram_surprisal_profile
+
+    # unseen bigram in a doc whose words exist elsewhere: backoff
+    # formula bl((total*5) div (2*C(w)))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x x x"),
+            Row(doc_id=2, text="y"),
+            Row(doc_id=3, text="x y"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in bigram_surprisal_profile(docs).collect()}
+    # total=6, C(x)=4, C(y)=2, C(x,y)=1, C(x,x)=2
+    # doc3: 'x' first = bl(6 div 4)=bl(1)=1; 'y' after x: seen (doc3's own) bl(4 div 1)=3
+    assert out[3]["surprisal_bits"] == 4
+    # doc2: single token 'y' = bl(6 div 2) = bl(3) = 2
+    assert out[2]["surprisal_bits"] == 2
