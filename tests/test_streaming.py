@@ -375,3 +375,47 @@ def test_stream_corpus_counters_additive_and_replay_safe(spark, tmp_path):
     q.awaitTermination(120)
     t3 = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in spark.read.parquet(tgt).collect()}
     assert t3 == t2, "replayed batches must not double-count"
+
+
+def test_parse_kafka_stream_matches_dump_contract(spark):
+    # the live-source projection is pure expressions: exercise it on a
+    # static frame with the connector's exact output schema
+    import json
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from lakeflow.streaming.kafka_live import parse_kafka_stream
+
+    raw = spark.createDataFrame(
+        [
+            Row(
+                key=bytearray(b"k1"),
+                value=bytearray(json.dumps({"user_id": 7, "status": "APPROVED"}).encode()),
+                topic="card-events",
+                partition=0,
+                offset=42,
+                timestamp=datetime.fromisoformat("2024-01-01T00:00:00"),
+                timestampType=0,
+            )
+        ]
+    )
+    flat = parse_kafka_stream(raw, "user_id long, status string")
+    assert flat.columns == ["user_id", "status"]
+    r = flat.collect()[0]
+    assert (r["user_id"], r["status"]) == (7, "APPROVED")
+
+    env = parse_kafka_stream(raw, "user_id long, status string", keep_envelope=True)
+    r2 = env.collect()[0]
+    assert (r2["topic"], r2["partition"], r2["offset"], r2["key"]) == (
+        "card-events", 0, 42, "k1",
+    )
+
+
+def test_stream_kafka_topic_clear_error_without_connector(spark):
+    import pytest
+
+    from lakeflow.streaming.kafka_live import stream_kafka_topic
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        stream_kafka_topic(spark, "localhost:9092", "t", "a long")
