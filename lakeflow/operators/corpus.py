@@ -130,6 +130,13 @@ def contamination_profile(
     )
 
 
+def int_bits(expr: str):
+    """Whole-bit integer surprisal primitive shared by the LM ops:
+    bit_length(x) = length of x in base 2 = floor(log2 x) + 1 — conv +
+    length reproduce it identically in any engine, no floating log."""
+    return F.length(F.conv(F.expr(expr).cast("string"), 10, 2))
+
+
 def surprisal_profile(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -161,7 +168,7 @@ def surprisal_profile(
     ).filter(F.col("tok") != "")
     uni = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     tot = uni.agg(F.sum("n").alias("total"))
-    bits = F.length(F.conv(F.expr("total div n").cast("string"), 10, 2))
+    bits = int_bits("total div n")
     sc = (
         ex.join(uni, "tok")
         .crossJoin(F.broadcast(tot))
@@ -310,12 +317,19 @@ def bigram_surprisal_profile(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_bigram_count: int = 2,
 ) -> DataFrame:
     """Bigram corpus-LM surprisal with STUPID BACKOFF (Brants et al.
     2007 — the backoff large-scale LMs actually use, because it needs
     no discounting mass): position i scores against
-    P(w_i | w_{i-1}) = C(prev,w)/C(prev) when the bigram was seen,
-    else 0.4 * C(w)/total; the first token scores unigram. A sharper
+    P(w_i | w_{i-1}) = C(prev,w)/C(prev) when the bigram is SEEN —
+    meaning C >= ``min_bigram_count``; when self-scoring the training
+    corpus every occurrence trivially contributes its own count, so
+    with a threshold of 1 the backoff branch could never fire — else
+    0.4 * C(w)/total; the first token scores unigram. The default
+    threshold of 2 is the standard count-noise floor: a sequence seen
+    exactly once (i.e. only in the document being scored) is treated
+    as UNSEEN and backs off. A sharper
     quality proxy than :func:`surprisal_profile`: word-salad with
     common WORDS but impossible SEQUENCES ranks high here while
     fooling the unigram model. Returns (id, n_tokens, surprisal_bits,
@@ -360,6 +374,7 @@ def bigram_surprisal_profile(
         ex.filter(F.col("prev").isNotNull())
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") >= min_bigram_count)
     )
     prev_c = uni.select(
         F.col("cur").alias("prev"), F.col("__cn").alias("__pn")
@@ -370,11 +385,10 @@ def bigram_surprisal_profile(
         .join(bi, ["prev", "cur"], "left")
         .crossJoin(F.broadcast(tot))
     )
-    bl = lambda e: F.length(F.conv(F.expr(e).cast("string"), 10, 2))  # noqa: E731
     bits = (
-        F.when(F.col("prev").isNull(), bl("total div __cn"))
-        .when(F.col("__bn").isNotNull(), bl("__pn div __bn"))
-        .otherwise(bl("(total * 5) div (2 * __cn)"))
+        F.when(F.col("prev").isNull(), int_bits("total div __cn"))
+        .when(F.col("__bn").isNotNull(), int_bits("__pn div __bn"))
+        .otherwise(int_bits("(total * 5) div (2 * __cn)"))
     )
     sc = joined.select(F.col(id_col), bits.cast("long").alias("bits"))
     return sc.groupBy(id_col).agg(

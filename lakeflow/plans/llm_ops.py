@@ -2696,7 +2696,8 @@ _BIGRAM_ORACLE = f"""
     uni AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS cn FROM e2 GROUP BY cur),
     tot AS (SELECT CAST(SUM(cn) AS BIGINT) AS total FROM uni),
     bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bn
-           FROM e2 WHERE prev IS NOT NULL GROUP BY prev, cur),
+           FROM e2 WHERE prev IS NOT NULL GROUP BY prev, cur
+           HAVING COUNT(*) >= 2),
     sc AS (
       SELECT e2.doc_id,
              CAST(length(bin(CASE
@@ -2721,7 +2722,10 @@ _BIGRAM_ORACLE = f"""
     description="Bigram corpus-LM surprisal with stupid backoff "
     "(operators/corpus.bigram_surprisal_profile; Brants et al. 2007): "
     "each position scores bit_length(C(prev) div C(prev,w)) when the "
-    "bigram was seen, else the 0.4-weighted unigram backoff folded "
+    "bigram count clears the noise floor (>= 2 — self-scoring means "
+    "every occurrence contributes its own count, so a threshold of 1 "
+    "would make backoff unreachable), else the 0.4-weighted unigram "
+    "backoff folded "
     "into integer division (total*5 div 2*C(w)); first tokens score "
     "unigram. Catches common-WORDS/impossible-SEQUENCES word salad "
     "that fools the unigram proxy. Bigrams come from one narrow array "

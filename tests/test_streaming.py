@@ -411,6 +411,62 @@ def test_parse_kafka_stream_matches_dump_contract(spark):
         "card-events", 0, 42, "k1",
     )
 
+    # a relation without the connector's columns fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="kafka-connector"):
+        parse_kafka_stream(spark.range(3), "a long")
+
+
+def test_parse_kafka_stream_flatten_parity_with_dump_reader(spark):
+    # NESTED payloads and envelope-colliding field names must flatten
+    # to the SAME columns as the batch dump reader — that is the whole
+    # "runs unchanged" contract
+    import json
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from lakeflow.sources.kafka_dump import read_kafka_topic_dump
+    from lakeflow.streaming.kafka_live import parse_kafka_stream
+
+    payload = {"user": {"id": 7, "name": "x"}, "key": "inner", "status": "A"}
+    schema_v = "user struct<id: long, name: string>, key string, status string"
+
+    raw = spark.createDataFrame(
+        [
+            Row(
+                key=bytearray(b"k1"),
+                value=bytearray(json.dumps(payload).encode()),
+                topic="t",
+                partition=0,
+                offset=1,
+                timestamp=datetime.fromisoformat("2024-01-01T00:00:00"),
+                timestampType=0,
+            )
+        ]
+    )
+    live = parse_kafka_stream(raw, schema_v, keep_envelope=True)
+
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "dump.json"), "w") as f:
+        f.write(json.dumps({"topic": "t", "partition": 0, "offset": 1,
+                            "key": "k1", "value": payload}) + "\n")
+    dump_schema = (
+        "topic string, partition int, offset long, key string, value "
+        + schema_v.join(["struct<", ">"])
+    )
+    dump = read_kafka_topic_dump(spark, d, dump_schema, keep_envelope=True)
+    # identical flattened payload column names (the dump side has no
+    # kafka_ts — the one documented difference)
+    assert set(live.columns) - {"kafka_ts"} == set(dump.columns)
+    lrow = live.collect()[0]
+    drow = dump.collect()[0]
+    for c in dump.columns:
+        assert lrow[c] == drow[c], c
+
 
 def test_stream_kafka_topic_clear_error_without_connector(spark):
     import pytest

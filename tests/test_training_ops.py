@@ -671,9 +671,9 @@ def test_exact_percent_rank_null_values_kept(spark):
 def test_bigram_surprisal_backoff_semantics(spark):
     from lakeflow.operators.corpus import bigram_surprisal_profile
 
-    # corpus: "a b" x3 establishes the bigram; doc 4 has "b a" — words
-    # common, SEQUENCE unseen -> backoff path fires and doc 4 scores
-    # strictly higher mean surprisal than the template docs
+    # corpus: "a b" x3 establishes the bigram above the noise floor;
+    # doc 4 has "b a" — its sequence count is 1 (only itself), which is
+    # UNSEEN under min_bigram_count=2, so the backoff path fires
     docs = spark.createDataFrame(
         [
             Row(doc_id=1, text="a b"),
@@ -684,30 +684,48 @@ def test_bigram_surprisal_backoff_semantics(spark):
     )
     out = {r["doc_id"]: r for r in bigram_surprisal_profile(docs).collect()}
     assert all(out[i]["n_tokens"] == 2 for i in out)
-    # total=8, C(a)=C(b)=4, C(a,b)=3, C(b,a)=1 (from doc 4 itself)
-    # doc1: first 'a' = bl(8 div 4)=bl(2)=2; 'b' seen bigram bl(4 div 3)=bl(1)=1
+    # total=8, C(a)=C(b)=4, C(a,b)=3 (seen), C(b,a)=1 (below floor)
+    # doc1: first 'a' = bl(8 div 4)=bl(2)=2; 'b' seen bl(4 div 3)=bl(1)=1
     assert out[1]["surprisal_bits"] == 3
     assert out[1]["surprisal_bits"] == out[2]["surprisal_bits"] == out[3]["surprisal_bits"]
-    # doc4: first 'b' = 2; 'a' after 'b': C(b,a)=1 -> bl(4 div 1)=3
+    # doc4: first 'b' = 2; 'a' after 'b' BACKS OFF: bl((8*5) div (2*4)) = bl(5) = 3
     assert out[4]["surprisal_bits"] == 5
     assert out[4]["mean_surprisal_milli"] > out[1]["mean_surprisal_milli"]
 
 
-def test_bigram_surprisal_pure_backoff(spark):
+def test_bigram_surprisal_backoff_differs_from_seen_formula(spark):
     from lakeflow.operators.corpus import bigram_surprisal_profile
 
-    # unseen bigram in a doc whose words exist elsewhere: backoff
-    # formula bl((total*5) div (2*C(w)))
+    # numbers chosen so the two formulas DISAGREE — proves the backoff
+    # branch executes rather than the seen-bigram branch with C=1:
+    # tokens: x*7 + "x y" -> total=9, C(x)=8, C(y)=1, C(x,y)=1 (< 2)
+    # backoff for y|x:  bl((9*5) div (2*1)) = bl(22) = 5
+    # seen-with-C=1 would have been bl(C(x) div 1) = bl(8) = 4
     docs = spark.createDataFrame(
         [
-            Row(doc_id=1, text="x x x"),
-            Row(doc_id=2, text="y"),
-            Row(doc_id=3, text="x y"),
+            Row(doc_id=1, text="x x x x x x x"),
+            Row(doc_id=2, text="x y"),
         ]
     )
     out = {r["doc_id"]: r for r in bigram_surprisal_profile(docs).collect()}
-    # total=6, C(x)=4, C(y)=2, C(x,y)=1, C(x,x)=2
-    # doc3: 'x' first = bl(6 div 4)=bl(1)=1; 'y' after x: seen (doc3's own) bl(4 div 1)=3
-    assert out[3]["surprisal_bits"] == 4
-    # doc2: single token 'y' = bl(6 div 2) = bl(3) = 2
-    assert out[2]["surprisal_bits"] == 2
+    # doc2: first 'x' = bl(9 div 8) = bl(1) = 1; 'y' backs off = 5
+    assert out[2]["surprisal_bits"] == 6
+    # doc1: first x bl(9 div 8)=1, then six x|x with C(x,x)=6 (seen):
+    # bl(8 div 6) = bl(1) = 1 each -> 1 + 6 = 7
+    assert out[1]["surprisal_bits"] == 7
+
+
+def test_bigram_surprisal_threshold_configurable(spark):
+    from lakeflow.operators.corpus import bigram_surprisal_profile
+
+    # min_bigram_count=1 restores the degenerate self-scoring regime:
+    # every sequence is its own evidence, backoff never fires
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x x x x x x x"), Row(doc_id=2, text="x y")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_surprisal_profile(docs, min_bigram_count=1).collect()
+    }
+    # doc2's y|x now takes the seen path: bl(8 div 1) = 4; total 1+4=5
+    assert out[2]["surprisal_bits"] == 5
