@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "q_image_dims",
     "q_wav_meta",
     "q_bigram_surprisal",
+    "q_domain_percent_rank",
 ]
 
 

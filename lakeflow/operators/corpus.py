@@ -396,3 +396,51 @@ def bigram_surprisal_profile(
         F.sum("bits").alias("surprisal_bits"),
         F.expr("(sum(bits) * 1000) div count(1)").alias("mean_surprisal_milli"),
     )
+
+
+def grouped_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pr_micros",
+) -> DataFrame:
+    """Per-GROUP exact percentile rank — the per-domain quality
+    calibration step (FineWeb-style per-dump normalization): a raw
+    quality score is not comparable across domains/dumps, so each
+    row's rank is computed against ITS OWN group's distribution before
+    mixture sampling consumes it. Same histogram-CDF shape as
+    :func:`exact_percent_rank` with every stage keyed by the group:
+    counts per (group, DISTINCT value), a running sum windowed per
+    group over its distinct VALUES (input bounded by value-domain
+    cardinality per group, never group row count), and a null-safe
+    join back; denominators are per-group row counts. NULLS rank first
+    within their group (Spark percent_rank semantics)."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdf = counts.select(
+        F.col(group_col).alias("__cg"),
+        F.col(value_col).alias("__cv"),
+        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__below"),
+    )
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    ).select(F.col(group_col).alias("__tg"), "__n")
+    pr = F.expr(
+        "(__below * 2000000 + greatest(__n - 1, 1)) div (2 * greatest(__n - 1, 1))"
+    ).cast("long")
+    return (
+        df.join(
+            cdf,
+            F.col(group_col).eqNullSafe(F.col("__cg"))
+            & F.col(value_col).eqNullSafe(F.col("__cv")),
+        )
+        .join(totals, F.col(group_col).eqNullSafe(F.col("__tg")))
+        .withColumn(out_col, pr)
+        .drop("__below", "__n", "__cg", "__cv", "__tg")
+    )

@@ -2739,3 +2739,60 @@ def q_bigram_surprisal(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return bigram_surprisal_profile(d, "doc_id", "text")
+
+
+_GPR_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(FLOOR((
+               0.4e0 * least(CAST(len({_SQL_TOKS}) AS DOUBLE) / 100e0, 1e0)
+               + 0.3e0 * (1e0 - ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)))
+               + 0.3e0 * least((CAST({_sql_hits(STOPWORDS)} AS DOUBLE) / CAST(greatest(len({_SQL_TOKS}), 1) AS DOUBLE)) * 5e0, 1e0)
+             ) * 1000000e0 + 0.5e0) AS BIGINT) AS quality_micros
+      FROM documents),
+    c AS (SELECT source, quality_micros, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM s GROUP BY source, quality_micros),
+    cdf AS (SELECT source, quality_micros,
+                   CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source
+                        ORDER BY quality_micros
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+            FROM c),
+    t AS (SELECT source, GREATEST(COUNT(*) - 1, 1) AS denom
+          FROM s GROUP BY source)
+    SELECT s.doc_id, s.source, s.quality_micros,
+           CAST((cdf.below * 2000000 + t.denom) // (2 * t.denom) AS BIGINT) AS pr_micros
+    FROM s
+    JOIN cdf ON s.source = cdf.source AND s.quality_micros = cdf.quality_micros
+    JOIN t ON s.source = t.source
+"""
+
+
+@query(
+    "q_domain_percent_rank",
+    oracle=_GPR_ORACLE,
+    description="Per-domain quality calibration (operators/corpus."
+    "grouped_percent_rank, the FineWeb-style per-dump normalization): "
+    "each document's quality score ranks against ITS OWN source's "
+    "distribution — raw scores are not comparable across domains, so "
+    "mixture sampling consumes the calibrated rank instead. Same "
+    "histogram-CDF shape as q_percent_rank with every stage keyed by "
+    "the group: the running-sum window's input is each group's "
+    "DISTINCT VALUES, never its rows; null-safe joins; exact integer "
+    "round-half-up.",
+    refs=("§2.12", "§2.9", "A5"),
+)
+def q_domain_percent_rank(spark, sf_dir):
+    from lakeflow.operators.corpus import grouped_percent_rank
+    from lakeflow.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.floor(quality_score("text") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_micros"),
+    )
+    return grouped_percent_rank(scored, "source", "quality_micros").select(
+        "doc_id", "source", "quality_micros", "pr_micros"
+    )

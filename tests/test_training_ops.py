@@ -729,3 +729,25 @@ def test_bigram_surprisal_threshold_configurable(spark):
     }
     # doc2's y|x now takes the seen path: bl(8 div 1) = 4; total 1+4=5
     assert out[2]["surprisal_bits"] == 5
+
+
+def test_grouped_percent_rank_per_group(spark):
+    from pyspark.sql import Window as W
+
+    from lakeflow.operators.corpus import grouped_percent_rank
+
+    df = spark.createDataFrame(
+        [Row(id=i, g=f"d{i % 3}", v=(i * 17) % 7) for i in range(60)]
+        + [Row(id=100, g=None, v=3), Row(id=101, g=None, v=5)]
+    ).repartition(6)
+    got = {
+        (r["id"], r["pr_micros"])
+        for r in grouped_percent_rank(df, "g", "v").collect()
+    }
+    truth = {
+        (r["id"], round(r["pr"] * 1_000_000))
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(W.partitionBy("g").orderBy("v"))
+        ).collect()
+    }
+    assert got == truth and len(got) == 62  # null group kept
