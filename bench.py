@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "q_wav_meta",
     "q_bigram_surprisal",
     "q_domain_percent_rank",
+    "q_gopher_rules",
 ]
 
 

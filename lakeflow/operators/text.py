@@ -449,3 +449,85 @@ def dedup_paragraphs(
             ),
         ).alias("clean_text"),
     )
+
+
+#: the 8 "common English words" of the Gopher quality filter
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_micros: int = 3_000_000,
+    max_mean_word_len_micros: int = 10_000_000,
+    max_bullet_micros: int = 900_000,
+    max_ellipsis_micros: int = 300_000,
+    min_alpha_micros: int = 800_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule scorecard (Rae et al. 2021, appendix A —
+    the filter pack every subsequent pretraining pipeline reuses):
+    per-document signals plus a pass/fail verdict under the paper's
+    default thresholds. Rules here: word count in [50, 100k], mean
+    word length in [3, 10] chars, ≤90% of lines starting with a
+    bullet, ≤30% ending in an ellipsis, ≥80% of words containing an
+    alphabetic character, and at least 2 distinct "common English
+    words" present. Returns (id, n_words, mean_word_len_micros,
+    bullet_micros, ellipsis_micros, alpha_micros, stop_distinct,
+    passes_gopher).
+
+    100 TB shape: every signal is higher-order array functions over ONE
+    projection of the scan — no explode, no shuffle, no Python; exact
+    micro-int fractions reproduce in any engine."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+
+    def frac(n, d):
+        return (
+            F.floor(n / F.greatest(d, F.lit(1)).cast("double") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+        )
+
+    mean_len = frac(sum_len, n_words)
+    bullet = frac(n_bullet, n_lines)
+    ellipsis = frac(n_ellipsis, n_lines)
+    alpha = frac(n_alpha, n_words)
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_len.between(min_mean_word_len_micros, max_mean_word_len_micros)
+        & (bullet <= max_bullet_micros)
+        & (ellipsis <= max_ellipsis_micros)
+        & (alpha >= min_alpha_micros)
+        & (stop_distinct >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len_micros"),
+        bullet.alias("bullet_micros"),
+        ellipsis.alias("ellipsis_micros"),
+        alpha.alias("alpha_micros"),
+        stop_distinct.cast("long").alias("stop_distinct"),
+        passes.alias("passes_gopher"),
+    )

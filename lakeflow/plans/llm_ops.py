@@ -2796,3 +2796,65 @@ def q_domain_percent_rank(spark, sf_dir):
     return grouped_percent_rank(scored, "source", "quality_micros").select(
         "doc_id", "source", "quality_micros", "pr_micros"
     )
+
+
+_GOPHER_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_SQL_TOKS} AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+             CAST(greatest(len(lines), 1) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$'))) AS BIGINT) AS n_ellipsis,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(list_transform(toks, x -> lower(x)),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_distinct
+      FROM t),
+    m AS (
+      SELECT doc_id, n_words,
+             CAST(FLOOR(sum_len / CAST(greatest(n_words, 1) AS DOUBLE) * 1000000e0 + 0.5e0) AS BIGINT) AS mean_word_len_micros,
+             CAST(FLOOR(n_bullet / CAST(n_lines AS DOUBLE) * 1000000e0 + 0.5e0) AS BIGINT) AS bullet_micros,
+             CAST(FLOOR(n_ellipsis / CAST(n_lines AS DOUBLE) * 1000000e0 + 0.5e0) AS BIGINT) AS ellipsis_micros,
+             CAST(FLOOR(n_alpha / CAST(greatest(n_words, 1) AS DOUBLE) * 1000000e0 + 0.5e0) AS BIGINT) AS alpha_micros,
+             stop_distinct
+      FROM s)
+    SELECT doc_id, n_words, mean_word_len_micros, bullet_micros,
+           ellipsis_micros, alpha_micros, stop_distinct,
+           (n_words BETWEEN 20 AND 100000
+            AND mean_word_len_micros BETWEEN 3000000 AND 10000000
+            AND bullet_micros <= 900000
+            AND ellipsis_micros <= 300000
+            AND alpha_micros >= 800000
+            AND stop_distinct >= 1) AS passes_gopher
+    FROM m
+"""
+
+
+@query(
+    "q_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    description="The Gopher quality-rule scorecard (operators/text."
+    "gopher_rules; Rae et al. 2021 appendix A — the filter pack every "
+    "later pretraining pipeline reuses): word count in [50, 100k], "
+    "mean word length in [3, 10] chars, <=90% bullet-started lines, "
+    "<=30% ellipsis-ended lines, >=80% words containing a letter, "
+    ">=2 distinct common English words — per-doc signals plus the "
+    "pass verdict (this query relaxes min_words to 20 and the "
+    "common-word floor to 1 because the synthetic docs are short "
+    "small-vocabulary word soup; the operator defaults stay the "
+    "paper's). Every signal is higher-order array functions over "
+    "ONE projection of the scan (no explode, no shuffle, no Python); "
+    "exact micro-int fractions hash-match the DuckDB list-lambda "
+    "oracle.",
+    refs=("§2.12",),
+)
+def q_gopher_rules(spark, sf_dir):
+    from lakeflow.operators.text import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_rules(d, "doc_id", "text", min_words=20, min_stop_hits=1)

@@ -72,3 +72,32 @@ def test_custom_check_null_condition_is_violation(spark):
     }
     assert not res["custom:v_pos"].passed
     assert "1 violation" in res["custom:v_pos"].detail
+
+
+def test_gopher_rules_signals_and_verdict(spark):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.text import gopher_rules
+
+    good = " ".join(["the quick brown fox jumps over that lazy dog with style"] * 6)
+    bullets = "\n".join(["- item one here now", "- item two here now", "* item three"])
+    salad = " ".join(["zq9#"] * 60)  # no alphabetic-majority, no stopwords
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=bullets),
+            Row(doc_id=3, text=salad),
+        ]
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    r1 = out[1]
+    assert r1["passes_gopher"] and r1["n_words"] == 66
+    assert 3_000_000 <= r1["mean_word_len_micros"] <= 10_000_000
+    assert r1["stop_distinct"] >= 2
+    # all-bullet doc fails the bullet-line fraction (and word count)
+    r2 = out[2]
+    assert r2["bullet_micros"] == 1_000_000 and not r2["passes_gopher"]
+    # symbol salad: has alpha chars ('z','q') so alpha passes, but zero
+    # common words and word count fine -> fails on stop_distinct
+    r3 = out[3]
+    assert r3["stop_distinct"] == 0 and not r3["passes_gopher"]
