@@ -263,53 +263,23 @@ def exact_percent_rank(
     value_col: str,
     out_col: str = "pr_micros",
 ) -> DataFrame:
-    """EXACT percentile rank of every row's ``value_col`` — scalably.
-
-    ``percent_rank() OVER (ORDER BY v)`` is an unpartitioned window: the
-    whole relation funnels through ONE task's sorter (and the exact
-    ``percentile`` aggregate buffers every value). The histogram-CDF
-    shape computes the same number with bounded state:
-
-    1. ONE hash-aggregate counts rows per DISTINCT VALUE (map-side
-       combine: shuffle is <= |distinct values| rows per partition);
-    2. a running-sum window over the distinct-VALUE relation computes
-       rows-strictly-below per value — its input is bounded by the
-       value domain's cardinality (quality scores here are micro-ints
-       in [0, 1e6]), not by corpus rows;
-    3. an equi-join (broadcast when the domain is small) attaches
-       rows_below to every row: percent_rank = below / (N - 1), ties
-       share the rank exactly as the SQL window defines.
-
-    Returns ``df`` + ``out_col`` (micro-int percent_rank, floor(x*1e6
-    + 0.5), SQL-oracle-exact). For a value domain too large to window
-    (raw doubles), quantize to micro-ints first — which quality scores
-    already are. NULL values follow Spark's ascending-sort placement
-    (NULLS FIRST, so every null row ranks 0 and counts toward later
-    ranks — identical to ``percent_rank()`` in Spark; a DuckDB oracle
-    must say ``ORDER BY v NULLS FIRST``); the CDF attaches null-safely,
-    so no row is ever dropped."""
-    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    w = (
-        Window.orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cdf = counts.select(
-        F.col(value_col).alias("__cv"),
-        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__below"),
-    )
-    # the 1-row total broadcasts like percentile_band's thresholds — no
-    # eager driver action, the whole operator stays one lazy plan
-    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    # round-half-up in pure integer arithmetic (no doubles anywhere):
-    # floor((below*1e6 + denom/2) / denom) == (below*2e6 + denom) div 2*denom
-    pr = F.expr(
-        "(__below * 2000000 + greatest(__n - 1, 1)) div (2 * greatest(__n - 1, 1))"
-    ).cast("long")
+    """EXACT global percentile rank of every row's ``value_col`` —
+    scalably. ``percent_rank() OVER (ORDER BY v)`` funnels the whole
+    relation through ONE task's sorter (and the exact ``percentile``
+    aggregate buffers every value); the histogram-CDF shape bounds the
+    window input by the VALUE DOMAIN's cardinality instead (see
+    :func:`grouped_percent_rank`, which implements the mechanism — this
+    is that operator with a single constant group). NULLS rank first
+    (Spark percent_rank semantics; a DuckDB oracle must say ``ORDER BY
+    v NULLS FIRST`` and join null-safely). Returns ``df`` + ``out_col``
+    (micro-int percent_rank, round-half-up, SQL-oracle-exact). For a
+    value domain too large to window (raw doubles), quantize to
+    micro-ints first — which quality scores already are."""
     return (
-        df.join(F.broadcast(cdf), F.col(value_col).eqNullSafe(F.col("__cv")))
-        .crossJoin(F.broadcast(total))
-        .withColumn(out_col, pr)
-        .drop("__below", "__n", "__cv")
+        grouped_percent_rank(
+            df.withColumn("__pr_g", F.lit(1)), "__pr_g", value_col, out_col
+        )
+        .drop("__pr_g")
     )
 
 

@@ -503,11 +503,10 @@ def gopher_rules(
         )
     )
 
+    from lakeflow.functions.exact import micros
+
     def frac(n, d):
-        return (
-            F.floor(n / F.greatest(d, F.lit(1)).cast("double") * F.lit(1e6) + F.lit(0.5))
-            .cast("long")
-        )
+        return micros(n / F.greatest(d, F.lit(1)).cast("double"))
 
     mean_len = frac(sum_len, n_words)
     bullet = frac(n_bullet, n_lines)

@@ -2360,13 +2360,14 @@ _PR_ORACLE = f"""
     c AS (SELECT quality_micros, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM s GROUP BY quality_micros),
     cdf AS (SELECT quality_micros,
-                   CAST(COALESCE(SUM(cnt) OVER (ORDER BY quality_micros
+                   CAST(COALESCE(SUM(cnt) OVER (ORDER BY quality_micros NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
             FROM c),
     t AS (SELECT GREATEST(COUNT(*) - 1, 1) AS denom FROM s)
     SELECT s.doc_id, s.quality_micros,
            CAST((cdf.below * 2000000 + t.denom) // (2 * t.denom) AS BIGINT) AS pr_micros
-    FROM s JOIN cdf USING (quality_micros) CROSS JOIN t
+    FROM s JOIN cdf ON s.quality_micros IS NOT DISTINCT FROM cdf.quality_micros
+    CROSS JOIN t
 """
 
 
@@ -2754,7 +2755,7 @@ _GPR_ORACLE = f"""
           FROM s GROUP BY source, quality_micros),
     cdf AS (SELECT source, quality_micros,
                    CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source
-                        ORDER BY quality_micros
+                        ORDER BY quality_micros NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
             FROM c),
     t AS (SELECT source, GREATEST(COUNT(*) - 1, 1) AS denom
@@ -2762,8 +2763,9 @@ _GPR_ORACLE = f"""
     SELECT s.doc_id, s.source, s.quality_micros,
            CAST((cdf.below * 2000000 + t.denom) // (2 * t.denom) AS BIGINT) AS pr_micros
     FROM s
-    JOIN cdf ON s.source = cdf.source AND s.quality_micros = cdf.quality_micros
-    JOIN t ON s.source = t.source
+    JOIN cdf ON s.source IS NOT DISTINCT FROM cdf.source
+            AND s.quality_micros IS NOT DISTINCT FROM cdf.quality_micros
+    JOIN t ON s.source IS NOT DISTINCT FROM t.source
 """
 
 
