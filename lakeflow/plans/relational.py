@@ -2048,3 +2048,83 @@ def q_gold_funnel_join(spark, sf_dir):
             )
         ).alias("invite_to_apply_us"),
     )
+
+
+@query(
+    "q_bloom_prune_join",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 2)
+    GROUP BY l_returnflag
+    """,
+    description="Selective fact-dim semi join with an explicit Bloom "
+    "pre-filter on the fact scan (operators/bloom.py): the dim subset's "
+    "membership is compiled to a ~10-bits/key bitmap that rides the plan "
+    "as an array<long> literal, and every lineitem row is tested with a "
+    "few codegen integer ops BEFORE any shuffle — the exact semi join "
+    "after it removes the false positives, so the answer is identical "
+    "to the plain semi join the oracle runs. At 100 TB this is the "
+    "shuffle-avoidance lever for build sides too big to broadcast as a "
+    "hash relation but small as a bitmap (10M keys ≈ 12 MB); mirrors "
+    "Spark's runtime row-level bloom filtering, made explicit so one "
+    "built filter can prune many downstream jobs.",
+    refs=("J2", "P4"),
+)
+def q_bloom_prune_join(spark, sf_dir):
+    from lakeflow.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 2)
+        .select("p_partkey")
+    )
+    pruned = bloom_semi_join(li, dim, "l_partkey", "p_partkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+    )
+
+
+@query(
+    "q_zonemap_scan",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1996-12-31'
+    GROUP BY o_orderpriority
+    """,
+    description="Zone-map data skipping (sinks/zonemap.py): the file "
+    "list of the orders table is pruned driver-side from parquet FOOTER "
+    "min/max stats before any scan task is scheduled, then the residual "
+    "date-range predicate is re-applied to the surviving files — the "
+    "answer is exactly the full scan's (pruning is conservative; files "
+    "without stats are kept). This is the metadata layer Delta/Iceberg "
+    "data skipping builds on: at 100 TB a sorted/Z-ordered table turns "
+    "a million-file listing into a few hundred scheduled files, and the "
+    "footer stats live in a persisted index table "
+    "(build_zonemap_table) maintained on ingest, not re-read per query.",
+    refs=("S1", "P8"),
+)
+def q_zonemap_scan(spark, sf_dir):
+    from datetime import datetime
+
+    from lakeflow.sinks.zonemap import pruned_read
+
+    df = pruned_read(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        "o_orderdate",
+        datetime(1996, 1, 1),
+        datetime(1996, 12, 31),
+    )
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+    )
