@@ -164,6 +164,12 @@ BENCH_QUERIES = [
     "q_bigram_surprisal",
     "q_domain_percent_rank",
     "q_gopher_rules",
+    # round 5 continuation: scan-reduction + graph + sketch-rollup + sampling
+    "q_bloom_prune_join",
+    "q_zonemap_scan",
+    "q_pagerank",
+    "q_sketch_rollup",
+    "q_stratified_sample",
 ]
 
 

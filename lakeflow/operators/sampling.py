@@ -162,3 +162,28 @@ def leakage_safe_split(
     for name, (lo, hi) in reversed(list(boundaries_ppm.items())):
         expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def stratified_exact_k(
+    df: DataFrame, group_col: str, key_col: str, k: int, seed: str = "smp"
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: within each group, the
+    k rows with the smallest seeded key hash (key as tie-break) — the
+    fixed-size-per-stratum variant of :func:`exact_k_sample` (rate-based
+    :func:`stratified_hash_sample` gives binomial counts; balanced eval
+    sets and per-source probes need exact counts).
+
+    Plan shape at 100 TB: NOT a per-group window over the corpus — the
+    winners come from ``operators.topk.topk_per_key`` (per-partition
+    size-k heaps grouped on (group, partition), then a bounded rank over
+    ≤ partitions x k rows per group), and the full rows come back via a
+    semi join on the winner set (≤ groups x k rows, broadcast-able).
+    Deterministic in the data, nested across k, partitioning-invariant.
+    """
+    from lakeflow.operators.topk import topk_per_key
+
+    h = seeded_hash(F.col(key_col).cast("string"), seed)
+    winners = topk_per_key(
+        df.withColumn("__h", h), group_col, "__h", key_col, k
+    ).select(group_col, key_col)
+    return df.join(F.broadcast(winners), [group_col, key_col], "left_semi")

@@ -2860,3 +2860,103 @@ def q_gopher_rules(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return gopher_rules(d, "doc_id", "text", min_words=20, min_stop_hits=1)
+
+
+_PAGERANK_EDGES_SQL = """
+    SELECT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 2 * l.l_suppkey + 1 AS src, 2 * o.o_custkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle() -> str:
+    from lakeflow.operators.graph import sql_pagerank
+
+    return (
+        "WITH "
+        + sql_pagerank(_PAGERANK_EDGES_SQL, iters=3)
+        + """
+    SELECT node, rank_micros FROM pr_final
+    ORDER BY rank_micros DESC, node ASC LIMIT 20
+    """
+    )
+
+
+@query(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    description="Fixed-iteration weighted PageRank (operators/graph.py) "
+    "over the customer-supplier interaction graph (edges = lineitem x "
+    "orders trade counts, both directions; node = 2*custkey / "
+    "2*suppkey+1): three rounds of join+hash-aggregate in exact "
+    "micro-int arithmetic, then the global top-20 authorities via "
+    "orderBy().limit() TakeOrdered. This is the link-authority primitive "
+    "web-corpus curation keeps per host (C4/RefinedWeb lineage) and the "
+    "survivor-importance score for dup clusters. At 100 TB: the "
+    "edge+out-weight relation is built once and persisted, each round "
+    "shuffles on the node key only (AQE splits hub-skewed dsts), and "
+    "the oracle replays the IDENTICAL unrolled integer computation as "
+    "chained SQL CTEs — no float drift across engines or iteration "
+    "counts.",
+    refs=("§2.12", "J2", "A5"),
+)
+def q_pagerank(spark, sf_dir):
+    from lakeflow.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (2 * F.col("o_custkey")).alias("cust_node"),
+        (2 * F.col("l_suppkey") + 1).alias("supp_node"),
+    )
+    counts = pairs.groupBy("cust_node", "supp_node").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    edges = counts.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"), "weight"
+    ).unionByName(
+        counts.select(
+            F.col("supp_node").alias("src"),
+            F.col("cust_node").alias("dst"),
+            "weight",
+        )
+    )
+    pr = pagerank(edges, iters=3)
+    return pr.orderBy(F.desc("rank_micros"), F.asc("node")).limit(20)
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {SQL_SEEDED_HASH.format(seed="smp", x="CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents) WHERE rn <= 10
+    """,
+    description="Exactly-k-per-stratum deterministic sample "
+    "(operators/sampling.stratified_exact_k): 10 documents per source "
+    "by smallest seeded hash — balanced eval-set construction. NOT a "
+    "per-group window over the corpus: winners come from the two-phase "
+    "bounded per-key top-k (per-partition size-k heaps, then a rank "
+    "over <= partitions x k rows per group) and full rows return via a "
+    "broadcast semi join on the <= groups x k winner set. "
+    "Deterministic in the data, nested across k, partitioning-"
+    "invariant; the oracle is the equivalent single-window SQL.",
+    refs=("§2.12", "D3"),
+)
+def q_stratified_sample(spark, sf_dir):
+    from lakeflow.operators.sampling import stratified_exact_k
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_exact_k(d, "source", "doc_id", 10).select(
+        "doc_id", "source", "n_chars"
+    )

@@ -2128,3 +2128,54 @@ def q_zonemap_scan(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents("o_totalprice")).alias("total_cents"),
     )
+
+
+@query(
+    "q_sketch_rollup",
+    oracle=f"""
+    SELECT event_type, date_trunc('day', ts) AS day_start,
+           COUNT(*) AS n_events,
+           CAST(SUM({SQL_MICROS.format(x='value')}) AS BIGINT) AS sum_value_micros,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY 1, 2
+    """,
+    description="Re-aggregable rollup with mergeable sketches "
+    "(operators/rollups.py): ONE scan builds per-(event_type, hour) "
+    "partials — additive count/sum in exact micros plus a Datasketches "
+    "HLL of user_id — and the daily report is served by MERGING "
+    "partials (sums add, sketches hll_union_agg), never rescanning raw "
+    "events. The continuous-aggregate/hypertable pattern: at 100 TB a "
+    "day's answer costs 24 partial rows per key. Additive measures are "
+    "oracle-exact; the merged distinct estimate carries the sketch's "
+    "error contract, asserted as a within-5% flag against the exact "
+    "per-day distinct both engines compute (HLL union is lossless over "
+    "sketches, so merging hours matches a single-pass sketch).",
+    refs=("§2.12", "A5", "F4"),
+)
+def q_sketch_rollup(spark, sf_dir):
+    from lakeflow.operators.rollups import hourly_partials, merge_to_grain
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = hourly_partials(
+        ev, "ts", ["event_type"], micros("value"), "user_id"
+    )
+    daily = merge_to_grain(partials, ["event_type"], "day")
+    exact = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day_start")
+    ).agg(F.count_distinct(F.col("user_id")).alias("exact_users"))
+    j = daily.withColumnRenamed("bucket_start", "day_start").join(
+        exact, ["event_type", "day_start"]
+    )
+    tol = (
+        F.abs(F.col("distinct_est").cast("double") - F.col("exact_users"))
+        <= F.lit(0.05) * F.col("exact_users")
+    )
+    return j.select(
+        "event_type",
+        "day_start",
+        F.col("n").alias("n_events"),
+        F.col("sum_v").alias("sum_value_micros"),
+        "exact_users",
+        tol.alias("within_5pct"),
+    )
