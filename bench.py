@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "q_pagerank",
     "q_sketch_rollup",
     "q_stratified_sample",
+    "q_keyword_search",
+    "q_snapshot_diff",
 ]
 
 

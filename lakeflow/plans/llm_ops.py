@@ -2960,3 +2960,40 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_exact_k(d, "source", "doc_id", 10).select(
         "doc_id", "source", "n_chars"
     )
+
+
+@query(
+    "q_keyword_search",
+    oracle=r"""
+    SELECT doc_id, CAST(tf_spark + tf_join + tf_merge AS BIGINT) AS total_tf
+    FROM (
+      SELECT doc_id,
+        len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> x = 'spark')) AS tf_spark,
+        len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> x = 'join')) AS tf_join,
+        len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> x = 'merge')) AS tf_merge
+      FROM documents)
+    WHERE tf_spark > 0 AND tf_join > 0 AND tf_merge > 0
+    """,
+    description="Inverted-index conjunctive keyword search "
+    "(operators/index.py): the posting-list relation (token, doc_id, "
+    "tf) is built by one explode + hash aggregate, and the AND query "
+    "['spark','join','merge'] filters the index with a pushed-down "
+    "IN-list, then keeps doc_ids whose distinct-term count equals the "
+    "term count — intersection as ONE aggregate over the queried "
+    "postings, no self-joins, cost proportional to those posting lists "
+    "rather than the corpus. At 100 TB the index persists bucketed BY "
+    "TOKEN (save_bucketed_table) so each term lookup is a pruned scan; "
+    "every curation slice ('all docs mentioning X and Y') then skips "
+    "the full-corpus grep. Oracle recomputes membership per document "
+    "with identical \\s+ tokenization.",
+    refs=("§2.12", "N7", "A5"),
+)
+def q_keyword_search(spark, sf_dir):
+    from lakeflow.operators.index import build_inverted_index, keyword_search_all
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(d)
+    return keyword_search_all(idx, ["spark", "join", "merge"])

@@ -2179,3 +2179,74 @@ def q_sketch_rollup(spark, sf_dir):
         "exact_users",
         tol.alias("within_5pct"),
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 89 = 0
+    ),
+    d AS (
+      SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'I'
+                  WHEN v2.o_orderkey IS NULL THEN 'D'
+                  WHEN NOT (v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice
+                            AND v1.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus)
+                  THEN 'U' END AS op,
+             COALESCE(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+             CASE WHEN v2.o_orderkey IS NULL THEN v1.o_orderstatus
+                  ELSE v2.o_orderstatus END AS o_orderstatus,
+             CASE WHEN v2.o_orderkey IS NULL THEN v1.o_totalprice
+                  ELSE v2.o_totalprice END AS price
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT op, o_orderkey, o_orderstatus,
+           CAST({SQL_CENTS.format(x='price')} AS BIGINT) AS price_cents
+    FROM d WHERE op IS NOT NULL
+    """,
+    description="Snapshot diff / change-data-feed reconstruction "
+    "(operators/diff.py): two table versions (here a deterministic v2 "
+    "of orders with updates on keys %100, deletes on %97, inserts on "
+    "%89) become one I/D/U change feed via a single null-safe full "
+    "outer join on the key plus a codegen value comparison — the "
+    "incremental-consumer primitive for snapshot-only storage. At "
+    "100 TB both snapshots shuffle once on the key (free co-location "
+    "when versions are written bucketed), the comparison is a narrow "
+    "projection, and downstream loads process |changes| rows instead "
+    "of the full new snapshot.",
+    refs=("J2", "P8", "§2.5"),
+)
+def q_snapshot_diff(spark, sf_dir):
+    from lakeflow.operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 10
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 89 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100_000_000
+            )
+        )
+    )
+    d = snapshot_diff(o, v2, ["o_orderkey"])
+    return d.select(
+        "op",
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_cents"),
+    )
