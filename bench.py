@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "q_keyword_search",
     "q_snapshot_diff",
+    "q_bitmap_rollup",
+    "q_shard_assignment",
 ]
 
 

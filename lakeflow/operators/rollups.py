@@ -66,3 +66,45 @@ def merge_to_grain(
         F.max("max_ts").alias("max_ts"),
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est"),
     )
+
+
+def hourly_bitmap_partials(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    distinct_col: str,
+) -> DataFrame:
+    """EXACT mergeable distinct counts for integer-keyed domains: the
+    per-(key, hour) partial is a roaring-style bitmap bucket —
+    ``bitmap_construct_agg(bitmap_bit_position(v))`` grouped by
+    ``bitmap_bucket_number(v)`` — instead of an HLL sketch. Bitmaps OR
+    together losslessly, so any re-aggregation grain reproduces
+    ``COUNT(DISTINCT)`` exactly; the cost is state proportional to the
+    value domain per bucket (Spark buckets are 32k bits / 4 KB max),
+    where HLL is fixed-size but approximate. Use bitmaps for bounded
+    int ids (user ids, doc ids), HLL for unbounded/string domains."""
+    hour = F.date_trunc("hour", F.col(ts_col)).alias("hour_start")
+    v = F.col(distinct_col).cast("long")
+    return events.groupBy(
+        *key_cols, hour, F.bitmap_bucket_number(v).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bitmap_construct_agg(F.bitmap_bit_position(v)).alias("bm"),
+    )
+
+
+def merge_bitmap_to_grain(
+    partials: DataFrame, key_cols: list[str], grain: str = "day"
+) -> DataFrame:
+    """Merge bitmap partials to a coarser grain: OR the bitmaps per
+    bucket, count bits, sum across buckets — exact distinct at every
+    grain, never rescanning raw events."""
+    bucket_start = F.date_trunc(grain, F.col("hour_start")).alias("bucket_start")
+    per_bucket = partials.groupBy(*key_cols, bucket_start, "bucket").agg(
+        F.sum("n").alias("n"),
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("nd"),
+    )
+    return per_bucket.groupBy(*key_cols, "bucket_start").agg(
+        F.sum("n").alias("n"),
+        F.sum("nd").alias("distinct_exact"),
+    )

@@ -2997,3 +2997,36 @@ def q_keyword_search(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     idx = build_inverted_index(d)
     return keyword_search_all(idx, ["spark", "join", "merge"])
+
+
+@query(
+    "q_shard_assignment",
+    oracle=f"""
+    SELECT {SQL_SEEDED_HASH.format(seed="shard", x="CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+    description="Deterministic training-shard assignment "
+    "(sinks/shards.py): every document's shard is seeded-hash(doc_id) "
+    "mod 8 — a pure function of the data, so re-exports, retries, and "
+    "other engines agree and interrupted exports resume per-shard — "
+    "with per-shard doc/char totals (the balance report an epoch "
+    "planner reads). The write path is partitionBy('shard') (no "
+    "shuffle needed for correctness; one hash repartition when the "
+    "trainer wants exactly one file per shard) and the manifest "
+    "(rows/files/bytes per shard) comes from parquet footers only.",
+    refs=("§2.12", "K1"),
+)
+def q_shard_assignment(spark, sf_dir):
+    from lakeflow.sinks.shards import with_shard
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        with_shard(d, "doc_id", 8)
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -2250,3 +2250,39 @@ def q_snapshot_diff(spark, sf_dir):
         "o_orderstatus",
         cents("o_totalprice").alias("price_cents"),
     )
+
+
+@query(
+    "q_bitmap_rollup",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day_start,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_exact
+    FROM events GROUP BY 1, 2
+    """,
+    description="EXACT mergeable distinct-count rollup via bitmap "
+    "buckets (operators/rollups.hourly_bitmap_partials): per-(event_"
+    "type, hour, bucket) partials hold bitmap_construct_agg of user-id "
+    "bit positions; the daily report ORs bitmaps per bucket, counts "
+    "bits, and sums buckets — bit-for-bit equal to COUNT(DISTINCT) at "
+    "every grain with no rescan of raw events (the lossless companion "
+    "to q_sketch_rollup's fixed-size HLL: bitmaps for bounded int id "
+    "domains, sketches for unbounded/string ones). Partials are "
+    "additive state — streaming hours append, late data merges, "
+    "compaction is ordinary table maintenance.",
+    refs=("§2.12", "A5", "F4"),
+)
+def q_bitmap_rollup(spark, sf_dir):
+    from lakeflow.operators.rollups import (
+        hourly_bitmap_partials,
+        merge_bitmap_to_grain,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = hourly_bitmap_partials(ev, "ts", ["event_type"], "user_id")
+    return merge_bitmap_to_grain(partials, ["event_type"], "day").select(
+        "event_type",
+        F.col("bucket_start").alias("day_start"),
+        "n",
+        "distinct_exact",
+    )

@@ -3,7 +3,7 @@ shifting, so join fan-outs and cardinalities grow realistically) and
 compare per-query runtime against sf0.1. A query whose runtime grows
 much faster than K signals a plan that will not survive 100 TB.
 
-Usage: python scripts/scale_probe.py [K] [outdir]
+Usage: python scripts/scale_probe.py [K] [outdir] [only_query,query2,...]
 """
 
 from __future__ import annotations
@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.tmp/scale_probe"
+# optional 3rd arg: comma-separated query names (default: all bench queries)
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 SRC = "/root/testdata/sf0.1"
 
 # per-copy key offsets, consistent across tables so FK joins still match
@@ -79,7 +81,7 @@ def main() -> None:
     print(f"\n{'query':34s} {'sf0.1':>8s} {'sf' + str(K) + 'x':>8s} {'ratio':>6s}")
     for name in BENCH_QUERIES:
         spec = QUERIES.get(name)
-        if spec is None:
+        if spec is None or (ONLY is not None and name not in ONLY):
             continue
         times = []
         for sf_dir in (SRC, OUT):

@@ -101,3 +101,65 @@ def test_stratified_exact_k_partitioning_invariance(spark):
     a = sorted(map(tuple, stratified_exact_k(df.repartition(2), "g", "key", 6).collect()))
     b = sorted(map(tuple, stratified_exact_k(df.repartition(11), "g", "key", 6).collect()))
     assert a == b
+
+
+def test_bitmap_rollup_is_exact(spark):
+    from lakeflow.operators.rollups import (
+        hourly_bitmap_partials,
+        merge_bitmap_to_grain,
+    )
+
+    ev = _events(spark, n=1500).withColumn(
+        "uid", F.abs(F.hash("u")) % 100_000  # spread across bitmap buckets
+    )
+    partials = hourly_bitmap_partials(ev, "ts", ["k"], "uid")
+    daily = merge_bitmap_to_grain(partials, ["k"], "day")
+    exact = ev.groupBy("k", F.date_trunc("day", "ts").alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("uid").alias("d")
+    )
+    got = {
+        (r["k"], r["bucket_start"]): (r["n"], r["distinct_exact"])
+        for r in daily.collect()
+    }
+    want = {(r["k"], r["bucket_start"]): (r["n"], r["d"]) for r in exact.collect()}
+    assert got == want
+
+
+def test_shard_write_and_manifest(spark, tmp_path):
+    from lakeflow.sinks.shards import shard_manifest, with_shard, write_training_shards
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13).alias("v")
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, "doc_id", 4)
+    rows = {r["shard"]: r for r in manifest.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r["n_rows"] for r in rows.values()) == 2000
+    # balance: uniform hash → each shard within ±30% of the mean
+    for r in rows.values():
+        assert 350 <= r["n_rows"] <= 650
+    # determinism: reread one shard dir == recomputed assignment
+    s2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{path}/shard=2").select("doc_id").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in with_shard(df, "doc_id", 4).where(F.col("shard") == 2).collect()
+    }
+    assert s2 == want
+    # manifest from listing matches the returned one
+    again = {r["shard"]: r["n_rows"] for r in shard_manifest(spark, path).collect()}
+    assert again == {k: r["n_rows"] for k, r in rows.items()}
+
+
+def test_one_file_per_shard(spark, tmp_path):
+    from lakeflow.sinks.shards import write_training_shards
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards1f")
+    manifest = write_training_shards(
+        df, path, "doc_id", 3, one_file_per_shard=True
+    )
+    assert all(r["n_files"] == 1 for r in manifest.collect())
