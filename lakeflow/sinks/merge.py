@@ -57,7 +57,7 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeflow.operators.dedup import latest_wins
@@ -370,3 +370,31 @@ def vacuum_versions(target_path: str, keep_last: int = 10) -> int:
             os.remove(os.path.join(base, f"_token_b{n}"))
             removed += 1
     return removed
+
+
+def merge_aggregate(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    commit_token: str | None = None,
+) -> None:
+    """:func:`merge_additive` generalized to ANY re-aggregable measure:
+    fold a pre-aggregated delta into the per-key target by re-applying
+    caller-supplied aggregate expressions (e.g. ``F.sum("n")``,
+    ``F.bitmap_or_agg("bm")``, ``F.hll_union_agg("hll")``, ``F.min``/
+    ``F.max``) over target ∪ delta. This is what makes sketch/bitmap
+    rollup partials (operators/rollups.py) maintainable incrementally:
+    counts add, bitmaps OR, sketches union — each a one-line agg here.
+    Each expression must be aliased to its output column name. Same
+    fencing, staged-swap atomicity, and commit-token replay contract as
+    merge_additive; like it, NOT idempotent without ``commit_token``."""
+    v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
+    existing = read_target_if_exists(spark, target_path)
+    if existing is not None:
+        merged = existing.unionByName(delta, allowMissingColumns=True)
+    else:
+        merged = delta
+    out = merged.groupBy(*keys).agg(*aggs)
+    _fenced_overwrite(out, target_path, v0, commit_token=commit_token)

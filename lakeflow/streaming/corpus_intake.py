@@ -189,3 +189,61 @@ def stream_corpus_counters(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bitmap_rollup(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    partials_path: str,
+    checkpoint: str,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    distinct_col: str = "user_id",
+    trigger_available_now: bool = True,
+):
+    """Continuous EXACT-distinct rollup maintenance (§2.10 +
+    operators/rollups composed): each micro-batch's per-(key, hour,
+    bitmap-bucket) partials — additive row count + an exact user-id
+    bitmap — are folded into the stored partial table with
+    ``merge_aggregate`` (counts SUM, bitmaps OR). Any grain query then
+    reads the partials (``merge_bitmap_to_grain``) and gets the same
+    answer as COUNT(DISTINCT) over all events ever streamed, without
+    state in the stream itself: the stream holds NO aggregation state
+    (the partial table IS the state, bounded by keys x hours x
+    buckets), so restarts are trivial and late data just merges into
+    its hour.
+
+    Replay safety mirrors :func:`stream_corpus_counters`: bitmap OR is
+    idempotent but the paired row COUNT is not, so each batch commits
+    under its batch-id token — a replayed batch that already committed
+    is skipped whole."""
+    from lakeflow.operators.rollups import hourly_bitmap_partials
+    from lakeflow.sinks.merge import has_commit_token, merge_aggregate
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    keys = key_cols or ["event_type"]
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        if has_commit_token(partials_path, f"b{batch_id}"):
+            return
+        delta = hourly_bitmap_partials(batch, ts_col, keys, distinct_col)
+        merge_aggregate(
+            spark,
+            partials_path,
+            delta,
+            [*keys, "hour_start", "bucket"],
+            [
+                F.sum("n").alias("n"),
+                F.bitmap_or_agg("bm").alias("bm"),
+            ],
+            commit_token=f"b{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

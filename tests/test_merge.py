@@ -409,3 +409,39 @@ def test_commit_token_atomic_with_data(spark, tmp_path):
     merge_additive(spark, tgt, d1, ["k"], ["n"])
     assert has_commit_token(tgt, "b1")
     assert {r["n"] for r in spark.read.parquet(tgt).collect()} == {6}
+
+
+def test_merge_aggregate_bitmap_and_minmax(spark, tmp_path):
+    # generic re-aggregable merge: counts sum, bitmaps OR, extrema min/max
+    from pyspark.sql import functions as F
+
+    from lakeflow.sinks.merge import merge_aggregate
+
+    tgt = str(tmp_path / "agg")
+    aggs = [
+        F.sum("n").alias("n"),
+        F.bitmap_or_agg("bm").alias("bm"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    ]
+
+    def delta(ids, lo, hi):
+        return (
+            spark.createDataFrame([(i,) for i in ids], "uid long")
+            .groupBy(F.lit("k").alias("g"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bitmap_construct_agg(F.bitmap_bit_position("uid")).alias("bm"),
+                F.lit(lo).alias("lo"),
+                F.lit(hi).alias("hi"),
+            )
+        )
+
+    merge_aggregate(spark, tgt, delta([1, 2, 3], 5, 9), ["g"], aggs)
+    merge_aggregate(spark, tgt, delta([2, 3, 4], 3, 7), ["g"], aggs)
+    r = (
+        spark.read.parquet(tgt)
+        .select("n", F.bitmap_count("bm").alias("d"), "lo", "hi")
+        .collect()[0]
+    )
+    assert (r["n"], r["d"], r["lo"], r["hi"]) == (6, 4, 3, 9)

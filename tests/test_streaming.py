@@ -475,3 +475,69 @@ def test_stream_kafka_topic_clear_error_without_connector(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         stream_kafka_topic(spark, "localhost:9092", "t", "a long")
+
+
+def test_stream_bitmap_rollup_exact_and_replay_safe(spark, tmp_path):
+    # continuous EXACT distinct rollup: bitmap partials fold in per
+    # batch; any-grain reads equal COUNT(DISTINCT) over all waves; a
+    # replayed batch (token present) is a whole-batch no-op
+    from lakeflow.operators.rollups import merge_bitmap_to_grain
+    from lakeflow.streaming.corpus_intake import stream_bitmap_rollup
+
+    src = str(tmp_path / "ev")
+    tgt = str(tmp_path / "partials")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 7, "event_type": "view"},
+            {"event_id": 2, "ts": "2024-01-01T00:55:00", "user_id": 7, "event_type": "view"},
+            {"event_id": 3, "ts": "2024-01-01T01:05:00", "user_id": 8, "event_type": "view"},
+            {"event_id": 4, "ts": "2024-01-01T01:06:00", "user_id": 9, "event_type": "buy"},
+        ],
+    )
+    q = stream_bitmap_rollup(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    day = {
+        (r["event_type"],): (r["n"], r["distinct_exact"])
+        for r in merge_bitmap_to_grain(
+            spark.read.parquet(tgt), ["event_type"], "day"
+        ).collect()
+    }
+    # user 7 seen in two hours of the same day: must count ONCE
+    assert day == {("view",): (3, 2), ("buy",): (1, 1)}
+
+    _write_events(
+        src,
+        "w2.json",
+        [
+            {"event_id": 5, "ts": "2024-01-01T02:00:00", "user_id": 7, "event_type": "view"},
+            {"event_id": 6, "ts": "2024-01-01T02:01:00", "user_id": 10, "event_type": "view"},
+        ],
+    )
+    q = stream_bitmap_rollup(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    day2 = {
+        (r["event_type"],): (r["n"], r["distinct_exact"])
+        for r in merge_bitmap_to_grain(
+            spark.read.parquet(tgt), ["event_type"], "day"
+        ).collect()
+    }
+    assert day2 == {("view",): (5, 3), ("buy",): (1, 1)}
+
+    # crash-replay both waves under a fresh checkpoint: tokens no-op them
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_bitmap_rollup(spark, src, schema, tgt, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    day3 = {
+        (r["event_type"],): (r["n"], r["distinct_exact"])
+        for r in merge_bitmap_to_grain(
+            spark.read.parquet(tgt), ["event_type"], "day"
+        ).collect()
+    }
+    assert day3 == day2, "replayed batches must not double-count"
