@@ -38,12 +38,12 @@ from lakeflow.plans import scalar_ops  # noqa: F401
 #: covering check anywhere.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- §2.12 LLM data-pipeline operators (32) ---
-    "q_text_stats",
+    "q_keyword_search",
     "q_lang_id",
-    "q_exact_dedup_docs",
+    "q_pagerank",
     "q_simhash",
     "q_ngram_jaccard",
-    "q_lsh_ann",
+    "q_bitmap_rollup",
     "q_multimodal_meta",
     "q_embedding_near_dup",
     "q_near_dup_pipeline",
@@ -81,6 +81,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_boilerplate",
     "q_contamination",
     "q_tfidf_terms",
+    # late-round-5 continuation rotation: five first-ever driver rows for
+    # the new capability families (inverted-index search, PageRank,
+    # exact bitmap rollups, bloom join pruning, snapshot diff). Rotated
+    # out -- all green in CORRECTNESS_r01-r04 AND the full local gate,
+    # every §2 ref still covered in-window: q_text_stats (F1/F8 keep
+    # q_pii_redact/q_clean_lines), q_exact_dedup_docs (D1 keeps
+    # q_dedup_latest_event), q_lsh_ann (ANN keeps q_ivf_pq_ann +
+    # q_ann_serving), q_window_running (§2.9 keeps q_sessionize_batch +
+    # q_percent_rank), q_rollup_lineitem (A5 keeps q1 + many).
     # round-5 flagships built this round (swapped in for near-dup-family
     # slots with 5x in-window redundancy: q_minhash_lsh_pairs and
     # q_edit_distance_pairs rotate out — q_near_dup_pipeline composes
@@ -94,11 +103,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q_dedup_latest_event",
-    "q_rollup_lineitem",
+    "q_snapshot_diff",
     "q_pivot_event_types",
     "q_set_ops",
     "q_json_extract_events",
-    "q_window_running",
+    "q_bloom_prune_join",
     "q_sessionize_batch",
     "q_theta_join_richer",
     "q_mode_event_type",
