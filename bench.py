@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "q_snapshot_diff",
     "q_bitmap_rollup",
     "q_shard_assignment",
+    "q_winsorize",
 ]
 
 

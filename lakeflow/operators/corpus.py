@@ -414,3 +414,44 @@ def grouped_percent_rank(
         .withColumn(out_col, pr)
         .drop("__below", "__n", "__cg", "__cv", "__tg")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    approx: bool = True,
+    accuracy: int = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """CLAMP values to the global [lo, hi] percentile band instead of
+    dropping the rows (:func:`percentile_band`'s filtering sibling):
+    winsorization keeps every document but caps pathological quality /
+    length / score outliers so downstream mixing weights and per-domain
+    calibration aren't dominated by the tails.
+
+    Same scale shape as percentile_band: sketch thresholds by default
+    (O(accuracy·log n) state), exact interpolated percentiles for
+    oracle parity on small relations; either way ONE broadcast 1-row
+    threshold relation and a narrow codegen clamp — the corpus is never
+    sorted or shuffled."""
+    if approx:
+        thr = df.agg(
+            F.percentile_approx(value_col, lo, accuracy).alias("__lo"),
+            F.percentile_approx(value_col, hi, accuracy).alias("__hi"),
+        )
+    else:
+        thr = df.agg(
+            F.percentile(value_col, lo).alias("__lo"),
+            F.percentile(value_col, hi).alias("__hi"),
+        )
+    out = out_col or value_col
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .withColumn(
+            out,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -49,9 +49,14 @@ def pagerank(
     every product/divide floored in micro-units so any engine replays it
     bit-for-bit. Returns (node, rank_micros) for all nodes.
     """
+    from lakeflow.caching import maybe_persist
+
     base = RANK_SCALE - damping_micros
     outw = edges.groupBy("src").agg(F.sum("weight").alias("ow"))
-    ew = edges.join(outw, "src")  # reused every round — persist at scale
+    # the edge+out-weight relation feeds EVERY round: persist it (under
+    # the ambient/explicit CacheScope) so iterations don't re-derive
+    # the upstream edge pipeline from scratch
+    ew = maybe_persist(edges.join(outw, "src"), None)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -3030,3 +3030,39 @@ def q_shard_assignment(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH thr AS (
+      SELECT quantile_cont(n_chars * 1000000, 0.1e0) AS lo,
+             quantile_cont(n_chars * 1000000, 0.9e0) AS hi
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(FLOOR(LEAST(GREATEST(n_chars * 1000000, lo), hi)) AS BIGINT)) AS BIGINT)
+             AS sum_clamped_micros
+    FROM documents, thr GROUP BY source
+    """,
+    description="Winsorization (operators/corpus.winsorize): clamp "
+    "every document's length signal to the global [p10, p90] band "
+    "instead of dropping rows — tail-robust inputs for mixing weights "
+    "and per-domain calibration. ONE threshold aggregate (sketch "
+    "percentiles at scale, exact interpolated here for bit parity "
+    "with the oracle's quantile_cont on integer micros), broadcast as "
+    "a 1-row relation into a narrow codegen clamp; the corpus is "
+    "never sorted or shuffled. Per-source clamped totals in exact "
+    "micro-ints.",
+    refs=("§2.12", "A5", "F5"),
+)
+def q_winsorize(spark, sf_dir):
+    from lakeflow.operators.corpus import winsorize
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "chars_micros", (F.col("n_chars").cast("long") * 1_000_000)
+    )
+    w = winsorize(d, "chars_micros", 0.1, 0.9, approx=False, out_col="clamped")
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.floor("clamped").cast("long")).alias("sum_clamped_micros"),
+    )

@@ -44,6 +44,14 @@ and does not guarantee:
 - a failed READ of an existing target aborts the merge instead of
   silently overwriting history (``read_target_if_exists``).
 
+Round-5 addendum: :mod:`lakeflow.sinks.txtable` now implements the
+table-format CORE itself (immutable data files + atomically-published
+manifest versions): snapshot-isolated readers with NO rename window,
+atomic multi-file appends, optimistic-concurrency upsert/delete, time
+travel, vacuum. Prefer ``txtable.merge_upsert_table`` where those
+guarantees matter; the staged-swap helpers below remain for
+plain-parquet targets that other engines must read directly by path.
+
 - ``merge_upsert``: latest-wins row replacement per key (same semantics
   as the streaming foreachBatch sink, batch-callable).
 - ``scd2_merge``: slowly-changing-dimension type 2 — every change

@@ -1,0 +1,272 @@
+"""A minimal manifest-committed table format: snapshot-isolated reads,
+atomic multi-file commits, optimistic concurrency, time travel.
+
+Why build this: every merge/compaction sink in :mod:`lakeflow.sinks`
+emulates transactional overwrite on plain parquet with a staged
+directory swap — atomic for writers, but with a documented reader gap
+(between the two renames the path briefly doesn't exist) and no
+version history. Real deployments use Delta/Iceberg/Hudi, whose core
+mechanism is small and engine-agnostic: **data files are immutable;
+the table IS a manifest file listing its data files; a commit is one
+atomic publish of manifest v+1**. delta-spark is not installable in
+this environment (no network egress — see sinks/merge.py's attempt
+log), so this module implements that core directly:
+
+- ``data/`` holds immutable parquet files, each written exactly once
+  under a unique commit prefix and NEVER mutated or renamed.
+- ``_manifests/v{N}.json`` lists the data files of version N plus a
+  little metadata. Publishing is ``open(..., 'x')`` — atomic exclusive
+  create on POSIX/HDFS — so two writers racing to the same version
+  conflict deterministically: exactly one wins, the loser raises
+  :class:`ConcurrentCommitError` with its staged files cleaned up
+  (object stores without atomic create need a CAS/lock service; same
+  caveat as sinks/merge fencing).
+- Readers resolve the LATEST manifest (or a pinned ``version=`` for
+  time travel) and read exactly those files. A concurrent commit never
+  disturbs them: their files are immutable and still on disk until
+  ``vacuum`` — true snapshot isolation with no rename window, the
+  property the staged-swap sinks could only approximate.
+- ``vacuum`` deletes data files referenced by NO retained manifest.
+
+Scale notes: a commit's critical section is one small file create —
+data writes happen before, at full cluster parallelism, and commit
+cost is O(#files in manifest), not O(data). Readers list one manifest
+instead of the directory (no eventual-consistency listing hazards).
+Upserts rewrite only data (new files + new manifest); history costs
+nothing until vacuumed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first; retry on latest."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version}.json")
+
+
+def _versions(path: str) -> list[int]:
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_version(path: str) -> int:
+    """Latest committed version (0 = table does not exist)."""
+    vs = _versions(path)
+    return vs[-1] if vs else 0
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[str]:
+    """Write ``df`` as immutable parquet files under a unique commit
+    prefix and return their table-relative paths."""
+    token = uuid.uuid4().hex[:12]
+    commit_dir = os.path.join(_data_dir(path), token)
+    df.write.parquet(commit_dir)
+    rel = []
+    for f in sorted(os.listdir(commit_dir)):
+        if f.endswith(".parquet"):
+            rel.append(os.path.join("data", token, f))
+    return rel
+
+
+def _publish(
+    path: str, base_version: int, files: list[str], op: str
+) -> int:
+    """Atomically publish manifest ``base_version + 1``. Raises
+    :class:`ConcurrentCommitError` if someone else got there first."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    version = base_version + 1
+    manifest = {"version": version, "op": op, "files": files}
+    try:
+        with open(_manifest_path(path, version), "x") as fh:
+            json.dump(manifest, fh)
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {version} of {path!r} was committed concurrently; "
+            f"re-read the latest snapshot and retry"
+        ) from e
+    return version
+
+
+def _cleanup(path: str, files: list[str]) -> None:
+    for rel in files:
+        try:
+            os.remove(os.path.join(path, rel))
+        except OSError:
+            pass
+
+
+def write_table(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Create the table or replace its contents (full overwrite
+    semantics, previous versions retained for time travel). Returns the
+    committed version."""
+    os.makedirs(path, exist_ok=True)
+    base = current_version(path)
+    files = _write_data_files(df, path)
+    try:
+        return _publish(path, base, files, "overwrite")
+    except ConcurrentCommitError:
+        _cleanup(path, files)
+        raise
+
+
+def append_table(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Atomic multi-file append: new files become visible all at once
+    when manifest v+1 publishes — readers never see a partial batch
+    (plain parquet directory appends can't promise that)."""
+    base = current_version(path)
+    if base == 0:
+        return write_table(spark, df, path)
+    prior = _read_manifest(path, base)["files"]
+    files = _write_data_files(df, path)
+    try:
+        return _publish(path, base, prior + files, "append")
+    except ConcurrentCommitError:
+        _cleanup(path, files)
+        raise
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: latest version, or a pinned one (time travel).
+    The returned DataFrame scans exactly the manifest's immutable
+    files — concurrent commits cannot change or break it (files live
+    until vacuum)."""
+    v = version if version is not None else current_version(path)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version at {path!r}")
+    manifest = _read_manifest(path, v)
+    files = [os.path.join(path, rel) for rel in manifest["files"]]
+    if not files:
+        raise FileNotFoundError(f"version {v} of {path!r} lists no files")
+    return spark.read.parquet(*files)
+
+
+def merge_upsert_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str | None = None,
+) -> int:
+    """Keyed upsert with latest-wins semantics as ONE atomic commit:
+    read the current snapshot, apply the batch (existing keys replaced,
+    new keys inserted; ``order_col`` breaks ties within the batch),
+    write new files, publish. Optimistic concurrency — if another
+    writer commits meanwhile, the publish conflicts and the caller
+    retries against the new snapshot (no torn state is ever visible)."""
+    from lakeflow.operators.dedup import latest_wins
+
+    base = current_version(path)
+    batch = (
+        latest_wins(df, keys, order_col) if order_col is not None else df
+    )
+    if base == 0:
+        return write_table(spark, batch, path)
+    existing = read_table(spark, path, base)
+    merged = existing.join(
+        batch.select(*keys).distinct(), keys, "left_anti"
+    ).unionByName(batch)
+    files = _write_data_files(merged, path)
+    try:
+        return _publish(path, base, files, "merge_upsert")
+    except ConcurrentCommitError:
+        _cleanup(path, files)
+        raise
+
+
+def delete_where(
+    spark: SparkSession, path: str, predicate
+) -> int:
+    """Transactional DELETE: rewrite the snapshot minus matching rows,
+    publish atomically. ``predicate`` is a boolean Column."""
+    base = current_version(path)
+    existing = read_table(spark, path, base)
+    remaining = existing.where(~predicate | predicate.isNull())
+    files = _write_data_files(remaining, path)
+    try:
+        return _publish(path, base, files, "delete")
+    except ConcurrentCommitError:
+        _cleanup(path, files)
+        raise
+
+
+def vacuum_table(path: str, keep_last: int = 2) -> int:
+    """Delete data files referenced by NO retained manifest (the last
+    ``keep_last`` versions are retained; older manifests are dropped
+    too). Returns the number of data files removed. Readers pinned to a
+    retained version are safe; time travel beyond retention is not —
+    the same contract as Delta's VACUUM."""
+    vs = _versions(path)
+    if not vs:
+        return 0
+    keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v)["files"])
+    removed = 0
+    data = _data_dir(path)
+    for root, _dirs, files in os.walk(data):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, path)
+            if rel not in live:
+                os.remove(full)
+                removed += 1
+    for root, dirs, files in os.walk(data, topdown=False):
+        if not dirs and not files and root != data:
+            os.rmdir(root)
+    for v in vs:
+        if v not in keep:
+            try:
+                os.remove(_manifest_path(path, v))
+            except OSError:
+                pass
+    return removed
+
+
+def history(path: str) -> list[dict]:
+    """Commit log: one dict per retained version (version, op,
+    n_files)."""
+    return [
+        {
+            "version": v,
+            "op": (m := _read_manifest(path, v))["op"],
+            "n_files": len(m["files"]),
+        }
+        for v in _versions(path)
+    ]

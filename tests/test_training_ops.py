@@ -751,3 +751,26 @@ def test_grouped_percent_rank_per_group(spark):
         ).collect()
     }
     assert got == truth and len(got) == 62  # null group kept
+
+
+def test_winsorize_clamps_and_preserves_rows(spark):
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.corpus import winsorize
+
+    df = spark.range(1000).select((F.col("id") * F.col("id")).alias("v"))
+    thr = df.agg(
+        F.percentile("v", 0.05).alias("lo"), F.percentile("v", 0.95).alias("hi")
+    ).collect()[0]
+    w = winsorize(df, "v", 0.05, 0.95, approx=False, out_col="c")
+    assert w.count() == 1000  # clamped, never dropped
+    mm = w.agg(F.min("c").alias("mn"), F.max("c").alias("mx")).collect()[0]
+    assert mm["mn"] == thr["lo"] and mm["mx"] == thr["hi"]
+    # inner values untouched
+    inner = w.where((F.col("v") > thr["lo"]) & (F.col("v") < thr["hi"]))
+    assert inner.where(F.col("c") != F.col("v")).count() == 0
+    # sketch path: thresholds within the documented rank-error band
+    wa = winsorize(df, "v", 0.05, 0.95, approx=True, accuracy=10_000, out_col="c")
+    mma = wa.agg(F.min("c").alias("mn"), F.max("c").alias("mx")).collect()[0]
+    assert abs(mma["mn"] - thr["lo"]) <= thr["lo"] * 0.2 + 100
+    assert abs(mma["mx"] - thr["hi"]) <= thr["hi"] * 0.2 + 100
