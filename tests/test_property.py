@@ -208,3 +208,56 @@ def test_bucketed_running_sum_equals_window(spark, rows, nb):
         for r in bucketed_running_sum(df, "g", "i", (), "v", n_buckets=nb).collect()
     }
     assert got == truth
+
+
+@slow
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+)
+def test_bloom_membership_properties(spark, members, probes):
+    # no false negatives ever; semi join through the filter == plain semi
+    from lakeflow.operators.bloom import (
+        bloom_bits_for,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = spark.createDataFrame([Row(k=m) for m in members])
+    n_bits = bloom_bits_for(len(members))
+    words = bloom_build(dim, "k", n_bits)
+    fact = spark.createDataFrame([Row(k=p) for p in probes])
+    passed = {
+        r["k"] for r in fact.where(bloom_might_contain("k", words, n_bits)).collect()
+    }
+    assert set(members) & set(probes) <= passed  # every true member passes
+
+
+@slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5)),
+        min_size=0, max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5)),
+        min_size=0, max_size=40,
+    ),
+)
+def test_snapshot_diff_roundtrip_property(spark, old_rows, new_rows):
+    # old + feed == new for ARBITRARY keyed states (last dup wins)
+    from lakeflow.operators.diff import snapshot_diff
+
+    old_map = {k: v for k, v in old_rows}
+    new_map = {k: v for k, v in new_rows}
+    schema = "k long, v long"
+    old = spark.createDataFrame(list(old_map.items()) or [], schema)
+    new = spark.createDataFrame(list(new_map.items()) or [], schema)
+    feed = {r["k"]: (r["op"], r["v"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    rebuilt = dict(old_map)
+    for k, (op, v) in feed.items():
+        if op == "D":
+            rebuilt.pop(k, None)
+        else:
+            rebuilt[k] = v
+    assert rebuilt == new_map
