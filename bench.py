@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q_bitmap_rollup",
     "q_shard_assignment",
     "q_winsorize",
+    "q_oov_rate",
 ]
 
 

@@ -5,6 +5,11 @@
     python -m lakeflow import mailgun --path .../mailgun.delivered --table silver_mailgun
     python -m lakeflow gold-create --schema gold
     python -m lakeflow explain q5_local_supplier_volume
+    python -m lakeflow compact /data/events --zorder user_id,ts
+    python -m lakeflow table history /data/tx_events
+    python -m lakeflow table vacuum /data/tx_events --keep-last 3
+    python -m lakeflow shard-export --input /data/docs --output /data/shards \
+        --key doc_id --n-shards 64
 """
 
 from __future__ import annotations
@@ -93,6 +98,51 @@ def cmd_gold_create(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from lakeflow.sinks.layout import compact_parquet, optimize_table
+
+    spark = _spark("lakeflow-compact")
+    if args.zorder:
+        x, y = args.zorder.split(",")
+        n = optimize_table(spark, args.path, x.strip(), y.strip(), args.target_bytes)
+    else:
+        n = compact_parquet(spark, args.path, args.target_bytes)
+    print(f"compacted {args.path} -> {n} file(s)")
+    return 0
+
+
+def cmd_table(args) -> int:
+    from lakeflow.sinks import txtable
+
+    if args.action == "history":
+        for h in txtable.history(args.path):
+            print(f"v{h['version']:<4d} {h['op']:<12s} {h['n_files']} file(s)")
+    elif args.action == "vacuum":
+        n = txtable.vacuum_table(args.path, keep_last=args.keep_last)
+        print(f"vacuumed {n} unreferenced data file(s)")
+    elif args.action == "show":
+        df = txtable.read_table(_spark("lakeflow-table"), args.path, args.version)
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_shard_export(args) -> int:
+    from lakeflow.sinks.shards import write_training_shards
+
+    spark = _spark("lakeflow-shards")
+    df = spark.read.parquet(args.input)
+    manifest = write_training_shards(
+        df, args.output, args.key, args.n_shards,
+        one_file_per_shard=args.one_file_per_shard,
+    )
+    for r in manifest.orderBy("shard").collect():
+        print(
+            f"shard={r['shard']:<4d} rows={r['n_rows']:<10d} "
+            f"files={r['n_files']:<4d} bytes={r['bytes']}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lakeflow")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -126,6 +176,28 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--schema", default="gold")
     g.add_argument("--prefix", default="")
     g.set_defaults(fn=cmd_gold_create)
+
+    c = sub.add_parser("compact", help="rewrite a parquet table to target-size files")
+    c.add_argument("path")
+    c.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    c.add_argument("--zorder", default=None, help="colX,colY to Z-order while compacting")
+    c.set_defaults(fn=cmd_compact)
+
+    t = sub.add_parser("table", help="manifest-committed table ops (txtable)")
+    t.add_argument("action", choices=["history", "vacuum", "show"])
+    t.add_argument("path")
+    t.add_argument("--keep-last", type=int, default=2)
+    t.add_argument("--version", type=int, default=None)
+    t.add_argument("--limit", type=int, default=20)
+    t.set_defaults(fn=cmd_table)
+
+    sh = sub.add_parser("shard-export", help="deterministic training-shard export")
+    sh.add_argument("--input", required=True)
+    sh.add_argument("--output", required=True)
+    sh.add_argument("--key", required=True)
+    sh.add_argument("--n-shards", type=int, required=True)
+    sh.add_argument("--one-file-per-shard", action="store_true")
+    sh.set_defaults(fn=cmd_shard_export)
 
     args = p.parse_args(argv)
     return args.fn(args)

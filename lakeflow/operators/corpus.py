@@ -455,3 +455,53 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def oov_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 100,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_k`` token vocabulary — the tokenizer-coverage
+    diagnostic run before committing to a vocab/tokenizer: documents
+    with high OOV fractions are junk, wrong-language, or markup, and a
+    rising corpus-level OOV trend means the vocabulary no longer fits
+    the data mix.
+
+    Shape at 100 TB: the vocabulary is a k-row relation (top-k by
+    occurrence via TakeOrdered — never a global sort) that BROADCASTS
+    into a semi-join count; token totals and in-vocab totals ride the
+    same explode in two hash aggregates. Exact integer micro fractions.
+    Returns (id, n_tokens, n_oov, oov_micros)."""
+    from lakeflow.operators.text import tokens
+
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_k)
+        .select("token")
+    )
+    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    in_vocab = (
+        ex.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    return (
+        totals.join(in_vocab, id_col, "left")
+        .withColumn("n_in", F.coalesce(F.col("n_in"), F.lit(0)))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.col("n_in")).alias("n_oov"),
+            F.expr("((n_tokens - n_in) * 1000000) div n_tokens").alias(
+                "oov_micros"
+            ),
+        )
+    )

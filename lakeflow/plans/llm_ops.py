@@ -3066,3 +3066,45 @@ def q_winsorize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.floor("clamped").cast("long")).alias("sum_clamped_micros"),
     )
+
+
+@query(
+    "q_oov_rate",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM tok2 GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 100)
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok2 GROUP BY doc_id),
+    iv AS (
+      SELECT doc_id, COUNT(*) AS n_in FROM tok2
+      WHERE token IN (SELECT token FROM vocab) GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - COALESCE(iv.n_in, 0) AS BIGINT) AS n_oov,
+           CAST(((t.n_tokens - COALESCE(iv.n_in, 0)) * 1000000) // t.n_tokens AS BIGINT)
+             AS oov_micros
+    FROM totals t LEFT JOIN iv ON iv.doc_id = t.doc_id
+    """,
+    description="Per-document out-of-vocabulary rate against the "
+    "corpus's own top-100 token vocabulary (operators/corpus."
+    "oov_profile) — the tokenizer-coverage diagnostic: high-OOV docs "
+    "are junk/wrong-language/markup, and a rising corpus OOV trend "
+    "means the vocab no longer fits the mix. The vocabulary is a "
+    "TakeOrdered k-row relation (count-desc, token-asc tie break — "
+    "deterministic across engines) broadcast into a semi-join count; "
+    "token totals and in-vocab totals ride the same explode through "
+    "two map-side-combined hash aggregates; exact integer micro "
+    "fractions.",
+    refs=("§2.12", "A5", "N7"),
+)
+def q_oov_rate(spark, sf_dir):
+    from lakeflow.operators.corpus import oov_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return oov_profile(d, "doc_id", "text", 100)

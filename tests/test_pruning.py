@@ -127,3 +127,22 @@ def test_zonemap_index_table_matches_footer_path(spark, tmp_path):
     b = pruned_read_with_index(spark, path, idx, "k", 2_400, 7_600)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert set(a.inputFiles()) == set(b.inputFiles())
+
+
+def test_bloom_null_keys_are_exact(spark):
+    # null fact keys may pass or fail the probabilistic probe; the semi
+    # join after it owns correctness either way. Null dim keys are
+    # excluded from the filter build.
+    from pyspark.sql import Row
+
+    dim = spark.createDataFrame(
+        [Row(k=1), Row(k=2), Row(k=None)], "k long"
+    )
+    fact = spark.createDataFrame(
+        [Row(k=1), Row(k=None), Row(k=7)], "k long"
+    )
+    got = sorted(
+        r["k"]
+        for r in bloom_semi_join(fact, dim, "k", "k").select(fact["k"]).collect()
+    )
+    assert got == [1]  # SQL semantics: null never equi-joins

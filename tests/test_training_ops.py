@@ -774,3 +774,23 @@ def test_winsorize_clamps_and_preserves_rows(spark):
     mma = wa.agg(F.min("c").alias("mn"), F.max("c").alias("mx")).collect()[0]
     assert abs(mma["mn"] - thr["lo"]) <= thr["lo"] * 0.2 + 100
     assert abs(mma["mx"] - thr["hi"]) <= thr["hi"] * 0.2 + 100
+
+
+def test_oov_profile_counts(spark):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.corpus import oov_profile
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a b"),
+            Row(doc_id=2, text="a zzz qqq"),
+            Row(doc_id=3, text="b b"),
+        ]
+    )
+    # vocab_k=2 -> top tokens by count: a(4), b(3)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_micros"])
+           for r in oov_profile(docs, "doc_id", "text", vocab_k=2).collect()}
+    assert got[1] == (4, 0, 0)
+    assert got[2] == (3, 2, 666_666)
+    assert got[3] == (2, 0, 0)
