@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "q_shard_assignment",
     "q_winsorize",
     "q_oov_rate",
+    "q_interval_join",
 ]
 
 

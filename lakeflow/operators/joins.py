@@ -145,3 +145,60 @@ def range_self_join(
         F.col("__id2").alias(f"{id_col}_b"),
         (F.col("__us2") - F.col("__us")).alias("gap_us"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join without a nested loop: each interval is
+    replicated over the fixed-width time buckets it covers
+    (``sequence`` + explode — fan-out = interval length / bucket), each
+    point carries its single bucket, and Catalyst plans an EQUI join on
+    (keys, bucket) with the exact ``start <= point <= end`` predicate
+    as a post-filter. Every qualifying pair meets exactly once (a point
+    occupies one bucket; an interval lists each bucket once), so no
+    dedup pass is needed.
+
+    This is the two-table generalization of :func:`range_self_join` —
+    sessions x events, validity windows x observations, campaign
+    windows x conversions. Pick ``bucket_seconds`` near the TYPICAL
+    interval length: too small multiplies interval replicas, too large
+    fills buckets with non-matching points (the filter stays correct
+    either way). At 100 TB both sides shuffle once on (keys, bucket);
+    skewed buckets are ordinary AQE-splittable join skew.
+
+    Column names must not collide between the two inputs (rename
+    first); returns all point columns + all interval columns.
+    """
+    overlap = set(points.columns) & set(intervals.columns) - set(keys or [])
+    if overlap:
+        raise ValueError(
+            f"rename colliding columns before interval_join: {sorted(overlap)}"
+        )
+    w_us = bucket_seconds * 1_000_000
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
+    p = points.withColumn("__pb", F.floor(p_us / F.lit(w_us)))
+    i = intervals.withColumn(
+        "__ib",
+        F.explode(
+            F.sequence(F.floor(s_us / F.lit(w_us)), F.floor(e_us / F.lit(w_us)))
+        ),
+    )
+    cond = p["__pb"] == i["__ib"]
+    for k in keys or []:
+        cond = cond & (p[k] == i[k])
+    joined = p.join(i, cond, "inner").filter(
+        (p_us >= s_us) & (p_us <= e_us)
+    )
+    out_cols = [p[c] for c in points.columns] + [
+        i[c] for c in intervals.columns if c not in (keys or [])
+    ]
+    return joined.select(*out_cols)

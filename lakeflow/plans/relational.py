@@ -2286,3 +2286,40 @@ def q_bitmap_rollup(spark, sf_dir):
         "n",
         "distinct_exact",
     )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, MIN(ts) AS s, MIN(ts) + INTERVAL 1 HOUR AS e
+      FROM events GROUP BY user_id)
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_first_hour
+    FROM events e
+    JOIN iv ON iv.user_id = e.user_id AND e.ts >= iv.s AND e.ts <= iv.e
+    GROUP BY e.user_id
+    """,
+    description="Two-table point-in-interval join "
+    "(operators/joins.interval_join): per-user activity windows "
+    "[first event, +1 hour] joined against the event stream to count "
+    "first-hour events. The interval replicates over the fixed-width "
+    "time buckets it covers (sequence+explode, fan-out = length/"
+    "bucket), the point carries its single bucket, and Catalyst plans "
+    "an EQUI join on (user, bucket) with the exact between-predicate "
+    "as a post-filter — the nested-loop-free generalization of the "
+    "bucketed self range join to sessions x events / validity windows "
+    "x observations. At 100 TB both sides shuffle once on (key, "
+    "bucket); hot buckets are ordinary AQE join skew.",
+    refs=("J4", "§2.5"),
+)
+def q_interval_join(spark, sf_dir):
+    from lakeflow.operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id").agg(
+        F.min("ts").alias("s"),
+        (F.min(F.col("ts").cast("timestamp")) + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    pts = ev.select("user_id", "ts", "event_id")
+    j = interval_join(pts, iv, "ts", "s", "e", keys=["user_id"])
+    return j.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_first_hour"))

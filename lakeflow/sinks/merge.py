@@ -406,3 +406,17 @@ def merge_aggregate(
         merged = delta
     out = merged.groupBy(*keys).agg(*aggs)
     _fenced_overwrite(out, target_path, v0, commit_token=commit_token)
+
+
+def scd2_snapshot_at(history: DataFrame, at_ts) -> DataFrame:
+    """Point-in-time (AS OF) read of an SCD2 history table: the row
+    version valid at ``at_ts`` per key — ``valid_from <= at_ts <
+    valid_to`` (current rows have null valid_to). This is the temporal
+    query SCD2 exists for: reconstruct any past state of the dimension
+    with one narrow filter over the history scan (partition/zone-prune
+    on valid_from at scale); no joins, no windows."""
+    t = F.lit(at_ts).cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop("is_current")

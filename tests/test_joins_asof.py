@@ -160,3 +160,72 @@ def test_resample_grid_chunking_boundary(spark, monkeypatch):
         for r in T.resample_interpolate(df, "k", "t", "v", 3600).collect()
     )
     assert out == [(h, h) for h in range(11)]
+
+
+def test_interval_join_matches_theta(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from lakeflow.operators.joins import interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [Row(k="a", pts_ts=base + datetime.timedelta(minutes=m), pid=m)
+         for m in range(0, 600, 7)]
+    )
+    ivs = spark.createDataFrame(
+        [
+            Row(k="a", s=base, e=base + datetime.timedelta(hours=3), iid=1),
+            Row(k="a", s=base + datetime.timedelta(minutes=90),
+                e=base + datetime.timedelta(minutes=100), iid=2),
+            Row(k="b", s=base, e=base + datetime.timedelta(hours=9), iid=3),
+        ]
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "pts_ts", "s", "e", keys=["k"]).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            ivs, (pts["k"] == ivs["k"]) & (pts["pts_ts"] >= ivs["s"]) & (pts["pts_ts"] <= ivs["e"])
+        ).collect()
+    )
+    assert got == naive and len(got) == len(set(got))  # exact + no dup pairs
+
+
+def test_interval_join_plan_is_equi(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from lakeflow.operators.joins import interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([Row(k="a", pts_ts=base, pid=1)])
+    ivs = spark.createDataFrame(
+        [Row(k="a", s=base, e=base + datetime.timedelta(hours=2), iid=1)]
+    )
+    plan = (
+        interval_join(pts, ivs, "pts_ts", "s", "e", keys=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_rejects_column_collisions(spark):
+    import datetime
+
+    import pytest
+    from pyspark.sql import Row
+
+    from lakeflow.operators.joins import interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([Row(k="a", ts=base, x=1)])
+    ivs = spark.createDataFrame([Row(k="a", s=base, e=base, x=2)])
+    with pytest.raises(ValueError, match="colliding"):
+        interval_join(pts, ivs, "ts", "s", "e", keys=["k"])

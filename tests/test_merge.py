@@ -445,3 +445,35 @@ def test_merge_aggregate_bitmap_and_minmax(spark, tmp_path):
         .collect()[0]
     )
     assert (r["n"], r["d"], r["lo"], r["hi"]) == (6, 4, 3, 9)
+
+
+def test_scd2_snapshot_at(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from lakeflow.sinks.merge import scd2_merge, scd2_snapshot_at
+
+    tgt = str(tmp_path / "scd2")
+    t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    scd2_merge(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [
+                Row(k=1, status="new", ts=t(1)),
+                Row(k=1, status="active", ts=t(10)),
+                Row(k=1, status="closed", ts=t(20)),
+                Row(k=2, status="new", ts=t(5)),
+            ]
+        ),
+        ["k"],
+        "ts",
+    )
+    hist = spark.read.parquet(tgt)
+    at = {r["k"]: r["status"] for r in scd2_snapshot_at(hist, t(15)).collect()}
+    assert at == {1: "active", 2: "new"}
+    before = {r["k"]: r["status"] for r in scd2_snapshot_at(hist, t(3)).collect()}
+    assert before == {1: "new"}  # k=2 didn't exist yet
+    now = {r["k"]: r["status"] for r in scd2_snapshot_at(hist, t(25)).collect()}
+    assert now == {1: "closed", 2: "new"}
