@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "q_winsorize",
     "q_oov_rate",
     "q_interval_join",
+    "q_equi_depth_hist",
 ]
 
 

@@ -54,3 +54,44 @@ def profile_table(
         for c in cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def equi_depth_histogram(
+    df, value_col, n_bins: int = 8, approx: bool = True, accuracy: int = 10_000
+):
+    """Equi-depth (quantile-bucketed) histogram: bin boundaries at the
+    i/n percentiles, so every bin holds ~1/n of the rows — the
+    profiling view that survives skew (a uniform-width histogram of a
+    heavy-tailed score puts 99% of rows in one bar).
+
+    Shape at 100 TB: ONE aggregate computes the n-1 interior
+    boundaries (sketch percentiles by default; exact interpolated for
+    oracle parity), broadcast as a 1-row relation; bin assignment is a
+    narrow codegen sum of comparisons ``Σ (v > t_i)`` — monotone in v,
+    no sort, no driver collect. Duplicate boundaries under extreme
+    skew simply leave their bins empty. Returns (bin, n_rows, min_v,
+    max_v)."""
+    from pyspark.sql import functions as F
+
+    pct = F.percentile_approx if approx else F.percentile
+    args = (accuracy,) if approx else ()
+    thr = df.agg(
+        *[
+            pct(value_col, i / n_bins, *args).alias(f"__t{i}")
+            for i in range(1, n_bins)
+        ]
+    )
+    v = F.col(value_col)
+    bin_expr = sum(
+        (v > F.col(f"__t{i}")).cast("int") for i in range(1, n_bins)
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .select(v.alias("__v"), bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+    )

@@ -2323,3 +2323,43 @@ def q_interval_join(spark, sf_dir):
     pts = ev.select("user_id", "ts", "event_id")
     j = interval_join(pts, iv, "ts", "s", "e", keys=["user_id"])
     return j.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_first_hour"))
+
+
+def _equi_depth_oracle(n_bins: int = 8) -> str:
+    c = SQL_CENTS.format(x="o_totalprice")
+    thr_cols = ", ".join(
+        f"quantile_cont({c}, {i}/{n_bins}e0) AS t{i}" for i in range(1, n_bins)
+    )
+    bin_expr = " + ".join(f"CAST(c > t{i} AS INT)" for i in range(1, n_bins))
+    return f"""
+    WITH thr AS (SELECT {thr_cols} FROM orders),
+    vals AS (SELECT {c} AS c FROM orders)
+    SELECT CAST({bin_expr} AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(c) AS BIGINT) AS min_v,
+           CAST(MAX(c) AS BIGINT) AS max_v
+    FROM vals, thr GROUP BY 1
+    """
+
+
+@query(
+    "q_equi_depth_hist",
+    oracle=_equi_depth_oracle(),
+    description="Equi-depth (quantile-bucketed) histogram of order "
+    "totals (operators/profile.equi_depth_histogram): bin boundaries "
+    "at the i/8 percentiles so every bar holds ~1/8 of the rows — the "
+    "profiling view that survives heavy-tailed skew. ONE aggregate "
+    "computes the 7 interior boundaries (sketch percentiles at scale; "
+    "exact interpolated here for bit parity with quantile_cont), "
+    "broadcast as a 1-row relation; bin assignment is a narrow codegen "
+    "sum of comparisons, monotone in the value — no sort, no ntile "
+    "window, no driver collect.",
+    refs=("A5", "F5"),
+)
+def q_equi_depth_hist(spark, sf_dir):
+    from lakeflow.operators.profile import equi_depth_histogram
+
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("price_cents")
+    )
+    return equi_depth_histogram(o, "price_cents", n_bins=8, approx=False)

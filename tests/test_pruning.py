@@ -146,3 +146,26 @@ def test_bloom_null_keys_are_exact(spark):
         for r in bloom_semi_join(fact, dim, "k", "k").select(fact["k"]).collect()
     )
     assert got == [1]  # SQL semantics: null never equi-joins
+
+
+def test_zorder_layout_feeds_zonemap_both_columns(spark, tmp_path):
+    # the layout+skipping composition: a Z-ordered table has tight
+    # per-file zones on BOTH clustering columns, so the zone map prunes
+    # for predicates on either — the reason to Z-order at all
+    from lakeflow.sinks.layout import zorder_write
+
+    path = str(tmp_path / "zz")
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 149).alias("y"),
+    )
+    zorder_write(df, path, "x", "y", n_files=8)
+    for col, lo, hi in (("x", 0, 17), ("y", 130, 148)):
+        pruned = pruned_read(spark, path, col, lo, hi)
+        assert len(pruned.inputFiles()) < 8, f"no pruning on {col}"
+        full = (
+            spark.read.parquet(path)
+            .where((F.col(col) >= lo) & (F.col(col) <= hi))
+            .collect()
+        )
+        assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full))

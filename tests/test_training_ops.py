@@ -794,3 +794,20 @@ def test_oov_profile_counts(spark):
     assert got[1] == (4, 0, 0)
     assert got[2] == (3, 2, 666_666)
     assert got[3] == (2, 0, 0)
+
+
+def test_equi_depth_histogram_balanced_bins(spark):
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.profile import equi_depth_histogram
+
+    # heavy-tailed data: squares — uniform-width bins would collapse
+    df = spark.range(8000).select((F.col("id") * F.col("id")).alias("v"))
+    h = {r["bin"]: r for r in equi_depth_histogram(df, "v", 8, approx=False).collect()}
+    assert set(h) == set(range(8))
+    for b, r in h.items():
+        assert 900 <= r["n_rows"] <= 1100  # ~1/8 each despite the skew
+        assert r["min_v"] <= r["max_v"]
+    # bins are ordered and non-overlapping
+    for b in range(7):
+        assert h[b]["max_v"] <= h[b + 1]["min_v"]
