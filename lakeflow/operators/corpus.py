@@ -487,15 +487,19 @@ def oov_profile(
         .limit(vocab_k)
         .select("token")
     )
-    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
-    in_vocab = (
-        ex.join(F.broadcast(vocab), "token", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_in"))
+    # one counting pass: broadcast-left-join the vocab as a membership
+    # flag, then a single per-doc aggregate carries both totals (vs the
+    # naive totals-agg + semi-join-agg + join-back, which scans and
+    # shuffles the exploded relation twice)
+    flagged = ex.join(
+        F.broadcast(vocab.withColumn("__iv", F.lit(1))), "token", "left"
     )
     return (
-        totals.join(in_vocab, id_col, "left")
-        .withColumn("n_in", F.coalesce(F.col("n_in"), F.lit(0)))
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__iv"), F.lit(0))).alias("n_in"),
+        )
         .select(
             id_col,
             "n_tokens",
