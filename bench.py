@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q_oov_rate",
     "q_interval_join",
     "q_equi_depth_hist",
+    "q_tokenize_ids",
 ]
 
 

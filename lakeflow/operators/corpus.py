@@ -509,3 +509,57 @@ def oov_profile(
             ),
         )
     )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 100,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Map each document to its integer token-id sequence against the
+    corpus's top-``vocab_k`` vocabulary (rank = id, 1-based; OOV →
+    ``oov_id``) — the final transform before sequence packing and shard
+    export hand training data to a loader. Word-level here (the
+    engine's tokenizer policy: library-free, cross-engine exact); a BPE
+    vocab table plugs into the same join.
+
+    Shape at 100 TB: vocab is a k-row TakeOrdered relation joined
+    BROADCAST onto the posexploded tokens; per-doc sequences reassemble
+    with ``array_agg sorted by position`` (map-side combine does the
+    heavy lifting; one shuffle on doc id). Returns (id, token_ids).
+    """
+    from pyspark.sql import Window
+
+    from lakeflow.operators.text import tokens
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(vocab_k)
+    # rank over the k surviving rows only (k-row window, not a hazard)
+    vocab = top.withColumn(
+        "tid",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))),
+    ).select("token", "tid")
+    joined = ex.join(F.broadcast(vocab), "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos").alias("p"),
+                        F.coalesce(F.col("tid"), F.lit(oov_id)).alias("t"),
+                    )
+                )
+            ).alias("__s")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__s"), lambda s: s["t"]).alias("token_ids"),
+        )
+    )

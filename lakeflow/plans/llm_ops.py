@@ -3108,3 +3108,46 @@ def q_oov_rate(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return oov_profile(d, "doc_id", "text", 100)
+
+
+@query(
+    "q_tokenize_ids",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(arr) AS token,
+             unnest(generate_series(1, len(arr))) AS ord
+      FROM base),
+    tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    cnt AS (SELECT token, COUNT(*) AS n FROM tok2 GROUP BY token),
+    vocab AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS tid
+      FROM (SELECT * FROM cnt ORDER BY n DESC, token ASC LIMIT 100))
+    SELECT t.doc_id,
+           list(CAST(COALESCE(v.tid, 0) AS BIGINT) ORDER BY t.ord) AS token_ids
+    FROM tok2 t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+    description="Tokenize-to-ids export (operators/corpus."
+    "tokenize_to_ids): every document becomes its integer token-id "
+    "sequence against the corpus's top-100 vocabulary (rank = id, OOV "
+    "-> 0) — the final transform before packing and shard export hand "
+    "data to a training loader; a BPE vocab table plugs into the same "
+    "join. Vocab is a TakeOrdered k-row relation (deterministic "
+    "count-desc/token-asc ids) broadcast onto the posexploded tokens; "
+    "sequences reassemble via array_sort(collect_list(struct(pos, "
+    "id))) — one shuffle on doc id, the id arrays hash-compared "
+    "element-for-element against the oracle's ordered list aggregate.",
+    refs=("§2.12", "N7", "F8"),
+)
+def q_tokenize_ids(spark, sf_dir):
+    from lakeflow.operators.corpus import tokenize_to_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tokenize_to_ids(d, "doc_id", "text", 100)
+    return out.select(
+        "doc_id", F.col("token_ids").cast("array<long>").alias("token_ids")
+    )

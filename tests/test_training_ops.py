@@ -811,3 +811,21 @@ def test_equi_depth_histogram_balanced_bins(spark):
     # bins are ordered and non-overlapping
     for b in range(7):
         assert h[b]["max_v"] <= h[b + 1]["min_v"]
+
+
+def test_tokenize_to_ids_roundtrip(spark):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.corpus import tokenize_to_ids
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a c"),
+            Row(doc_id=2, text="zzz a"),
+        ]
+    )
+    # counts: a=3, b=1, c=1, zzz=1 -> vocab_k=2: a(id 1), b(id 2)
+    got = {r["doc_id"]: r["token_ids"]
+           for r in tokenize_to_ids(docs, "doc_id", "text", vocab_k=2).collect()}
+    assert got[1] == [1, 2, 1, 0]  # c -> OOV 0
+    assert got[2] == [0, 1]
