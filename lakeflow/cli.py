@@ -118,7 +118,9 @@ def cmd_table(args) -> int:
         for h in txtable.history(args.path):
             print(f"v{h['version']:<4d} {h['op']:<12s} {h['n_files']} file(s)")
     elif args.action == "vacuum":
-        n = txtable.vacuum_table(args.path, keep_last=args.keep_last)
+        n = txtable.vacuum_table(
+            args.path, keep_last=args.keep_last, min_age_seconds=args.min_age
+        )
         print(f"vacuumed {n} unreferenced data file(s)")
     elif args.action == "show":
         df = txtable.read_table(_spark("lakeflow-table"), args.path, args.version)
@@ -187,6 +189,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("action", choices=["history", "vacuum", "show"])
     t.add_argument("path")
     t.add_argument("--keep-last", type=int, default=2)
+    t.add_argument("--min-age", type=float, default=3600.0,
+                   help="vacuum: only delete unreferenced files older than this (s)")
     t.add_argument("--version", type=int, default=None)
     t.add_argument("--limit", type=int, default=20)
     t.set_defaults(fn=cmd_table)

@@ -76,6 +76,11 @@ def bloom_build(dim: DataFrame, key_col: str, n_bits: int) -> list[int]:
     the populated words. Keys are hashed via their canonical string
     form so int/string key columns produce the same filter.
     """
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError(
+            f"n_bits must be a positive multiple of 64 (got {n_bits}); "
+            f"size with bloom_bits_for()"
+        )
     key = F.col(key_col).cast("string")
     pos = F.explode(F.array(*_bit_positions(key, n_bits))).alias("bitpos")
     words = (
@@ -102,6 +107,12 @@ def bloom_might_contain(
     ``words`` rides the plan as an array<long> literal (the filter's
     only payload), so the test executes inside the scan's
     whole-stage-codegen — no broadcast variable, no Python."""
+    if n_bits != 64 * len(words):
+        raise ValueError(
+            f"n_bits ({n_bits}) must equal 64 * len(words) "
+            f"({64 * len(words)}): a mismatched probe silently drops "
+            f"true matches (element_at past the array end is NULL)"
+        )
     key = (F.col(key) if isinstance(key, str) else key).cast("string")
     arr = F.lit(words)
     cond = F.lit(True)

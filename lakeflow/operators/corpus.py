@@ -447,12 +447,16 @@ def winsorize(
             F.percentile(value_col, hi).alias("__hi"),
         )
     out = out_col or value_col
+    v = F.col(value_col)
+    # greatest()/least() SKIP null arguments, which would turn a NULL
+    # value into the low threshold — preserve NULL explicitly (the
+    # thresholds ignored NULLs too, so fabricating values is pure noise)
+    clamp = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
     return (
         df.crossJoin(F.broadcast(thr))
-        .withColumn(
-            out,
-            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
-        )
+        .withColumn(out, clamp)
         .drop("__lo", "__hi")
     )
 

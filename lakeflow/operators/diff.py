@@ -32,11 +32,17 @@ def snapshot_diff(
     nothing. Both snapshots must share a schema; comparisons are
     null-safe (NULL → NULL is unchanged)."""
     val_cols = [c for c in new.columns if c not in keys]
+    # explicit presence markers, NOT key-isNotNull probes: the join is
+    # deliberately null-safe on the keys, so a row whose key columns
+    # are all NULL is still a real row on its side — key nullness says
+    # nothing about which side matched
     o = old.select(
+        F.lit(1).alias("__op"),
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in val_cols],
     )
     n = new.select(
+        F.lit(1).alias("__np"),
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in val_cols],
     )
@@ -45,12 +51,8 @@ def snapshot_diff(
         [o[f"__ok_{k}"].eqNullSafe(n[f"__nk_{k}"]) for k in keys],
     )
     j = o.join(n, cond, "full_outer")
-    in_old = reduce(
-        lambda a, b: a | b, [j[f"__ok_{k}"].isNotNull() for k in keys]
-    )
-    in_new = reduce(
-        lambda a, b: a | b, [j[f"__nk_{k}"].isNotNull() for k in keys]
-    )
+    in_old = j["__op"].isNotNull()
+    in_new = j["__np"].isNotNull()
     changed = (
         reduce(
             lambda a, b: a | b,

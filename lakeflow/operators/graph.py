@@ -57,10 +57,14 @@ def pagerank(
     # the ambient/explicit CacheScope) so iterations don't re-derive
     # the upstream edge pipeline from scratch
     ew = maybe_persist(edges.join(outw, "src"), None)
-    nodes = (
+    # nodes feeds every round's left join too — without the persist its
+    # union+distinct over the raw edge pipeline re-executes O(iters)
+    # times inside the nested unrolled plan
+    nodes = maybe_persist(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        None,
     )
     ranks = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
     for _ in range(iters):

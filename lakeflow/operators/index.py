@@ -53,7 +53,10 @@ def keyword_search_all(index: DataFrame, terms: list[str]) -> DataFrame:
     the queried posting lists. Returns (doc_id, total_tf) where
     total_tf sums the matched terms' frequencies (a simple relevance
     proxy)."""
-    terms = [t.lower() for t in terms]
+    # dedupe after lowercasing: count_distinct(token) compares against
+    # the UNIQUE term count, so caller duplicates (or case variants of
+    # one token) must collapse or the AND query is silently empty
+    terms = sorted({t.lower() for t in terms})
     hits = index.where(F.col("token").isin(terms))
     return (
         hits.groupBy("doc_id")
@@ -72,7 +75,7 @@ def keyword_search_any(
     """Disjunctive variant: docs matching at least ``min_terms`` of
     ``terms``, with the matched-term count for ranking. Same
     pushed-filter + single-aggregate shape."""
-    terms = [t.lower() for t in terms]
+    terms = sorted({t.lower() for t in terms})
     hits = index.where(F.col("token").isin(terms))
     return (
         hits.groupBy("doc_id")

@@ -196,9 +196,17 @@ def merge_upsert_table(
     if base == 0:
         return write_table(spark, batch, path)
     existing = read_table(spark, path, base)
-    merged = existing.join(
-        batch.select(*keys).distinct(), keys, "left_anti"
-    ).unionByName(batch)
+    # null-safe anti join: a plain key equi-anti-join never matches a
+    # NULL key, so an existing NULL-key row would survive every upsert
+    # AND the batch's copy would append again — unbounded duplicates
+    batch_keys = batch.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys]
+    ).distinct()
+    cond = None
+    for k in keys:
+        c = existing[k].eqNullSafe(batch_keys[f"__bk_{k}"])
+        cond = c if cond is None else cond & c
+    merged = existing.join(batch_keys, cond, "left_anti").unionByName(batch)
     files = _write_data_files(merged, path)
     try:
         return _publish(path, base, files, "merge_upsert")
@@ -223,12 +231,24 @@ def delete_where(
         raise
 
 
-def vacuum_table(path: str, keep_last: int = 2) -> int:
+def vacuum_table(
+    path: str, keep_last: int = 2, min_age_seconds: float = 3600.0
+) -> int:
     """Delete data files referenced by NO retained manifest (the last
     ``keep_last`` versions are retained; older manifests are dropped
     too). Returns the number of data files removed. Readers pinned to a
     retained version are safe; time travel beyond retention is not —
-    the same contract as Delta's VACUUM."""
+    the same contract as Delta's VACUUM.
+
+    ``min_age_seconds`` is the in-flight-commit guard (Delta's
+    retention window): a concurrent writer's files exist on disk BEFORE
+    its manifest publishes, so "referenced by no manifest" alone would
+    delete a staged commit out from under it. Unreferenced files
+    younger than the window are left alone; keep it comfortably above
+    the longest plausible write-to-publish gap (0 only in
+    single-writer tests)."""
+    import time
+
     vs = _versions(path)
     if not vs:
         return 0
@@ -237,6 +257,7 @@ def vacuum_table(path: str, keep_last: int = 2) -> int:
     for v in keep:
         live.update(_read_manifest(path, v)["files"])
     removed = 0
+    now = time.time()
     data = _data_dir(path)
     for root, _dirs, files in os.walk(data):
         for f in files:
@@ -244,7 +265,7 @@ def vacuum_table(path: str, keep_last: int = 2) -> int:
                 continue
             full = os.path.join(root, f)
             rel = os.path.relpath(full, path)
-            if rel not in live:
+            if rel not in live and now - os.path.getmtime(full) >= min_age_seconds:
                 os.remove(full)
                 removed += 1
     for root, dirs, files in os.walk(data, topdown=False):

@@ -26,7 +26,7 @@ def test_cli_table_history_vacuum_show(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "v1" in out and "v2" in out and "overwrite" in out
     assert main(["table", "show", path, "--version", "1", "--limit", "3"]) == 0
-    assert main(["table", "vacuum", path, "--keep-last", "1"]) == 0
+    assert main(["table", "vacuum", path, "--keep-last", "1", "--min-age", "0"]) == 0
     assert "vacuumed" in capsys.readouterr().out
 
 

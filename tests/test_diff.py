@@ -61,3 +61,20 @@ def test_round_trip_old_plus_feed_is_new(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_null_key_rows(spark):
+    # all-NULL keys are real rows: unchanged emits nothing, a removed
+    # NULL-key row is a D (not a phantom I), values carried correctly
+    old = _df(spark, [(None, "x", 10), (1, "y", 20)])
+    new = _df(spark, [(None, "x", 10), (1, "y", 21)])
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "U"}  # the unchanged NULL-key row emits no feed row
+    gone = snapshot_diff(old, _df(spark, [(1, "y", 20)]), ["k"]).collect()
+    assert [(r["op"], r["k"], r["a"], r["b"]) for r in gone] == [
+        ("D", None, "x", 10)
+    ]
+    ins = snapshot_diff(_df(spark, []), old, ["k"]).collect()
+    assert {(r["op"], r["k"], r["b"]) for r in ins} == {
+        ("I", None, 10), ("I", 1, 20)
+    }

@@ -57,3 +57,12 @@ def test_term_filter_pushed_to_persisted_index(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [In(token" in plan
+
+
+def test_conjunctive_search_dedupes_terms(spark):
+    idx = build_inverted_index(_docs(spark))
+    # duplicate + case-variant terms collapse to one unique token;
+    # previously count_distinct could never reach len(terms) -> empty
+    hits = {r["doc_id"] for r in
+            keyword_search_all(idx, ["alpha", "Alpha", "ALPHA"]).collect()}
+    assert hits == {1, 3}

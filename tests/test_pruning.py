@@ -169,3 +169,14 @@ def test_zorder_layout_feeds_zonemap_both_columns(spark, tmp_path):
             .collect()
         )
         assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full))
+
+
+def test_bloom_rejects_unaligned_bits(spark):
+    import pytest
+
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(dim, "k", 100)
+    words = bloom_build(dim, "k", 128)
+    with pytest.raises(ValueError, match="64 \\* len"):
+        bloom_might_contain("k", words, 192)

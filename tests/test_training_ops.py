@@ -829,3 +829,17 @@ def test_tokenize_to_ids_roundtrip(spark):
            for r in tokenize_to_ids(docs, "doc_id", "text", vocab_k=2).collect()}
     assert got[1] == [1, 2, 1, 0]  # c -> OOV 0
     assert got[2] == [0, 1]
+
+
+def test_winsorize_preserves_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.corpus import winsorize
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(1, 101)] + [(None,)], "v long"
+    )
+    w = winsorize(df, "v", 0.05, 0.95, approx=False, out_col="c")
+    nulls = w.where(F.col("v").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0]["c"] is None  # never fabricated
+    assert w.where(F.col("c").isNull()).count() == 1

@@ -95,10 +95,50 @@ def test_vacuum_drops_unreferenced_files_only(spark, tmp_path):
     write_table(spark, _df(spark, 0, 10), path)
     write_table(spark, _df(spark, 0, 20), path)
     write_table(spark, _df(spark, 0, 5), path)
-    removed = vacuum_table(path, keep_last=2)
+    removed = vacuum_table(path, keep_last=2, min_age_seconds=0)
     assert removed > 0
     # retained versions still read fine; vacuumed one is gone
     assert read_table(spark, path, 3).count() == 5
     assert read_table(spark, path, 2).count() == 20
     with pytest.raises(Exception):
         read_table(spark, path, 1).count()
+
+
+def test_upsert_null_key_replaces_not_duplicates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark,
+        spark.createDataFrame([(None, 1), (5, 50)], "k long, v long"),
+        path,
+    )
+    for v in (2, 3):
+        merge_upsert_table(
+            spark,
+            spark.createDataFrame([(None, v)], "k long, v long"),
+            path,
+            ["k"],
+        )
+    rows = sorted(
+        ((r["k"], r["v"]) for r in read_table(spark, path).collect()),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+    assert rows == [(None, 3), (5, 50)]  # replaced, never accumulated
+
+
+def test_vacuum_spares_young_unreferenced_files(spark, tmp_path):
+    # in-flight-commit guard: freshly staged (unpublished) files must
+    # survive a concurrent vacuum
+    import os
+
+    from lakeflow.sinks.txtable import _publish, _write_data_files
+
+    path = str(tmp_path / "t")
+    write_table(spark, _df(spark, 0, 10), path)
+    staged = _write_data_files(_df(spark, 10, 20), path)  # not yet published
+    assert vacuum_table(path, keep_last=1, min_age_seconds=3600) == 0
+    for rel in staged:
+        assert os.path.exists(os.path.join(path, rel))
+    _publish(path, 1, staged, "append")  # the commit still lands intact
+    assert read_table(spark, path).count() == 10
