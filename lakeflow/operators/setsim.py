@@ -1,0 +1,154 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-style).
+
+The MinHash-LSH family (`operators/similarity.py`) trades recall for
+cost: banding misses some true pairs by design. This module is the
+EXACT complement — every pair whose set Jaccard meets the threshold is
+returned, with candidate generation still an equi-join (never
+all-pairs), using the prefix-filtering principle from the published
+set-similarity-join literature (PPJoin / AllPairs):
+
+    Order each document's distinct elements by GLOBAL document
+    frequency, rarest first. If two sets A, B have
+    ``J(A,B) >= t`` they share at least
+    ``ceil(t/(1+t) * (|A|+|B|))`` elements, so each must hit the other
+    inside its first ``|S| - ceil(t*|S|) + 1`` elements under ANY
+    common total order. Joining only those PREFIX elements therefore
+    loses no true pair — and because the common order is
+    rarest-first, the join keys are by construction the LOW-frequency
+    elements, which is what keeps bucket fan-out (and the shuffle)
+    small at corpus scale: the stop-phrase shingle that would emit
+    n^2/2 candidate rows in a plain shared-element self-join sits at
+    the END of every ordering and never enters a prefix unless the
+    document is almost nothing but stop-phrases.
+
+Two extra exact filters cut candidates further before verification:
+
+- **length filter**: ``J(A,B) >= t`` forces
+  ``t*|A| <= |B| <= |A|/t`` — applied inside the candidate join as
+  ``least(|A|,|B|) >= t * greatest(|A|,|B|)`` (integer cross-multiply,
+  no division).
+- **verification on candidates only**: the exact intersection count is
+  a (candidate x element) equi-join, O(candidates * doc_size), never
+  corpus^2.
+
+Scale shape: one explode + distinct, one hash-agg for document
+frequency, one per-doc bounded window for the rarest-first rank
+(partition key = doc id, partition size = elements per doc), a
+prefix-token equi self-join, and a verify equi-join. No cartesian
+products, no windows over unbounded relations, no driver collects.
+
+Reference parity: the reference engine has no set-similarity join;
+this implements the §2.12 dedup surface's exact-recall tier (SURVEY
+§2.12) alongside MinHash-LSH (recall<1, cheaper) and SimHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakeflow.caching import CacheScope, maybe_persist
+from lakeflow.operators.text import explode_shingles
+
+MICRO = 1_000_000
+
+
+def _distinct_elements(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, s) distinct set elements per document: word ``shingle_n``-gram
+    shingles (n=1 degrades to the distinct-token set)."""
+    return explode_shingles(df, id_col, text_col, shingle_n).distinct()
+
+
+def prefix_filter_candidates(
+    elements: DataFrame, id_col: str, threshold_micros: int
+) -> DataFrame:
+    """Candidate pairs (ia, ib, sza, szb) from a distinct (id, s)
+    element relation: rarest-first prefix self-join + length filter.
+    Complete for Jaccard >= threshold (no false negatives); candidates
+    still need exact verification."""
+    dfreq = elements.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    # joining the per-element doc-frequency back is an equi-join on the
+    # element value; the rank window partitions by DOCUMENT, so its
+    # input per task is one document's elements, never the corpus
+    w = Window.partitionBy(id_col).orderBy("__df", "s")
+    ranked = (
+        elements.join(dfreq, "s")
+        .withColumn("__rnk", F.row_number().over(w))
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # prefix length |S| - ceil(t*|S|) + 1, all-integer ceil
+    need = F.floor(
+        (F.lit(threshold_micros) * F.col("__sz") + F.lit(MICRO - 1)) / F.lit(MICRO)
+    )
+    pref = ranked.filter(F.col("__rnk") <= F.col("__sz") - need + 1).select(
+        F.col(id_col), F.col("s"), F.col("__sz")
+    )
+    a = pref.select(
+        F.col(id_col).alias("ia"), F.col("s"), F.col("__sz").alias("sza")
+    )
+    b = pref.select(
+        F.col(id_col).alias("ib"), F.col("s"), F.col("__sz").alias("szb")
+    )
+    return (
+        a.join(b, "s")
+        .filter(F.col("ia") < F.col("ib"))
+        # length filter, integer cross-multiply (t*|A| <= |B| <= |A|/t)
+        .filter(
+            F.least("sza", "szb") * F.lit(MICRO)
+            >= F.lit(threshold_micros) * F.greatest("sza", "szb")
+        )
+        .select("ia", "ib", "sza", "szb")
+        .distinct()
+    )
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_micros: int = 300_000,
+    shingle_n: int = 3,
+    cache: CacheScope | None = None,
+) -> DataFrame:
+    """Exact self set-similarity join: every pair of documents whose
+    distinct-shingle Jaccard similarity is >= ``threshold_micros`` /
+    1e6, as (``{id}_a``, ``{id}_b``, ``jaccard_micros``). Exact recall
+    (prefix filtering loses no qualifying pair), candidate generation
+    via the rarest-first prefix equi-join above.
+
+    The element relation is consumed three times (doc frequency,
+    prefix join, verification), so it is persisted; pass
+    ``cache=CacheScope()`` (or run under ``scoped_cache``) to bound the
+    persist's lifetime."""
+    el = maybe_persist(_distinct_elements(df, id_col, text_col, shingle_n), cache)
+    cand = prefix_filter_candidates(el, id_col, threshold_micros)
+    ta = el.select(F.col(id_col).alias("ia"), "s")
+    tb = el.select(F.col(id_col).alias("ib"), "s")
+    inter = (
+        cand.join(ta, "ia")
+        .join(tb, ["ib", "s"])
+        .groupBy("ia", "ib", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("sza") + F.col("szb") - F.col("inter")
+    jm = F.floor(
+        F.col("inter").cast("double") / union.cast("double") * F.lit(MICRO)
+        + F.lit(0.5)
+    ).cast("long")
+    # threshold test is the EXACT integer cross-multiply (inter/union >=
+    # t), matching the prefix filter's completeness guarantee precisely;
+    # the rounded micros column is for reporting only (a rounded-value
+    # test could admit pairs just BELOW t that the candidate stage
+    # rightly never generated)
+    return (
+        inter.filter(
+            F.col("inter") * F.lit(MICRO) >= F.lit(threshold_micros) * union
+        )
+        .select(
+            F.col("ia").alias(f"{id_col}_a"),
+            F.col("ib").alias(f"{id_col}_b"),
+            jm.alias("jaccard_micros"),
+        )
+    )

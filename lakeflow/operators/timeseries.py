@@ -170,3 +170,34 @@ def resample_interpolate(
         F.timestamp_seconds(F.col("__t")).cast("timestamp_ntz").alias(out_ts),
         lerp.cast("long").alias(out_val),
     )
+
+
+def detect_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    min_gap_micros: int,
+) -> DataFrame:
+    """Missing-data detection per series: every consecutive-observation
+    gap of at least ``min_gap_micros`` as (key, gap_start, gap_end,
+    gap_micros) — the monitoring primitive behind "sensor went dark" /
+    "ingest stalled for this source" alerts, and the inverse of the
+    resamplers above (they FILL gaps; this one reports them).
+
+    One per-key ordered window (lag) — the partition is a single
+    series, the same bounded shape as sessionization. ``tie_col`` makes
+    the order total so equal timestamps are deterministic. Integer
+    epoch-micro arithmetic end to end."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).alias("gap_micros")
+    return (
+        df.select(
+            F.col(key_col),
+            F.lag(F.col(ts_col)).over(w).alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap,
+        )
+        .filter(F.col("gap_micros") >= min_gap_micros)
+    )

@@ -3151,3 +3151,112 @@ def q_tokenize_ids(spark, sf_dir):
     return out.select(
         "doc_id", F.col("token_ids").cast("array<long>").alias("token_ids")
     )
+
+
+@query(
+    "q_setsim_join",
+    oracle=f"""
+    WITH {_shingle_cte('documents')},
+    dt AS (SELECT DISTINCT doc_id, s FROM ex),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+      FROM dt a JOIN dt b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT ia AS doc_id_a, ib AS doc_id_b,
+           CAST(FLOOR(CAST(inter AS DOUBLE)
+                      / CAST(za.sz + zb.sz - inter AS DOUBLE)
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS jaccard_micros
+    FROM inter JOIN sz za ON za.doc_id = ia JOIN sz zb ON zb.doc_id = ib
+    WHERE inter * 1000000 >= 300000 * (za.sz + zb.sz - inter)
+    """,
+    description="Exact set-similarity self-join via prefix filtering "
+    "(operators/setsim, PPJoin-style): rarest-first global element "
+    "order, per-set prefix equi-join + integer length filter for "
+    "candidates, exact verification on candidates only. The oracle is "
+    "the GROUND TRUTH all-shared-element pair scan, so a green row "
+    "proves the prefix filter's zero-false-negative guarantee, not "
+    "just self-consistency. Complements MinHash-LSH (recall<1) with "
+    "the exact-recall dedup tier at equi-join cost.",
+    refs=("§2.12", "N7", "J2"),
+)
+def q_setsim_join(spark, sf_dir):
+    from lakeflow.operators.setsim import setsim_join
+
+    d = load_table(spark, sf_dir, "documents")
+    return setsim_join(d, "doc_id", "text", threshold_micros=300_000)
+
+
+@query(
+    "q_ts_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_start,
+             ts AS gap_end,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_micros
+      FROM events)
+    SELECT user_id, gap_start, gap_end, CAST(gap_micros AS BIGINT) AS gap_micros
+    FROM g WHERE gap_micros >= 86400000000
+    """,
+    description="Missing-data detection per series (operators/"
+    "timeseries.detect_gaps): every >=24h silence between consecutive "
+    "events per user as (gap_start, gap_end, gap_micros) — the "
+    "sensor-went-dark / ingest-stalled monitoring primitive and the "
+    "inverse of the gap-FILLING resamplers. One per-series lag window "
+    "(the sessionize shape), integer epoch-micro arithmetic.",
+    refs=("§2.9", "§2.12"),
+)
+def q_ts_gaps(spark, sf_dir):
+    from lakeflow.operators.timeseries import detect_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    return detect_gaps(ev, "user_id", "ts", "event_id", 86_400_000_000)
+
+
+@query(
+    "q_trend_slope",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(FLOOR(value * 1000000e0 + 0.5e0) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x * y AS HUGEINT)) AS sxy,
+             SUM(CAST(x * x AS HUGEINT)) AS sxx
+      FROM p GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND CAST(n*sxx - sx*sx AS DOUBLE) <> 0 THEN
+             CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+                        / CAST(n*sxx - sx*sx AS DOUBLE) + 0.5e0) AS BIGINT)
+           END AS slope_micros_per_x,
+           CASE WHEN n >= 2 AND CAST(n*sxx - sx*sx AS DOUBLE) <> 0 THEN
+             CAST(FLOOR((CAST(sy AS DOUBLE)
+                         - CAST(n*sxy - sx*sy AS DOUBLE)
+                           / CAST(n*sxx - sx*sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                        + 0.5e0) AS BIGINT)
+           END AS intercept_micros
+    FROM s
+    """,
+    description="Per-event-type OLS trend of event value over time "
+    "(operators/trend.grouped_ols): one map-side-combined hash "
+    "aggregate of the exact sufficient statistics (decimal(38)/HUGEINT "
+    "cross-row sums, long per-row products), slope + intercept in "
+    "micro-units per day. Drift/trend profiling at one-scan cost; "
+    "built-in regr_slope is avoided because its streaming double sums "
+    "are partition-order-dependent (no bit parity).",
+    refs=("§2.12", "A5", "F5"),
+)
+def q_trend_slope(spark, sf_dir):
+    from lakeflow.operators.trend import grouped_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    y = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
+    return grouped_ols(ev, ["event_type"], x, y)

@@ -1,0 +1,119 @@
+"""Prefix-filter set-similarity join (operators/setsim).
+
+The contract under test is EXACT RECALL: unlike MinHash-LSH, the
+prefix-filter candidate stage must lose no pair whose true Jaccard
+meets the threshold — verified here against a brute-force all-pairs
+computation on corpora with engineered boundary cases (pairs exactly
+AT the threshold, just under it, identical sets, disjoint sets).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeflow.operators.setsim import (
+    _distinct_elements,
+    prefix_filter_candidates,
+    setsim_join,
+)
+
+DOCS = [
+    # identical pair (J = 1.0)
+    (1, "a b c d e f g h"),
+    (2, "a b c d e f g h"),
+    # J exactly at 0.5: |A∩B|=4, |A∪B|=8 (6 tokens each, 4 shared)
+    (3, "a b c d x1 x2"),
+    (4, "a b c d y1 y2"),
+    # just under 0.5: 3 shared of 6+6 -> 3/9
+    (5, "a b c u1 u2 u3"),
+    (6, "a b c v1 v2 v3"),
+    # disjoint
+    (7, "p q r s t"),
+    # subset (J = 5/8)
+    (8, "a b c d e f g h p q r s t w1 w2 w3"),
+]
+
+
+def brute_jaccard(rows: list[tuple[int, str]]) -> dict[tuple[int, int], float]:
+    sets = {i: set(t.split()) for i, t in rows}
+    out = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union:
+            out[(a, b)] = inter / union
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize("t_micros", [300_000, 500_000, 625_000, 1_000_000])
+def test_exact_recall_vs_brute_force(spark, docs, t_micros):
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in setsim_join(
+            docs, "doc_id", "text", t_micros, shingle_n=1
+        ).collect()
+    }
+    want = {
+        p
+        for p, j in brute_jaccard(DOCS).items()
+        if j * 1_000_000 >= t_micros
+    }
+    assert got == want
+
+
+def test_threshold_boundary_is_inclusive(spark, docs):
+    # (3,4) sits exactly at J = 0.5: must be returned at t=0.5 and
+    # dropped at the next micro step
+    at = setsim_join(docs, "doc_id", "text", 500_000, shingle_n=1)
+    assert (3, 4) in {(r.doc_id_a, r.doc_id_b) for r in at.collect()}
+    above = setsim_join(docs, "doc_id", "text", 500_001, shingle_n=1)
+    assert (3, 4) not in {(r.doc_id_a, r.doc_id_b) for r in above.collect()}
+
+
+def test_jaccard_micros_values(spark, docs):
+    rows = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard_micros
+        for r in setsim_join(docs, "doc_id", "text", 300_000, shingle_n=1).collect()
+    }
+    assert rows[(1, 2)] == 1_000_000
+    assert rows[(3, 4)] == 500_000
+    assert rows[(1, 8)] == 500_000  # 8 shared / 16 union
+
+
+def test_prefix_prunes_candidates(spark):
+    # 40 docs sharing one universal stop token; only two real near-dups.
+    # The shared-element join would pair everything (40*39/2); the
+    # rarest-first prefix at t=0.6 must keep the candidate count small.
+    rows = [(i, f"stop u{i}a u{i}b u{i}c u{i}d") for i in range(40)]
+    rows += [(100, "m1 m2 m3 m4 m5"), (101, "m1 m2 m3 m4 m6")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    el = _distinct_elements(df, "doc_id", "text", 1)
+    cand = prefix_filter_candidates(el, "doc_id", 600_000)
+    n = cand.count()
+    assert n < 40  # vs 861 all-pairs sharing "stop"
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in setsim_join(df, "doc_id", "text", 600_000, shingle_n=1).collect()
+    }
+    assert got == {(100, 101)}
+
+
+def test_no_cartesian_in_plan(spark, docs):
+    import contextlib
+    import io
+
+    df = setsim_join(docs, "doc_id", "text", 300_000)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

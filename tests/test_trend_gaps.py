@@ -1,0 +1,75 @@
+"""Gap detection (timeseries.detect_gaps) and grouped OLS
+(trend.grouped_ols) value checks on hand-computable data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lakeflow.operators.timeseries import detect_gaps
+from lakeflow.operators.trend import grouped_ols
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_detect_gaps_finds_only_qualifying_gaps(spark):
+    rows = [
+        # user 1: 09:00, 09:10, 12:10 -> one 3h gap at threshold 2h
+        (1, 1, _ts(9, 0)),
+        (1, 2, _ts(9, 10)),
+        (1, 3, _ts(12, 10)),
+        # user 2: evenly 30 min apart -> no gaps
+        (2, 4, _ts(8, 0)),
+        (2, 5, _ts(8, 30)),
+        (2, 6, _ts(9, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    got = detect_gaps(df, "user_id", "ts", "event_id", 2 * 3600 * 1_000_000)
+    out = got.collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1
+    assert r.gap_start == _ts(9, 10) and r.gap_end == _ts(12, 10)
+    assert r.gap_micros == 3 * 3600 * 1_000_000
+
+
+def test_detect_gaps_ties_are_deterministic(spark):
+    # two events at the SAME ts: tie_col orders them; zero-length "gap"
+    # between them never qualifies
+    rows = [(1, 1, _ts(9)), (1, 2, _ts(9)), (1, 3, _ts(13))]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    got = detect_gaps(df, "user_id", "ts", "event_id", 3600 * 1_000_000).collect()
+    assert len(got) == 1 and got[0].gap_micros == 4 * 3600 * 1_000_000
+
+
+def test_grouped_ols_exact_line(spark):
+    # y = 3x + 7 exactly, in micro units: slope 3_000_000? No — y is
+    # ALREADY micros here: y_micros = 3*x + 7 gives slope 3, intercept 7
+    rows = [("a", x, 3 * x + 7) for x in range(10)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = grouped_ols(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert out.n == 10
+    assert out.slope_micros_per_x == 3
+    assert out.intercept_micros == 7
+
+
+def test_grouped_ols_degenerate_groups_null(spark):
+    rows = [("one", 5, 9), ("flat", 2, 1), ("flat", 2, 5)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r.g: r for r in grouped_ols(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert out["one"].slope_micros_per_x is None  # n < 2
+    assert out["flat"].slope_micros_per_x is None  # zero x-variance
+    assert out["flat"].n == 2
+
+
+def test_grouped_ols_noisy_rounding(spark):
+    # points (0,0), (1,1), (2,1): slope = 1/2, intercept = 1/6
+    # floor(0.5+0.5)=1, floor(0.1666+0.5)=0
+    rows = [("g", 0, 0), ("g", 1, 1), ("g", 2, 1)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = grouped_ols(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert out.slope_micros_per_x == 1
+    assert out.intercept_micros == 0
