@@ -567,3 +567,66 @@ def tokenize_to_ids(
             F.transform(F.col("__s"), lambda s: s["t"]).alias("token_ids"),
         )
     )
+
+
+def importance_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much more likely its tokens are under a
+    TARGET distribution (the rows matching ``target_pred`` — e.g. a
+    trusted domain) than under the raw corpus — the published recipe
+    for skimming target-domain-like data out of a web-scale crawl
+    without training a classifier. Returns (id, n_tokens, weight_bits,
+    mean_weight_milli); select by thresholding or exactly-k sampling on
+    the weight.
+
+    Per-token log ratio log2(p_target/p_raw) is approximated in WHOLE
+    BITS with the shared integer primitive: score(tok) =
+    bit_length(T_raw div (c_raw+1)) - bit_length(T_tgt div (c_tgt+1))
+    (add-one smoothing; positive = target-like, negative = raw-typical)
+    — no floating log, so both engines reproduce every weight exactly.
+
+    100 TB shape: ONE tagged token hash-aggregate produces both sides'
+    counts (conditional sums — no second scan of the corpus), the
+    two totals broadcast as one row, the per-occurrence score lookup is
+    an equi-join on token (AQE splits hot-token skew), and the per-doc
+    reduction is a map-side-combined sum. No windows, no collects."""
+    from lakeflow.operators.text import tokens
+
+    ex = df.select(
+        F.col(id_col),
+        target_pred.alias("__tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = ex.groupBy("tok").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    score = int_bits("tr div (cr + 1)") - int_bits("tt div (ct + 1)")
+    sc = (
+        ex.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), score.cast("long").alias("s"))
+    )
+    # mean uses FLOOR division on both engines (Spark `div` truncates
+    # toward zero, DuckDB `//` floors — they disagree on NEGATIVE
+    # weights, which this profile produces); sums are far below 2^53 so
+    # the double floor is exact
+    return sc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("s").alias("weight_bits"),
+        F.floor(
+            (F.sum("s") * F.lit(1000)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("mean_weight_milli"),
+    )

@@ -187,3 +187,75 @@ def stratified_exact_k(
         df.withColumn("__h", h), group_col, "__h", key_col, k
     ).select(group_col, key_col)
     return df.join(F.broadcast(winners), [group_col, key_col], "left_semi")
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "pps",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Weighted (probability-proportional-to-size) sample of ~``k`` rows
+    via systematic sampling: lay every row's weight along a line in a
+    seeded pseudo-random order, then keep the row containing each of the
+    ``k`` evenly-spaced multiples of total_weight/k — the classic
+    survey-sampling PPS scheme, here in EXACT integer arithmetic. This
+    is the selection half of importance resampling: feed it DSIR weights
+    (``corpus.importance_profile``), token counts (token-proportional
+    corpus thinning), or any positive integer weight.
+
+    A row is kept iff its cumulative-weight interval (cum-w, cum]
+    contains a multiple of W/k, tested as
+    ``(cum*k) div W > ((cum-w)*k) div W`` — floor division on
+    non-negative decimals, no floats anywhere, so any engine reproduces
+    the exact sample. Rows heavier than W/k are kept once (never
+    duplicated), so the sample size is <= k, == k when no row exceeds
+    the stride. Like every sampler here the kept set is a function of
+    (seed, key, weights) only — partitioning, retries, and other
+    engines agree bit-for-bit; zero-or-negative-weight rows are never
+    selected.
+
+    100 TB shape: the cumulative weight rides the distributed prefix
+    sum (``prefix.bucketed_running_sum`` — per-task input is
+    ~1/n_buckets of the corpus, never the whole relation through one
+    sorter), the total broadcasts as one row, and selection is a
+    narrow codegen filter."""
+    from lakeflow.operators.prefix import bucketed_running_sum
+
+    h = seeded_hash(F.col(key_col).cast("string"), seed)
+    # non-positive weights can never be selected AND would corrupt the
+    # cumulative intervals of later rows — drop them before the prefix sum
+    keyed = (
+        df.withColumn("__w", F.col(weight_col).cast("long"))
+        .filter(F.col("__w") > 0)
+        .withColumn("__h", h)
+        .withColumn("__g", F.lit(0))
+    )
+    run = bucketed_running_sum(
+        keyed,
+        "__g",
+        "__h",
+        [key_col],
+        "__w",
+        out_col="__cum",
+        n_buckets=n_buckets,
+    )
+    tot = keyed.agg(F.sum("__w").alias("__W"))
+    # integral `div` (IntegralDivide) keeps the boundary test exact on
+    # decimal(38) products — floor(decimal/decimal) would round through
+    # a scale-6 decimal division first and can misplace a boundary once
+    # cum*k outgrows its precision. The dataset aliases break the
+    # shared-lineage self-join ambiguity (tot aggregates the same plan
+    # run is built from, so an unqualified __W resolves twice).
+    keep = F.expr(
+        f"(CAST(__r.__cum AS DECIMAL(38,0)) * {int(k)}) div __t.__W >"
+        f" (CAST(__r.__cum - __r.__w AS DECIMAL(38,0)) * {int(k)}) div __t.__W"
+    )
+    return (
+        run.alias("__r")
+        .crossJoin(F.broadcast(tot.alias("__t")))
+        .filter(keep)
+        .drop("__h", "__w", "__g", "__cum", "__W")
+    )

@@ -3260,3 +3260,82 @@ def q_trend_slope(spark, sf_dir):
     x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
     y = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
     return grouped_ols(ev, ["event_type"], x, y)
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source IN ('src1', 'src3') AS tgt,
+                      {_SQL_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, tgt, unnest(toks) AS tok FROM t),
+    e2 AS (SELECT doc_id, tgt, tok FROM ex WHERE tok <> ''),
+    cnt AS (SELECT tok,
+                   CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+            FROM e2 GROUP BY tok),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                   CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+    sc AS (
+      SELECT doc_id,
+             CAST(length(bin(tr // (cr + 1))) AS BIGINT)
+               - CAST(length(bin(tt // (ct + 1))) AS BIGINT) AS s
+      FROM e2 JOIN cnt USING (tok) CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS BIGINT) AS weight_bits,
+           CAST(FLOOR(CAST(SUM(s) * 1000 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                AS BIGINT) AS mean_weight_milli
+    FROM sc GROUP BY doc_id
+    """,
+    description="DSIR-style importance weights for data selection "
+    "(operators/corpus.importance_profile): per-document sum of "
+    "whole-bit log ratios log2(p_target/p_raw) over tokens, target = "
+    "sources src1/src3 — the importance-resampling recipe for pulling "
+    "target-domain-like documents out of a raw crawl without a "
+    "classifier. One tagged token hash-agg yields both distributions "
+    "(conditional sums), totals broadcast as one row, score lookup is "
+    "a token equi-join; integer bit-length arithmetic end to end.",
+    refs=("§2.12", "A5", "J2"),
+)
+def q_dsir_weights(spark, sf_dir):
+    from lakeflow.operators.corpus import importance_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return importance_profile(
+        d, "doc_id", "text", F.col("source").isin("src1", "src3")
+    )
+
+
+@query(
+    "q_pps_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5('pps|' || (doc_id::VARCHAR)), 1, 15))::BIGINT) AS h
+      FROM documents WHERE n_chars > 0),
+    c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM w),
+    t AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS tw FROM w)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM c CROSS JOIN t
+    WHERE (CAST(cum AS HUGEINT) * 100) // tw
+          > (CAST(cum - n_chars AS HUGEINT) * 100) // tw
+    """,
+    description="Weighted ~100-row sample proportional to document "
+    "size (operators/sampling.pps_systematic_sample): systematic PPS "
+    "along a seeded pseudo-random order — the selection half of "
+    "importance resampling (feed it q_dsir_weights' weights or token "
+    "counts). Exact integer boundary test ((cum*k) div W stepping), "
+    "cumulative weight via the distributed prefix sum (no whole-corpus "
+    "single-task sort), deterministic under reshuffles and across "
+    "engines.",
+    refs=("§2.12", "A5"),
+)
+def q_pps_sample(spark, sf_dir):
+    from lakeflow.operators.sampling import pps_systematic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = pps_systematic_sample(d, "doc_id", "n_chars", 100, seed="pps")
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))

@@ -843,3 +843,39 @@ def test_winsorize_preserves_nulls(spark):
     nulls = w.where(F.col("v").isNull()).collect()
     assert len(nulls) == 1 and nulls[0]["c"] is None  # never fabricated
     assert w.where(F.col("c").isNull()).count() == 1
+
+
+def test_importance_profile_directions(spark):
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.corpus import importance_profile
+
+    rows = [
+        # target corpus: science-y vocabulary
+        (1, "atom proton neutron electron", 1),
+        (2, "proton electron quark atom", 1),
+        # raw corpus: web spam vocabulary + one science-like doc
+        (3, "click here buy now click", 0),
+        (4, "buy cheap click here now", 0),
+        (5, "atom electron proton quark", 0),
+        (6, "click buy cheap now here", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tgt"])
+    out = {
+        r.doc_id: r
+        for r in importance_profile(
+            df, "doc_id", "text", F.col("tgt") == 1
+        ).collect()
+    }
+    # the science-like raw doc must outscore every spam doc
+    assert out[5].weight_bits > out[3].weight_bits
+    assert out[5].weight_bits > out[4].weight_bits
+    # spam docs (target-absent tokens) get negative weights
+    assert out[3].weight_bits < 0
+    # per-doc token counts survive the pipeline
+    assert out[1].n_tokens == 4
+    # floor-division mean: weight_bits*1000 floor-divided by n_tokens
+    for r in out.values():
+        import math
+
+        assert r.mean_weight_milli == math.floor(r.weight_bits * 1000 / r.n_tokens)

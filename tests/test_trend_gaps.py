@@ -73,3 +73,57 @@ def test_grouped_ols_noisy_rounding(spark):
     out = grouped_ols(df, ["g"], F.col("x"), F.col("y")).collect()[0]
     assert out.slope_micros_per_x == 1
     assert out.intercept_micros == 0
+
+
+def _pps_reference(rows, k, seed="pps"):
+    """Driver-side mirror of the PPS boundary math."""
+    import hashlib
+
+    def h(key):
+        return int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:15], 16)
+
+    ordered = sorted(((h(i), i, w) for i, w in rows if w > 0))
+    total = sum(w for _, _, w in ordered)
+    out, cum = [], 0
+    for _, i, w in ordered:
+        prev = cum
+        cum += w
+        if (cum * k) // total > (prev * k) // total:
+            out.append(i)
+    return set(out)
+
+
+def test_pps_sample_matches_reference_and_is_partition_invariant(spark):
+    from lakeflow.operators.sampling import pps_systematic_sample
+
+    rows = [(i, (i * 7) % 23 + 1) for i in range(200)]
+    want = _pps_reference(rows, 20)
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = {r.id for r in pps_systematic_sample(df, "id", "w", 20).collect()}
+    assert got == want
+    got13 = {
+        r.id
+        for r in pps_systematic_sample(df.repartition(13), "id", "w", 20).collect()
+    }
+    assert got13 == want
+
+
+def test_pps_sample_size_and_weight_bias(spark):
+    from lakeflow.operators.sampling import pps_systematic_sample
+
+    # one heavy row (weight 1000) among 100 light rows (weight 1):
+    # the heavy row must always be sampled, sample size <= k
+    rows = [(i, 1) for i in range(100)] + [(999, 1000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = {r.id for r in pps_systematic_sample(df, "id", "w", 10).collect()}
+    assert 999 in got
+    assert len(got) <= 10
+
+
+def test_pps_sample_drops_nonpositive_weights(spark):
+    from lakeflow.operators.sampling import pps_systematic_sample
+
+    rows = [(1, 5), (2, 0), (3, -4), (4, 5)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = {r.id for r in pps_systematic_sample(df, "id", "w", 2).collect()}
+    assert got <= {1, 4} and got
