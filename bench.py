@@ -179,6 +179,13 @@ BENCH_QUERIES = [
     "q_interval_join",
     "q_equi_depth_hist",
     "q_tokenize_ids",
+    # round 5 final: exact set-similarity + data selection + profiling
+    "q_setsim_join",
+    "q_dsir_weights",
+    "q_pps_sample",
+    "q_ts_gaps",
+    "q_trend_slope",
+    "q_bpe_merges",
 ]
 
 

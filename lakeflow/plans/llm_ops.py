@@ -3339,3 +3339,48 @@ def q_pps_sample(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     out = pps_systematic_sample(d, "doc_id", "n_chars", 100, seed="pps")
     return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@query(
+    "q_bpe_merges",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+           WHERE word <> '' GROUP BY word),
+    pr AS (
+      SELECT substr(word, i, 1) AS left_sym,
+             substr(word, i + 1, 1) AS right_sym, n
+      FROM wc, unnest(generate_series(1, len(word) - 1)) AS t(i)
+      WHERE len(word) >= 2)
+    SELECT left_sym, right_sym, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM pr GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
+    """,
+    description="First BPE merge round over the corpus "
+    "(operators/bpe): adjacent-symbol pair counts weighted by word "
+    "frequency, top-20 candidates — the tokenizer-TRAINING primitive "
+    "completing the vocab -> merges -> tokenize-to-ids -> pack -> "
+    "shard chain. Training never rescans the corpus: rounds run over "
+    "the distinct-word frequency table (one explode + hash-agg), the "
+    "argmax is a TakeOrdered 1-row collect, and merges apply as a "
+    "higher-order array fold (leftmost-first, reference BPE "
+    "semantics) — multi-round learning is validated against a "
+    "driver-side reference in tests/test_bpe.py.",
+    refs=("§2.12", "N7", "A5"),
+)
+def q_bpe_merges(spark, sf_dir):
+    from lakeflow.operators.bpe import pair_counts, symbolize, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    pc = pair_counts(symbolize(word_counts(d, "text")))
+    return (
+        pc.select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "pair_count",
+        )
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(20)
+    )
