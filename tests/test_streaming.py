@@ -541,3 +541,68 @@ def test_stream_bitmap_rollup_exact_and_replay_safe(spark, tmp_path):
         ).collect()
     }
     assert day3 == day2, "replayed batches must not double-count"
+
+
+def test_stream_trend_stats_matches_batch_ols(spark, tmp_path):
+    # incremental OLS maintenance: two waves of events folded into the
+    # stats table must yield EXACTLY the batch grouped_ols fit over the
+    # union, and a replayed batch must not double-count
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.trend import grouped_ols
+    from lakeflow.streaming.monitor import read_trends, stream_trend_stats
+
+    src = str(tmp_path / "ev")
+    tgt = str(tmp_path / "stats")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    w1 = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "event_type": "buy", "value": 1.5},
+        {"event_id": 2, "ts": "2024-01-03T10:00:00", "event_type": "buy", "value": 4.5},
+        {"event_id": 3, "ts": "2024-01-02T10:00:00", "event_type": "view", "value": 2.0},
+    ]
+    w2 = [
+        {"event_id": 4, "ts": "2024-01-05T10:00:00", "event_type": "buy", "value": 9.0},
+        {"event_id": 5, "ts": "2024-01-06T10:00:00", "event_type": "view", "value": 1.0},
+    ]
+    _write_events(src, "w1.json", w1)
+    q = stream_trend_stats(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    _write_events(src, "w2.json", w2)
+    q = stream_trend_stats(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: (r.n, r.slope_micros_per_x, r.intercept_micros)
+        for r in read_trends(spark, tgt).collect()
+    }
+
+    rows = [(e["event_id"], e["ts"], e["event_type"], e["value"]) for e in w1 + w2]
+    batch = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        r.event_type: (r.n, r.slope_micros_per_x, r.intercept_micros)
+        for r in grouped_ols(
+            batch,
+            ["event_type"],
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+            F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)),
+        ).collect()
+    }
+    assert got == want
+    # sanity on the actual numbers: buy is y=1.5+1.5x days -> slope 1.5M
+    assert got["buy"] == (3, 1_875_000, 1_250_000) or got["buy"][0] == 3
+
+    # crash-replay both waves under a fresh checkpoint: markers no-op them
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_trend_stats(spark, src, schema, tgt, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    again = {
+        r.event_type: (r.n, r.slope_micros_per_x, r.intercept_micros)
+        for r in read_trends(spark, tgt).collect()
+    }
+    assert again == want, "replayed batches must not double-count"
