@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "q_ts_gaps",
     "q_trend_slope",
     "q_bpe_merges",
+    "q_embedding_dim_stats",
 ]
 
 

@@ -649,3 +649,41 @@ def near_dup_pairs(
         .select(f"{id_col}_a", f"{id_col}_b", jm.alias("jaccard_micros"))
         .filter(F.col("jaccard_micros") >= min_jaccard_micros)
     )
+
+
+def dimension_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION embedding statistics: (dim, n_vectors, sum_micros,
+    min_micros, max_micros, mean, variance) — the drift/collapse
+    diagnostic for an embedding column (a dimension whose variance
+    craters after a model change, or whose mean wanders between
+    snapshots, is the first symptom of a broken encoder or a
+    normalization regression). Complements ``q_embedding_stats``'
+    per-VECTOR norms.
+
+    One posexplode + one hash-agg keyed by dimension index (cardinality
+    = dim, tiny); integer micro sums stay exact through the aggregate
+    (second moments in decimal(38,0) — micros^2 outgrow longs at
+    corpus scale), only the final per-dimension mean/variance
+    derivation is double, written in the identical IEEE order as the
+    oracle so repr-level equality holds."""
+    v = to_micro_ints(vec_col)
+    ex = emb.select(F.posexplode(v).alias("dim", "val"))
+    g = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("val").alias("sum_micros"),
+        F.min("val").alias("min_micros"),
+        F.max("val").alias("max_micros"),
+        F.sum((F.col("val") * F.col("val")).cast("decimal(38,0)")).alias("__s2"),
+    )
+    n = F.col("n_vectors").cast("double")
+    mean = F.col("sum_micros").cast("double") / n
+    var = F.col("__s2").cast("double") / n - mean * mean
+    return g.select(
+        "dim",
+        "n_vectors",
+        "sum_micros",
+        "min_micros",
+        "max_micros",
+        mean.alias("mean"),
+        var.alias("variance"),
+    )

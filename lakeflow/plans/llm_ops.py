@@ -3384,3 +3384,41 @@ def q_bpe_merges(spark, sf_dir):
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(20)
     )
+
+
+@query(
+    "q_embedding_dim_stats",
+    oracle=f"""
+    WITH e AS (SELECT {_SQL_VEC} AS arr FROM embeddings),
+    ex AS (
+      SELECT i - 1 AS dim, arr[i] AS val
+      FROM e, unnest(generate_series(1, len(arr))) AS t(i)),
+    g AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(val) AS BIGINT) AS sum_micros,
+             CAST(MIN(val) AS BIGINT) AS min_micros,
+             CAST(MAX(val) AS BIGINT) AS max_micros,
+             SUM(CAST(val AS HUGEINT) * CAST(val AS HUGEINT)) AS s2
+      FROM ex GROUP BY dim)
+    SELECT dim, n_vectors, sum_micros, min_micros, max_micros,
+           CAST(sum_micros AS DOUBLE) / n_vectors AS mean,
+           CAST(s2 AS DOUBLE) / n_vectors
+             - (CAST(sum_micros AS DOUBLE) / n_vectors)
+               * (CAST(sum_micros AS DOUBLE) / n_vectors) AS variance
+    FROM g
+    """,
+    description="Per-dimension embedding statistics (operators/"
+    "similarity.dimension_stats): count/sum/min/max/mean/variance for "
+    "each vector dimension — the drift/collapse diagnostic that "
+    "catches a broken encoder or normalization regression dimension by "
+    "dimension (complements q_embedding_stats' per-vector norms). One "
+    "posexplode + one dim-keyed hash-agg (cardinality = vector width); "
+    "exact integer micro sums, decimal(38)/HUGEINT second moments, "
+    "IEEE-order-pinned double derivation.",
+    refs=("§2.12", "A5", "N7"),
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    from lakeflow.operators.similarity import dimension_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dimension_stats(emb)

@@ -239,3 +239,30 @@ def test_repeated_spans_single_count_aggregate(spark):
     # the dup-gram mark must be a left-semi against ONE count aggregate
     plan = _plan(spark, "q_repeated_spans")
     assert "LeftSemi" in plan, plan
+
+
+def test_bpe_merges_is_take_ordered(spark):
+    # the top-20 merge candidates must be per-partition heaps merged at
+    # the driver, never a global sort of the pair-count relation
+    plan = _plan(spark, "q_bpe_merges")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_setsim_join_no_cartesian_no_nested_loop(spark):
+    # candidate generation must stay an equi-join on prefix elements;
+    # the only acceptable join strategies are hash/sort-merge
+    plan = _plan(spark, "q_setsim_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pps_sample_windows_are_bucketed(spark):
+    # the cumulative weight must ride the distributed prefix sum: every
+    # window sort key list that orders the full relation must be
+    # partitioned by the bucket column, and the only unbucketed window
+    # is the per-bucket offsets pass (input <= n_buckets rows)
+    plan = _plan(spark, "q_pps_sample")
+    assert "CartesianProduct" not in plan, plan
+    # __b appears as a window partition key (within-bucket pass)
+    assert "partitionBy" not in plan or "__b" in plan  # formatted plans differ
+    assert plan.count("Window") >= 2, plan
