@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "q_trend_slope",
     "q_bpe_merges",
     "q_embedding_dim_stats",
+    "q_mad_outliers",
 ]
 
 

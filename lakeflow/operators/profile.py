@@ -95,3 +95,56 @@ def equi_depth_histogram(
             F.max("__v").alias("max_v"),
         )
     )
+
+
+def mad_outlier_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    value: Column,
+    k_milli: int = 3500,
+    approx: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Robust per-key anomaly profile via median absolute deviation:
+    (keys, n, median_micros, mad_micros, n_outliers), where an outlier
+    is ``|x - median| * 1000 > k_milli * MAD`` (default k=3.5, the
+    standard robust z-score cut). Median/MAD resist the very outliers
+    they detect — mean/stddev cuts move toward anomalies; the robust
+    pair does not, which is why monitoring pipelines flag on MAD.
+
+    Two aggregate passes (median, then median of absolute deviations)
+    + one counting pass, each keyed by the low-cardinality profile key;
+    per-key medians default to the ``approx_percentile`` GK sketch
+    (O(accuracy·log n) state — same contract as percentile_band /
+    winsorize) with ``approx=False`` switching to exact interpolated
+    percentiles for oracle parity. Medians round half-up to integer
+    micros so both engines agree bit-for-bit; the outlier test is an
+    integer cross-multiply, no float thresholds."""
+    pct = (
+        (lambda c: F.percentile_approx(c, 0.5, accuracy))
+        if approx
+        else (lambda c: F.percentile(c, 0.5))
+    )
+    v = value.cast("long")
+    base = df.select(*key_cols, v.alias("__v"))
+    med = base.groupBy(*key_cols).agg(
+        F.floor(pct(F.col("__v")) + F.lit(0.5)).cast("long").alias("median_micros")
+    )
+    dev = base.join(med, key_cols).withColumn(
+        "__d", F.abs(F.col("__v") - F.col("median_micros"))
+    )
+    mad = dev.groupBy(*key_cols).agg(
+        F.floor(pct(F.col("__d")) + F.lit(0.5)).cast("long").alias("mad_micros")
+    )
+    flagged = dev.join(mad, key_cols)
+    return flagged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("median_micros").alias("median_micros"),
+        F.first("mad_micros").alias("mad_micros"),
+        F.sum(
+            F.when(
+                F.col("__d") * F.lit(1000) > F.lit(k_milli) * F.col("mad_micros"),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )

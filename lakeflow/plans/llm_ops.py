@@ -3422,3 +3422,49 @@ def q_embedding_dim_stats(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return dimension_stats(emb)
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000e0 + 0.5e0) AS BIGINT) AS v
+      FROM events),
+    med AS (
+      SELECT event_type,
+             CAST(FLOOR(quantile_cont(v, 0.5e0) + 0.5e0) AS BIGINT) AS median_micros
+      FROM b GROUP BY event_type),
+    dev AS (
+      SELECT b.event_type, v, median_micros,
+             abs(v - median_micros) AS d
+      FROM b JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type,
+             CAST(FLOOR(quantile_cont(d, 0.5e0) + 0.5e0) AS BIGINT) AS mad_micros
+      FROM dev GROUP BY event_type)
+    SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(dev.median_micros) AS BIGINT) AS median_micros,
+           CAST(MIN(mad_micros) AS BIGINT) AS mad_micros,
+           CAST(SUM(CASE WHEN d * 1000 > 3500 * mad_micros THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+    description="Robust per-key anomaly profile via median absolute "
+    "deviation (operators/profile.mad_outlier_profile): median, MAD, "
+    "and the count of |x-median|*1000 > 3500*MAD outliers per event "
+    "type — the monitoring cut that does not move toward the anomalies "
+    "it detects (mean/stddev does). Two percentile aggregates + one "
+    "counting pass keyed by the profile key; production path uses the "
+    "approx_percentile GK sketch (bounded state), exact interpolated "
+    "percentiles here for oracle parity (the percentile_band/winsorize "
+    "contract); integer cross-multiply outlier test.",
+    refs=("§2.12", "A5"),
+)
+def q_mad_outliers(spark, sf_dir):
+    from lakeflow.operators.profile import mad_outlier_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
+    return mad_outlier_profile(ev, ["event_type"], v, approx=False)

@@ -127,3 +127,38 @@ def test_pps_sample_drops_nonpositive_weights(spark):
     df = spark.createDataFrame(rows, ["id", "w"])
     got = {r.id for r in pps_systematic_sample(df, "id", "w", 2).collect()}
     assert got <= {1, 4} and got
+
+
+def test_mad_outlier_profile_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.profile import mad_outlier_profile
+
+    # group "a": values 1..9 plus a wild 1000 -> median 5 (of 1..9,1000
+    # interpolated: values sorted 1..9,1000, n=10, median = (5+6)/2 = 5.5
+    # -> floor(+0.5) = 6); deviations |v-6|: 5,4,3,2,1,0,1,2,3,994
+    # sorted: 0,1,1,2,2,3,3,4,5,994 -> MAD = (2+3)/2=2.5 -> 3
+    # outliers: |v-6|*1000 > 3500*3=10500 -> only 994 -> 1
+    rows = [("a", v) for v in range(1, 10)] + [("a", 1000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = mad_outlier_profile(
+        df, ["g"], F.col("v"), k_milli=3500, approx=False
+    ).collect()[0]
+    assert out.n == 10
+    assert out.median_micros == 6
+    assert out.mad_micros == 3
+    assert out.n_outliers == 1
+
+
+def test_mad_outlier_profile_approx_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.profile import mad_outlier_profile
+
+    rows = [("g", (i * 37) % 1000) for i in range(2000)] + [("g", 10_000_000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    exact = mad_outlier_profile(df, ["g"], F.col("v"), approx=False).collect()[0]
+    approx = mad_outlier_profile(df, ["g"], F.col("v"), approx=True).collect()[0]
+    # the sketch's rank error moves the median < 2% of the value range
+    assert abs(approx.median_micros - exact.median_micros) <= 20
+    assert approx.n_outliers >= 1  # the wild point is flagged either way
