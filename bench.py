@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "q_bpe_merges",
     "q_embedding_dim_stats",
     "q_mad_outliers",
+    "q_data_selection",
 ]
 
 

@@ -3468,3 +3468,74 @@ def q_mad_outliers(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     v = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
     return mad_outlier_profile(ev, ["event_type"], v, approx=False)
+
+
+@query(
+    "q_data_selection",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source IN ('src1', 'src3') AS tgt,
+                      {_SQL_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, tgt, unnest(toks) AS tok FROM t),
+    e2 AS (SELECT doc_id, tgt, tok FROM ex WHERE tok <> ''),
+    cnt AS (SELECT tok,
+                   CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+            FROM e2 GROUP BY tok),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                   CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+    sc AS (
+      SELECT doc_id,
+             CAST(length(bin(tr // (cr + 1))) AS BIGINT)
+               - CAST(length(bin(tt // (ct + 1))) AS BIGINT) AS s
+      FROM e2 JOIN cnt USING (tok) CROSS JOIN tot),
+    prof AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(s) AS BIGINT) AS weight_bits
+      FROM sc GROUP BY doc_id),
+    mn AS (SELECT CAST(MIN(weight_bits) AS BIGINT) AS m FROM prof),
+    w AS (SELECT doc_id, n_tokens, weight_bits,
+                 weight_bits - m + 1 AS wt,
+                 (('0x' || substr(md5('sel|' || (doc_id::VARCHAR)), 1, 15))::BIGINT) AS h
+          FROM prof CROSS JOIN mn),
+    c AS (SELECT doc_id, n_tokens, weight_bits, wt,
+                 SUM(wt) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM w),
+    tw AS (SELECT CAST(SUM(wt) AS HUGEINT) AS W FROM w)
+    SELECT doc_id, n_tokens, weight_bits
+    FROM c CROSS JOIN tw
+    WHERE (CAST(cum AS HUGEINT) * 50) // W
+          > (CAST(cum - wt AS HUGEINT) * 50) // W
+    """,
+    description="End-to-end data-selection funnel (DSIR weights -> "
+    "min-shifted positive weights -> importance-proportional PPS "
+    "sample of ~50 docs): the composed pipeline a curation job runs — "
+    "score every document against the target domain, then sample "
+    "proportional to shifted importance so target-like documents are "
+    "overrepresented but nothing is hard-dropped. One tagged token "
+    "hash-agg + equi-join for the scores, the distributed prefix sum "
+    "for the cumulative weights, exact integer boundary selection — "
+    "the whole funnel is deterministic in the data across engines and "
+    "partitionings (composes q_dsir_weights and q_pps_sample "
+    "machinery end to end).",
+    refs=("§2.12", "A5", "J2"),
+)
+def q_data_selection(spark, sf_dir):
+    from lakeflow.operators.corpus import importance_profile
+    from lakeflow.operators.sampling import pps_systematic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    prof = importance_profile(
+        d, "doc_id", "text", F.col("source").isin("src1", "src3")
+    ).select("doc_id", "n_tokens", "weight_bits")
+    mn = prof.agg(F.min("weight_bits").alias("__m"))
+    # min-shift to positive weights; aliases break the shared-lineage
+    # self-join ambiguity (mn aggregates the same plan prof comes from)
+    shifted = (
+        prof.alias("__p")
+        .crossJoin(F.broadcast(mn.alias("__m0")))
+        .withColumn("wt", F.col("weight_bits") - F.col("__m") + F.lit(1))
+        .drop("__m")
+    )
+    out = pps_systematic_sample(shifted, "doc_id", "wt", 50, seed="sel")
+    return out.select("doc_id", "n_tokens", "weight_bits")
