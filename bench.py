@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "q_embedding_dim_stats",
     "q_mad_outliers",
     "q_data_selection",
+    "q_incremental_setsim",
 ]
 
 

@@ -188,3 +188,89 @@ def setsim_join(
             jm.alias("jaccard_micros"),
         )
     )
+
+
+def element_index(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, s, sz) element-index relation for a corpus — persist this
+    beside the corpus to serve :func:`incremental_setsim_pairs` without
+    re-shingling history (append each ingest batch's index rows, the
+    same maintenance pattern as the streaming LSH band index)."""
+    el = _distinct_elements(df, id_col, text_col, shingle_n)
+    sz = el.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    return el.join(sz, id_col)
+
+
+def incremental_setsim_pairs(
+    new_docs: DataFrame,
+    stored_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_micros: int = 300_000,
+    shingle_n: int = 3,
+    cache: CacheScope | None = None,
+) -> DataFrame:
+    """EXACT near-duplicate pairs involving at least one NEW document,
+    against a persisted :func:`element_index` — the incremental tier of
+    the exact set-similarity join: an ingest batch's cost is
+    |batch| × element-bucket density plus verification on candidates,
+    never |corpus|², and old×old pairs are never regenerated (the same
+    affordability property as the LSH ``incremental_candidate_pairs``,
+    with zero false negatives instead of banding recall).
+
+    new×stored candidates come from the full shared-element equi-join
+    (complete for J >= t > 0) + the integer length filter; new×new
+    pairs reuse the batch-local prefix filter. Same-id matches are
+    dropped (a crashed-and-replayed batch whose ids already reached the
+    stored index degrades to pure duplicates, mirroring the LSH path's
+    replay contract). Returns ({id}_a, {id}_b, jaccard_micros) with
+    id_a < id_b."""
+    new_idx = maybe_persist(
+        element_index(new_docs, id_col, text_col, shingle_n), cache
+    )
+    a = new_idx.select(
+        F.col(id_col).alias("ia"), "s", F.col("sz").alias("sza")
+    )
+    b = stored_index.select(
+        F.col(id_col).alias("ib"), "s", F.col("sz").alias("szb")
+    )
+    cand_ns = (
+        a.join(b, "s")
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(
+            F.least("sza", "szb") * F.lit(MICRO)
+            >= F.lit(threshold_micros) * F.greatest("sza", "szb")
+        )
+        .select("ia", "ib", "sza", "szb")
+        .distinct()
+    )
+    cand_nn = prefix_filter_candidates(
+        new_idx.select(id_col, "s"), id_col, threshold_micros
+    )
+    ne = new_idx.select(F.col(id_col).alias("ia"), "s")
+    se = stored_index.select(F.col(id_col).alias("ib"), "s")
+    nn_b = new_idx.select(F.col(id_col).alias("ib"), "s")
+
+    def _verify(cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+        inter = (
+            cand.join(left, "ia")
+            .join(right, ["ib", "s"])
+            .groupBy("ia", "ib", "sza", "szb")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        union = F.col("sza") + F.col("szb") - F.col("inter")
+        jm = F.floor(
+            F.col("inter").cast("double") / union.cast("double") * F.lit(MICRO)
+            + F.lit(0.5)
+        ).cast("long")
+        return inter.filter(
+            F.col("inter") * F.lit(MICRO) >= F.lit(threshold_micros) * union
+        ).select(
+            F.least("ia", "ib").alias(f"{id_col}_a"),
+            F.greatest("ia", "ib").alias(f"{id_col}_b"),
+            jm.alias("jaccard_micros"),
+        )
+    return _verify(cand_ns, ne, se).unionByName(
+        _verify(cand_nn, ne, nn_b)
+    ).distinct()

@@ -3539,3 +3539,42 @@ def q_data_selection(spark, sf_dir):
     )
     out = pps_systematic_sample(shifted, "doc_id", "wt", 50, seed="sel")
     return out.select("doc_id", "n_tokens", "weight_bits")
+
+
+@query(
+    "q_incremental_setsim",
+    oracle=f"""
+    WITH {_shingle_cte('documents')},
+    dt AS (SELECT DISTINCT doc_id, s FROM ex),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+      FROM dt a JOIN dt b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT ia AS doc_id_a, ib AS doc_id_b,
+           CAST(FLOOR(CAST(inter AS DOUBLE)
+                      / CAST(za.sz + zb.sz - inter AS DOUBLE)
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS jaccard_micros
+    FROM inter JOIN sz za ON za.doc_id = ia JOIN sz zb ON zb.doc_id = ib
+    WHERE inter * 1000000 >= 250000 * (za.sz + zb.sz - inter)
+      AND (ia % 10 = 0 OR ib % 10 = 0)
+    """,
+    description="Incremental EXACT near-dup (operators/setsim."
+    "incremental_setsim_pairs): the batch of documents with doc_id%10=0 "
+    "joined against the persisted element index of the other 90% — "
+    "every qualifying pair touching a new document, zero false "
+    "negatives, at |batch| x bucket-density cost (old x old never "
+    "regenerated; the exact-recall twin of q_incremental_near_dup's "
+    "LSH tier). The oracle is the ground-truth all-pairs scan "
+    "restricted to new-touching pairs, so the green row certifies "
+    "incremental == batch-recompute.",
+    refs=("§2.12", "J2", "N7"),
+)
+def q_incremental_setsim(spark, sf_dir):
+    from lakeflow.operators.setsim import element_index, incremental_setsim_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    stored = d.filter(F.col("doc_id") % 10 != 0)
+    idx = element_index(stored, "doc_id", "text")
+    return incremental_setsim_pairs(new, idx, "doc_id", "text", 250_000)

@@ -117,3 +117,61 @@ def test_no_cartesian_in_plan(spark, docs):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_matches_batch_recompute(spark):
+    from lakeflow.operators.setsim import (
+        element_index,
+        incremental_setsim_pairs,
+        setsim_join,
+    )
+
+    old = [
+        (1, "a b c d e f g h"),
+        (3, "a b c d x1 x2"),
+        (7, "p q r s t"),
+    ]
+    new = [
+        (2, "a b c d e f g h"),      # exact dup of stored 1
+        (4, "a b c d y1 y2"),        # near-dup of stored 3
+        (9, "m1 m2 m3 m4"),          # matches nothing stored
+        (10, "m1 m2 m3 m4"),         # new x new exact dup of 9
+    ]
+    od = spark.createDataFrame(old, ["doc_id", "text"])
+    nd = spark.createDataFrame(new, ["doc_id", "text"])
+    idx = element_index(od, "doc_id", "text", shingle_n=1)
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard_micros
+        for r in incremental_setsim_pairs(
+            nd, idx, "doc_id", "text", 400_000, shingle_n=1
+        ).collect()
+    }
+    # ground truth: batch join over old+new, pairs touching a new id
+    new_ids = {i for i, _ in new}
+    want = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard_micros
+        for r in setsim_join(
+            od.unionByName(nd), "doc_id", "text", 400_000, shingle_n=1
+        ).collect()
+        if r.doc_id_a in new_ids or r.doc_id_b in new_ids
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1_000_000
+    assert (9, 10) in got and got[(9, 10)] == 1_000_000
+    assert (3, 4) in got
+
+
+def test_incremental_replay_emits_no_self_pairs(spark):
+    from lakeflow.operators.setsim import element_index, incremental_setsim_pairs
+
+    docs = [(1, "a b c d"), (2, "a b c e")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # replay scenario: the batch's ids ALREADY reached the stored index
+    idx = element_index(df, "doc_id", "text", shingle_n=1)
+    out = incremental_setsim_pairs(
+        df, idx, "doc_id", "text", 400_000, shingle_n=1
+    )
+    rows = out.collect()
+    assert all(r.doc_id_a != r.doc_id_b for r in rows)
+    # the true (1,2) pair survives, exactly once
+    assert [(r.doc_id_a, r.doc_id_b) for r in rows] == [(1, 2)]
