@@ -247,3 +247,59 @@ def stream_bitmap_rollup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_exact_neardup_index(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micros: int = 300_000,
+    shingle_n: int = 3,
+    trigger_available_now: bool = True,
+):
+    """:func:`stream_neardup_index`'s EXACT-recall twin: as documents
+    stream in, each micro-batch's qualifying Jaccard pairs against the
+    PERSISTED element index (new×stored + new×new — old×old never
+    regenerated) append to ``pairs_path`` and the batch's element-index
+    rows join ``index_path``. Banding recall<1 is replaced by the
+    set-similarity join's zero-false-negative guarantee; per-batch cost
+    is |batch| × element-bucket density plus candidate verification.
+
+    Ordering and replay contracts mirror the LSH stream: pairs are
+    written BEFORE the batch's elements join the index, and a
+    crashed-and-replayed batch whose ids already reached the index
+    produces no self-pairs (``incremental_setsim_pairs`` drops same-id
+    matches), so replays degrade to duplicates that pairs consumers
+    ``distinct()`` away."""
+    from lakeflow.operators.setsim import element_index, incremental_setsim_pairs
+    from lakeflow.sinks.merge import read_target_if_exists
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        idx_rows = element_index(batch, id_col, text_col, shingle_n)
+        idx_rows = idx_rows.persist()  # two consumers: pairs + append
+        try:
+            stored = read_target_if_exists(spark, index_path)
+            if stored is None:
+                stored = idx_rows.limit(0)  # first batch: new x new only
+            pairs = incremental_setsim_pairs(
+                batch, stored, id_col, text_col, threshold_micros, shingle_n
+            )
+            pairs.write.mode("append").parquet(pairs_path)
+            idx_rows.write.mode("append").parquet(index_path)
+        finally:
+            idx_rows.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

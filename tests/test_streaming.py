@@ -606,3 +606,65 @@ def test_stream_trend_stats_matches_batch_ols(spark, tmp_path):
         for r in read_trends(spark, tgt).collect()
     }
     assert again == want, "replayed batches must not double-count"
+
+
+def test_stream_exact_neardup_index_incremental(spark, tmp_path):
+    # the exact-recall twin of the LSH stream: wave 2's pairs come from
+    # the persisted element index (new x stored) + new x new, with the
+    # zero-false-negative guarantee instead of banding recall
+    from lakeflow.streaming.corpus_intake import stream_exact_neardup_index
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"  # 7/9 overlap shingles
+    other = "completely different content with other words entirely here"
+
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": same},
+            {"doc_id": 2, "ts": "2024-01-01T00:01:00", "text": same},
+            {"doc_id": 3, "ts": "2024-01-01T00:02:00", "text": other},
+        ],
+    )
+    q = stream_exact_neardup_index(spark, src, schema, idx, prs, ck)
+    q.awaitTermination(120)
+    pairs1 = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard_micros"])
+        for r in spark.read.parquet(prs).distinct().collect()
+    }
+    assert pairs1 == {(1, 2, 1_000_000)}
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    } == {1, 2, 3}
+
+    # wave 2 (fresh stream start = restart path): a near-dup of the
+    # stored cluster + an unrelated doc
+    _write_events(
+        src,
+        "w2.json",
+        [
+            {"doc_id": 10, "ts": "2024-01-01T01:00:00", "text": near},
+            {"doc_id": 11, "ts": "2024-01-01T01:01:00", "text": "yet more unrelated words in this separate document"},
+        ],
+    )
+    q = stream_exact_neardup_index(spark, src, schema, idx, prs, ck)
+    q.awaitTermination(120)
+    pairs2 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in spark.read.parquet(prs).distinct().collect()
+    }
+    # old x old (1,2) appears once from wave 1; wave 2 adds ONLY the
+    # new-touching pairs (1,10) and (2,10)
+    assert pairs2 == {(1, 2), (1, 10), (2, 10)}
+    assert spark.read.parquet(prs).count() == 3  # no old x old re-emission
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    } == {1, 2, 3, 10, 11}
