@@ -261,3 +261,68 @@ def test_snapshot_diff_roundtrip_property(spark, old_rows, new_rows):
         else:
             rebuilt[k] = v
     assert rebuilt == new_map
+
+
+# --- exact set-similarity join: random corpora vs brute force ---
+
+corpora = st.lists(
+    st.lists(st.integers(0, 12), min_size=1, max_size=8),  # token ids per doc
+    min_size=2,
+    max_size=10,
+)
+thresholds = st.sampled_from([250_000, 400_000, 500_000, 750_000, 1_000_000])
+
+
+@slow
+@given(docs=corpora, t=thresholds)
+def test_setsim_join_equals_brute_force(spark, docs, t):
+    from itertools import combinations
+
+    from lakeflow.operators.setsim import setsim_join
+
+    rows = [(i, " ".join(f"w{x}" for x in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in setsim_join(df, "doc_id", "text", t, shingle_n=1).collect()
+    }
+    sets = {i: {f"w{x}" for x in toks} for i, toks in enumerate(docs)}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) * 1_000_000 >= t * len(sets[a] | sets[b])
+    }
+    assert got == want
+
+
+# --- PPS sample: random positive weights vs driver-side mirror ---
+
+weight_rows = st.lists(
+    st.tuples(st.integers(0, 99), st.integers(1, 50)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@slow
+@given(rows=weight_rows, k=st.integers(1, 8))
+def test_pps_sample_equals_reference(spark, rows, k):
+    import hashlib
+
+    from lakeflow.operators.sampling import pps_systematic_sample
+
+    def h(key):
+        return int(hashlib.md5(f"pps|{key}".encode()).hexdigest()[:15], 16)
+
+    ordered = sorted((h(i), i, w) for i, w in rows)
+    total = sum(w for _, _, w in ordered)
+    want, cum = set(), 0
+    for _, i, w in ordered:
+        prev = cum
+        cum += w
+        if (cum * k) // total > (prev * k) // total:
+            want.add(i)
+    df = spark.createDataFrame(list(rows), ["id", "w"])
+    got = {r.id for r in pps_systematic_sample(df, "id", "w", k).collect()}
+    assert got == want
