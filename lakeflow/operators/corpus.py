@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakeflow.caching import CacheScope, maybe_persist
 from lakeflow.functions.hashing import seeded_hash
 from lakeflow.operators.text import explode_shingles
 
@@ -141,6 +142,7 @@ def surprisal_profile(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """Unigram corpus-LM surprisal — the KenLM-style quality proxy a
     pretraining pipeline uses to rank documents by how "expected" their
@@ -163,9 +165,16 @@ def surprisal_profile(
     total broadcasts. No floats, no windows, no global sort."""
     from lakeflow.operators.text import tokens
 
-    ex = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).filter(F.col("tok") != "")
+    # the exploded token relation feeds the frequency aggregate AND the
+    # per-occurrence score join: without a persist each branch re-scans
+    # and re-explodes the corpus (6 scans in the physical plan) — at
+    # 100 TB the persist turns that into one scan + cached reads
+    ex = maybe_persist(
+        df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+        ).filter(F.col("tok") != ""),
+        cache,
+    )
     uni = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     tot = uni.agg(F.sum("n").alias("total"))
     bits = int_bits("total div n")
@@ -466,6 +475,7 @@ def oov_profile(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_k: int = 100,
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """Out-of-vocabulary rate per document against the corpus's own
     top-``vocab_k`` token vocabulary — the tokenizer-coverage
@@ -481,9 +491,12 @@ def oov_profile(
     Returns (id, n_tokens, n_oov, oov_micros)."""
     from lakeflow.operators.text import tokens
 
-    ex = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("token")
-    ).filter(F.col("token") != "")
+    ex = maybe_persist(
+        df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("token")
+        ).filter(F.col("token") != ""),
+        cache,
+    )
     vocab = (
         ex.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -521,6 +534,7 @@ def tokenize_to_ids(
     text_col: str = "text",
     vocab_k: int = 100,
     oov_id: int = 0,
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """Map each document to its integer token-id sequence against the
     corpus's top-``vocab_k`` vocabulary (rank = id, 1-based; OOV →
@@ -538,10 +552,13 @@ def tokenize_to_ids(
 
     from lakeflow.operators.text import tokens
 
-    ex = df.select(
-        F.col(id_col),
-        F.posexplode(tokens(text_col)).alias("pos", "token"),
-    ).filter(F.col("token") != "")
+    ex = maybe_persist(
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(text_col)).alias("pos", "token"),
+        ).filter(F.col("token") != ""),
+        cache,
+    )
     counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(vocab_k)
     # rank over the k surviving rows only (k-row window, not a hazard)
@@ -574,6 +591,7 @@ def importance_profile(
     id_col: str,
     text_col: str,
     target_pred: Column,
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al.,
     "Data Selection for Language Models via Importance Resampling"):
@@ -598,11 +616,16 @@ def importance_profile(
     reduction is a map-side-combined sum. No windows, no collects."""
     from lakeflow.operators.text import tokens
 
-    ex = df.select(
-        F.col(id_col),
-        target_pred.alias("__tgt"),
-        F.explode(tokens(text_col)).alias("tok"),
-    ).filter(F.col("tok") != "")
+    # persist the tagged explode: it feeds the count aggregate and the
+    # per-occurrence score join (see surprisal_profile's scan note)
+    ex = maybe_persist(
+        df.select(
+            F.col(id_col),
+            target_pred.alias("__tgt"),
+            F.explode(tokens(text_col)).alias("tok"),
+        ).filter(F.col("tok") != ""),
+        cache,
+    )
     cnt = ex.groupBy("tok").agg(
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("cr"),
