@@ -1038,9 +1038,22 @@ def q_incremental_near_dup(spark, sf_dir):
     new = d.filter(F.col("doc_id") % 10 == 0)
     # in production stored_bands is a parquet table written at corpus
     # build time; here it derives from the same session for the oracle
-    stored_bands = banded_signatures(old, "doc_id", "text", k=8, band_size=2)
-    new_bands = banded_signatures(new, "doc_id", "text", k=8, band_size=2)
-    cand = incremental_candidate_pairs(new_bands, stored_bands, "doc_id")
+    from lakeflow.caching import maybe_persist
+
+    # every downstream branch (ids, shingles, sizes, intersection) would
+    # otherwise re-derive the band pipeline from the raw scan — the
+    # un-persisted form re-scanned documents ~40x in one physical plan.
+    # The bands and the candidate set are the SHARED relations; persist
+    # them (scope-aware) so verification reads cached rows.
+    stored_bands = maybe_persist(
+        banded_signatures(old, "doc_id", "text", k=8, band_size=2), None
+    )
+    new_bands = maybe_persist(
+        banded_signatures(new, "doc_id", "text", k=8, band_size=2), None
+    )
+    cand = maybe_persist(
+        incremental_candidate_pairs(new_bands, stored_bands, "doc_id"), None
+    )
 
     # exact-Jaccard verification, shingling ONLY docs candidates touch
     ids = (
@@ -1048,9 +1061,12 @@ def q_incremental_near_dup(spark, sf_dir):
         .union(cand.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
-    dsh = explode_shingles(
-        d.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3
-    ).distinct()
+    dsh = maybe_persist(
+        explode_shingles(
+            d.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3
+        ).distinct(),
+        None,
+    )
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = dsh.select(F.col("doc_id").alias("doc_id_a"), "s")
     b = dsh.select(F.col("doc_id").alias("doc_id_b"), "s")
