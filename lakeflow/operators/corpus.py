@@ -19,7 +19,7 @@ text), and join against a derived hot/benchmark set:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakeflow.caching import CacheScope, maybe_persist

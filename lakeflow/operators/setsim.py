@@ -140,6 +140,43 @@ def prefix_filter_candidates(
     )
 
 
+def _verify_pairs(
+    cand: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    threshold_micros: int,
+) -> DataFrame:
+    """Exact verification shared by the batch and incremental tiers:
+    intersection via countDistinct — duplicate-INSENSITIVE, so a
+    replayed ingest batch whose element rows were appended twice cannot
+    inflate a pair's overlap (a plain count would double every shared
+    element and manufacture false near-dups). The threshold test is the
+    exact integer cross-multiply (inter/union >= t), matching the
+    candidate stage's completeness guarantee; the rounded micros column
+    is for reporting only (a rounded-value test could admit pairs just
+    BELOW t that the candidate stage rightly never generated). Output
+    normalizes to id_a < id_b."""
+    inter = (
+        cand.join(left, "ia")
+        .join(right, ["ib", "s"])
+        .groupBy("ia", "ib", "sza", "szb")
+        .agg(F.countDistinct("s").alias("inter"))
+    )
+    union = F.col("sza") + F.col("szb") - F.col("inter")
+    jm = F.floor(
+        F.col("inter").cast("double") / union.cast("double") * F.lit(MICRO)
+        + F.lit(0.5)
+    ).cast("long")
+    return inter.filter(
+        F.col("inter") * F.lit(MICRO) >= F.lit(threshold_micros) * union
+    ).select(
+        F.least("ia", "ib").alias(f"{id_col}_a"),
+        F.greatest("ia", "ib").alias(f"{id_col}_b"),
+        jm.alias("jaccard_micros"),
+    )
+
+
 def setsim_join(
     df: DataFrame,
     id_col: str,
@@ -162,32 +199,7 @@ def setsim_join(
     cand = prefix_filter_candidates(el, id_col, threshold_micros)
     ta = el.select(F.col(id_col).alias("ia"), "s")
     tb = el.select(F.col(id_col).alias("ib"), "s")
-    inter = (
-        cand.join(ta, "ia")
-        .join(tb, ["ib", "s"])
-        .groupBy("ia", "ib", "sza", "szb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    union = F.col("sza") + F.col("szb") - F.col("inter")
-    jm = F.floor(
-        F.col("inter").cast("double") / union.cast("double") * F.lit(MICRO)
-        + F.lit(0.5)
-    ).cast("long")
-    # threshold test is the EXACT integer cross-multiply (inter/union >=
-    # t), matching the prefix filter's completeness guarantee precisely;
-    # the rounded micros column is for reporting only (a rounded-value
-    # test could admit pairs just BELOW t that the candidate stage
-    # rightly never generated)
-    return (
-        inter.filter(
-            F.col("inter") * F.lit(MICRO) >= F.lit(threshold_micros) * union
-        )
-        .select(
-            F.col("ia").alias(f"{id_col}_a"),
-            F.col("ib").alias(f"{id_col}_b"),
-            jm.alias("jaccard_micros"),
-        )
-    )
+    return _verify_pairs(cand, ta, tb, id_col, threshold_micros)
 
 
 def element_index(
@@ -210,6 +222,7 @@ def incremental_setsim_pairs(
     threshold_micros: int = 300_000,
     shingle_n: int = 3,
     cache: CacheScope | None = None,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT near-duplicate pairs involving at least one NEW document,
     against a persisted :func:`element_index` — the incremental tier of
@@ -222,14 +235,19 @@ def incremental_setsim_pairs(
     new×stored candidates come from the full shared-element equi-join
     (complete for J >= t > 0) + the integer length filter; new×new
     pairs reuse the batch-local prefix filter. Same-id matches are
-    dropped (a crashed-and-replayed batch whose ids already reached the
-    stored index degrades to pure duplicates, mirroring the LSH path's
-    replay contract). Returns ({id}_a, {id}_b, jaccard_micros) with
-    id_a < id_b."""
-    new_idx = maybe_persist(
-        element_index(new_docs, id_col, text_col, shingle_n), cache
-    )
-    a = new_idx.select(
+    dropped and verification counts DISTINCT shared elements, so a
+    crashed-and-replayed batch whose rows were already appended to the
+    stored index degrades to pure duplicate pairs — duplicated index
+    rows can neither self-pair nor inflate an overlap count. Callers
+    that already built the batch's index (the streaming maintainer
+    persists it for the index append) pass it via ``new_index`` to
+    avoid re-shingling the batch. Returns ({id}_a, {id}_b,
+    jaccard_micros) with id_a < id_b."""
+    if new_index is None:
+        new_index = maybe_persist(
+            element_index(new_docs, id_col, text_col, shingle_n), cache
+        )
+    a = new_index.select(
         F.col(id_col).alias("ia"), "s", F.col("sz").alias("sza")
     )
     b = stored_index.select(
@@ -246,31 +264,13 @@ def incremental_setsim_pairs(
         .distinct()
     )
     cand_nn = prefix_filter_candidates(
-        new_idx.select(id_col, "s"), id_col, threshold_micros
+        new_index.select(id_col, "s"), id_col, threshold_micros
     )
-    ne = new_idx.select(F.col(id_col).alias("ia"), "s")
+    ne = new_index.select(F.col(id_col).alias("ia"), "s")
     se = stored_index.select(F.col(id_col).alias("ib"), "s")
-    nn_b = new_idx.select(F.col(id_col).alias("ib"), "s")
-
-    def _verify(cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
-        inter = (
-            cand.join(left, "ia")
-            .join(right, ["ib", "s"])
-            .groupBy("ia", "ib", "sza", "szb")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        union = F.col("sza") + F.col("szb") - F.col("inter")
-        jm = F.floor(
-            F.col("inter").cast("double") / union.cast("double") * F.lit(MICRO)
-            + F.lit(0.5)
-        ).cast("long")
-        return inter.filter(
-            F.col("inter") * F.lit(MICRO) >= F.lit(threshold_micros) * union
-        ).select(
-            F.least("ia", "ib").alias(f"{id_col}_a"),
-            F.greatest("ia", "ib").alias(f"{id_col}_b"),
-            jm.alias("jaccard_micros"),
-        )
-    return _verify(cand_ns, ne, se).unionByName(
-        _verify(cand_nn, ne, nn_b)
-    ).distinct()
+    nn_b = new_index.select(F.col(id_col).alias("ib"), "s")
+    return (
+        _verify_pairs(cand_ns, ne, se, id_col, threshold_micros)
+        .unionByName(_verify_pairs(cand_nn, ne, nn_b, id_col, threshold_micros))
+        .distinct()
+    )

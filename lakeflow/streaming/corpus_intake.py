@@ -289,10 +289,24 @@ def stream_exact_neardup_index(
             stored = read_target_if_exists(spark, index_path)
             if stored is None:
                 stored = idx_rows.limit(0)  # first batch: new x new only
-            pairs = incremental_setsim_pairs(
-                batch, stored, id_col, text_col, threshold_micros, shingle_n
-            )
-            pairs.write.mode("append").parquet(pairs_path)
+            # the persisted batch index is passed straight in (the batch
+            # is shingled ONCE per micro-batch), and any persists the
+            # operator takes internally ride a batch-scoped cache —
+            # without the scope each micro-batch would leak one
+            # session-lifetime persist until executors fill up
+            from lakeflow.caching import scoped_cache
+
+            with scoped_cache():
+                pairs = incremental_setsim_pairs(
+                    batch,
+                    stored,
+                    id_col,
+                    text_col,
+                    threshold_micros,
+                    shingle_n,
+                    new_index=idx_rows,
+                )
+                pairs.write.mode("append").parquet(pairs_path)
             idx_rows.write.mode("append").parquet(index_path)
         finally:
             idx_rows.unpersist()

@@ -14,7 +14,12 @@ is derived from the totals at READ time by
 Replay safety mirrors ``stream_corpus_counters``: the stats merge is
 not idempotent (a re-applied delta double-counts), so each batch
 commits under its batch-id token, swapped in atomically with the data;
-a replayed batch that already committed is skipped whole.
+a replayed batch that already committed is skipped whole. Tokens are
+keyed by the CHECKPOINT LINEAGE's batch ids (the same contract as
+stream_corpus_counters): deleting only the checkpoint and restarting
+against an existing totals table would re-batch ALL files under
+already-committed ids and silently skip them — to reprocess, delete
+the totals table together with the checkpoint and start fresh.
 """
 
 from __future__ import annotations

@@ -263,6 +263,9 @@ def test_pps_sample_windows_are_bucketed(spark):
     # is the per-bucket offsets pass (input <= n_buckets rows)
     plan = _plan(spark, "q_pps_sample")
     assert "CartesianProduct" not in plan, plan
-    # __b appears as a window partition key (within-bucket pass)
-    assert "partitionBy" not in plan or "__b" in plan  # formatted plans differ
+    # the bucket column must survive into the window stage — formatted
+    # plans spell window specs as windowspecdefinition(...); the
+    # within-bucket running sum partitions on (__g, __b)
+    assert "windowspecdefinition" in plan, plan
+    assert "__b" in plan, plan
     assert plan.count("Window") >= 2, plan

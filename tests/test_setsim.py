@@ -175,3 +175,31 @@ def test_incremental_replay_emits_no_self_pairs(spark):
     assert all(r.doc_id_a != r.doc_id_b for r in rows)
     # the true (1,2) pair survives, exactly once
     assert [(r.doc_id_a, r.doc_id_b) for r in rows] == [(1, 2)]
+
+
+def test_incremental_verification_is_duplicate_insensitive(spark):
+    # a crash between the pairs append and the checkpoint commit can
+    # leave the stored index with every row appended TWICE; the
+    # countDistinct verification must report the same jaccard values
+    from lakeflow.operators.setsim import element_index, incremental_setsim_pairs
+
+    old = [(1, "a b c d e f g h i j")]
+    new = [(2, "a b c d e z1 z2 z3 z4 z5")]  # 5/15 shared -> J=0.333
+    od = spark.createDataFrame(old, ["doc_id", "text"])
+    nd = spark.createDataFrame(new, ["doc_id", "text"])
+    idx = element_index(od, "doc_id", "text", shingle_n=1)
+    dup_idx = idx.unionByName(idx)  # replayed append
+    want = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard_micros
+        for r in incremental_setsim_pairs(
+            nd, idx, "doc_id", "text", 300_000, shingle_n=1
+        ).collect()
+    }
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard_micros
+        for r in incremental_setsim_pairs(
+            nd, dup_idx, "doc_id", "text", 300_000, shingle_n=1
+        ).collect()
+    }
+    assert want == {(1, 2): 333_333}
+    assert got == want, "duplicated index rows must not inflate overlap"
