@@ -3594,3 +3594,181 @@ def q_incremental_setsim(spark, sf_dir):
     stored = d.filter(F.col("doc_id") % 10 != 0)
     idx = element_index(stored, "doc_id", "text")
     return incremental_setsim_pairs(new, idx, "doc_id", "text", 250_000)
+
+
+_LINKAGE_SIM_NAME = (
+    "CASE WHEN GREATEST(LENGTH(l.p_name), LENGTH(r.name)) = 0 THEN 1000000 "
+    "ELSE CAST(FLOOR(CAST((GREATEST(LENGTH(l.p_name), LENGTH(r.name)) "
+    "- levenshtein(l.p_name, r.name)) AS DOUBLE) * 1000000e0 "
+    "/ CAST(GREATEST(LENGTH(l.p_name), LENGTH(r.name)) AS DOUBLE)) AS BIGINT) END"
+)
+_LINKAGE_SIM_TYPE = (
+    "CASE WHEN GREATEST(LENGTH(l.p_type), LENGTH(r.type)) = 0 THEN 1000000 "
+    "ELSE CAST(FLOOR(CAST((GREATEST(LENGTH(l.p_type), LENGTH(r.type)) "
+    "- levenshtein(l.p_type, r.type)) AS DOUBLE) * 1000000e0 "
+    "/ CAST(GREATEST(LENGTH(l.p_type), LENGTH(r.type)) AS DOUBLE)) AS BIGINT) END"
+)
+
+# Perturbed "second catalog" (id-shifted, OCR-style e->3 / o->0 name
+# mangling, brand/size/type carried) + the candidate CTE shared by both
+# linkage oracles: two blocking passes — (brand, size) composite
+# (selective, survives) and first-word-of-name (degenerate, dropped by
+# the hot-block cap) — distinct on the id pair.
+_LINKAGE_CAND_CTE = """
+    r AS (
+      SELECT p_partkey + 1000000 AS cat_id,
+             translate(p_name, 'eo', '30') AS name,
+             p_brand AS brand, p_size AS size, p_type AS type
+      FROM part),
+    lb1 AS (SELECT p_brand || '|' || p_size AS bk, COUNT(*) AS n
+            FROM part GROUP BY 1),
+    rb1 AS (SELECT brand || '|' || size AS bk, COUNT(*) AS n
+            FROM r GROUP BY 1),
+    lb2 AS (SELECT split_part(p_name, ' ', 1) AS bk, COUNT(*) AS n
+            FROM part GROUP BY 1),
+    rb2 AS (SELECT split_part(name, ' ', 1) AS bk, COUNT(*) AS n
+            FROM r GROUP BY 1),
+    cand AS (
+      SELECT DISTINCT p_partkey, cat_id FROM (
+        SELECT l.p_partkey, rr.cat_id
+        FROM part l JOIN r rr
+          ON l.p_brand || '|' || l.p_size = rr.brand || '|' || rr.size
+        WHERE l.p_brand || '|' || l.p_size
+              IN (SELECT bk FROM lb1 WHERE n <= 60)
+          AND rr.brand || '|' || rr.size
+              IN (SELECT bk FROM rb1 WHERE n <= 60)
+        UNION ALL
+        SELECT l.p_partkey, rr.cat_id
+        FROM part l JOIN r rr
+          ON split_part(l.p_name, ' ', 1) = split_part(rr.name, ' ', 1)
+        WHERE split_part(l.p_name, ' ', 1)
+              IN (SELECT bk FROM lb2 WHERE n <= 60)
+          AND split_part(rr.name, ' ', 1)
+              IN (SELECT bk FROM rb2 WHERE n <= 60)
+      ))"""
+
+_LINKAGE_SCORE = (
+    f"CAST(FLOOR(CAST(2 * ({_LINKAGE_SIM_NAME}) + 1 * ({_LINKAGE_SIM_TYPE}) "
+    f"AS DOUBLE) / 3e0) AS BIGINT)"
+)
+
+
+def _linkage_frames(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    right = p.select(
+        (F.col("p_partkey") + 1_000_000).alias("cat_id"),
+        F.translate("p_name", "eo", "30").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_type").alias("type"),
+    )
+    return p, right
+
+
+def _linkage_pairs(spark, sf_dir):
+    from lakeflow.operators.linkage import record_linkage
+
+    left, right = _linkage_frames(spark, sf_dir)
+    return record_linkage(
+        left,
+        right,
+        "p_partkey",
+        "cat_id",
+        fields=[("p_name", "name", 2), ("p_type", "type", 1)],
+        block_keys=[
+            (
+                F.concat_ws("|", "p_brand", "p_size"),
+                F.concat_ws("|", "brand", "size"),
+            ),
+            (
+                F.substring_index("p_name", " ", 1),
+                F.substring_index("name", " ", 1),
+            ),
+        ],
+        threshold_micros=550_000,
+        max_block_size=60,
+    )
+
+
+@query(
+    "q_record_linkage",
+    oracle=f"""
+    WITH {_LINKAGE_CAND_CTE}
+    SELECT c.p_partkey AS partkey_a, c.cat_id AS partkey_b,
+           {_LINKAGE_SCORE} AS score_micros,
+           CASE WHEN {_LINKAGE_SCORE} >= 550000 THEN 1 ELSE 0 END AS is_match
+    FROM cand c
+    JOIN part l ON l.p_partkey = c.p_partkey
+    JOIN r ON r.cat_id = c.cat_id
+    """,
+    description="Record linkage / entity resolution (operators/"
+    "linkage.record_linkage): the part catalog vs a perturbed second "
+    "catalog (OCR-style e->3/o->0 name mangling) linked by "
+    "Fellegi-Sunter-style blocking + weighted exact-integer edit "
+    "similarity. Two blocking passes union'd — (brand,size) composite "
+    "(selective) and first-word-of-name (degenerate: ~15 adjectives "
+    "cover the catalog, so the hot-block cap drops it, the blocking "
+    "analogue of the LSH hot-bucket cap) — never all-pairs; scoring "
+    "is pure JVM levenshtein in codegen on candidates only. The fuzzy "
+    "complement to content dedup for multi-source fan-in without "
+    "clean natural keys.",
+    refs=("§2.12", "J2", "F1"),
+)
+def q_record_linkage(spark, sf_dir):
+    out = _linkage_pairs(spark, sf_dir)
+    return out.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("cat_id").alias("partkey_b"),
+        "score_micros",
+        F.when(F.col("match"), 1).otherwise(0).cast("int").alias("is_match"),
+    )
+
+
+@query(
+    "q_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE {_LINKAGE_CAND_CTE},
+    m AS (
+      SELECT c.p_partkey AS ia, c.cat_id AS ib
+      FROM cand c
+      JOIN part l ON l.p_partkey = c.p_partkey
+      JOIN r ON r.cat_id = c.cat_id
+      WHERE {_LINKAGE_SCORE} >= 550000),
+    e AS (SELECT ia AS src, ib AS dst FROM m UNION SELECT ib, ia FROM m),
+    reach AS (
+      SELECT src AS id, src AS rt FROM e
+      UNION
+      SELECT e.src AS id, reach.rt FROM e JOIN reach ON e.dst = reach.id),
+    lbl AS (SELECT id, MIN(rt) AS entity_id FROM reach GROUP BY id),
+    ids AS (
+      SELECT p_partkey AS id FROM part
+      UNION ALL SELECT cat_id FROM r)
+    SELECT COALESCE(lbl.entity_id, ids.id) AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM ids LEFT JOIN lbl ON lbl.id = ids.id
+    GROUP BY 1
+    """,
+    description="End-to-end entity consolidation (operators/linkage."
+    "resolve_entities): match pairs from q_record_linkage's scorer -> "
+    "connected components (min-label propagation, join-only rounds) -> "
+    "every record from BOTH catalogs tagged with its entity id "
+    "(unmatched records stay their own entity), aggregated to entity "
+    "sizes. The oracle replays the transitive closure with a recursive "
+    "CTE, certifying cluster assignment — the step that turns fuzzy "
+    "pair scores into a mergeable golden-record key.",
+    refs=("§2.12", "J2"),
+)
+def q_entity_resolution(spark, sf_dir):
+    from lakeflow.operators.linkage import resolve_entities
+
+    left, right = _linkage_frames(spark, sf_dir)
+    pairs = _linkage_pairs(spark, sf_dir).filter("match")
+    records = left.select(F.col("p_partkey").alias("rec_id")).unionByName(
+        right.select(F.col("cat_id").alias("rec_id"))
+    )
+    tagged = resolve_entities(
+        pairs, records, "rec_id", left_id="p_partkey", right_id="cat_id"
+    )
+    return tagged.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )

@@ -1,0 +1,159 @@
+"""Record linkage / entity resolution (operators/linkage.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lakeflow.operators.linkage import (
+    edit_similarity_micros,
+    record_linkage,
+    resolve_entities,
+    sql_edit_similarity,
+)
+
+
+def test_edit_similarity_matches_sql_mirror(spark):
+    cases = [
+        ("kitten", "sitting"),
+        ("", ""),
+        ("abc", ""),
+        (None, "xy"),
+        ("same", "same"),
+        ("Customer#000000001", "Customer#OOOOOOOO1"),
+    ]
+    df = spark.createDataFrame(cases, ["a", "b"])
+    got = {
+        (r.a, r.b): r.sim
+        for r in df.select(
+            "a", "b", edit_similarity_micros(F.col("a"), F.col("b")).alias("sim")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for a, b in cases:
+        (want,) = con.execute(
+            f"SELECT {sql_edit_similarity('a', 'b')} "
+            "FROM (SELECT ?::VARCHAR AS a, ?::VARCHAR AS b) t",
+            [a, b],
+        ).fetchone()
+        assert got[(a, b)] == want, (a, b)
+    # anchors: identical -> 1e6, both empty -> 1e6, one empty -> 0
+    assert got[("same", "same")] == 1_000_000
+    assert got[("", "")] == 1_000_000
+    assert got[("abc", "")] == 0
+
+
+def _toy_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "alice smith", "12 oak st", "555-0101"),
+            (2, "bob jones", "99 elm av", "555-0202"),
+            (3, "carol wu", "7 pine rd", "555-0303"),
+        ],
+        ["lid", "name", "addr", "phone"],
+    )
+    right = spark.createDataFrame(
+        [
+            (11, "alice smyth", "12 oak st", "555-0101"),  # typo'd alice
+            (12, "bob jones", "99 elm ave", "555-0202"),  # addr variant
+            (13, "dan brown", "1 main st", "555-0909"),  # no counterpart
+        ],
+        ["rid", "name", "addr", "phone"],
+    )
+    return left, right
+
+
+def test_record_linkage_blocks_scores_classifies(spark):
+    left, right = _toy_frames(spark)
+    out = record_linkage(
+        left,
+        right,
+        "lid",
+        "rid",
+        fields=[("name", "name", 2), ("addr", "addr", 1)],
+        block_keys=[
+            (F.substring("phone", 1, 8), F.substring("phone", 1, 8)),
+            (F.substring("name", 1, 3), F.substring("name", 1, 3)),
+        ],
+        threshold_micros=800_000,
+    ).collect()
+    got = {(r.lid, r.rid): (r.score_micros, r.match) for r in out}
+    # dan shares no block with anyone -> never a candidate
+    assert all(rid != 13 for _, rid in got)
+    assert got[(1, 11)][1] is True  # one-letter name typo still matches
+    assert got[(2, 12)][1] is True
+    # exact name pair scores above the typo'd pair
+    assert got[(2, 12)][0] > got[(1, 11)][0]
+
+
+def test_record_linkage_multi_pass_blocking_unions(spark):
+    left, right = _toy_frames(spark)
+    # phone-only blocking finds alice; name-prefix-only also finds her;
+    # the union must not double-count the candidate
+    out = record_linkage(
+        left,
+        right,
+        "lid",
+        "rid",
+        fields=[("name", "name", 1)],
+        block_keys=[
+            (F.substring("phone", 1, 8), F.substring("phone", 1, 8)),
+            (F.substring("name", 1, 3), F.substring("name", 1, 3)),
+        ],
+        threshold_micros=500_000,
+    )
+    pairs = [(r.lid, r.rid) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+    assert (1, 11) in pairs
+
+
+def test_record_linkage_hot_block_cap(spark):
+    # a degenerate blocking key shared by everything gets dropped; the
+    # discriminating key still produces the true pair
+    left = spark.createDataFrame(
+        [(i, f"user {i}", "SAME") for i in range(1, 41)],
+        ["lid", "name", "blk"],
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"user {i}", "SAME") for i in range(1, 41)],
+        ["rid", "name", "blk"],
+    )
+    capped = record_linkage(
+        left,
+        right,
+        "lid",
+        "rid",
+        fields=[("name", "name", 1)],
+        block_keys=[(F.col("blk"), F.col("blk"))],
+        threshold_micros=900_000,
+        max_block_size=10,
+    )
+    assert capped.count() == 0  # the only block is degenerate -> dropped
+    two_pass = record_linkage(
+        left,
+        right,
+        "lid",
+        "rid",
+        fields=[("name", "name", 1)],
+        block_keys=[
+            (F.col("blk"), F.col("blk")),
+            (F.col("name"), F.col("name")),  # exact-name pass survives
+        ],
+        threshold_micros=900_000,
+        max_block_size=10,
+    )
+    assert two_pass.count() == 40  # each record finds exactly its twin
+
+
+def test_resolve_entities_assigns_min_reachable_and_singletons(spark):
+    pairs = spark.createDataFrame(
+        [(1, 11), (11, 21), (2, 12)], ["id_a", "id_b"]
+    )
+    records = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 11, 12, 21)], ["rec_id"]
+    )
+    out = resolve_entities(pairs, records, "rec_id")
+    got = {r.rec_id: r.entity_id for r in out.collect()}
+    # chain 1-11-21 collapses to min id 1; pair 2-12 to 2; 3 stays itself
+    assert got == {1: 1, 11: 1, 21: 1, 2: 2, 12: 2, 3: 3}
