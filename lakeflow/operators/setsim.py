@@ -148,20 +148,35 @@ def _verify_pairs(
     threshold_micros: int,
 ) -> DataFrame:
     """Exact verification shared by the batch and incremental tiers:
-    intersection via countDistinct — duplicate-INSENSITIVE, so a
-    replayed ingest batch whose element rows were appended twice cannot
-    inflate a pair's overlap (a plain count would double every shared
-    element and manufacture false near-dups). The threshold test is the
-    exact integer cross-multiply (inter/union >= t), matching the
-    candidate stage's completeness guarantee; the rounded micros column
-    is for reporting only (a rounded-value test could admit pairs just
-    BELOW t that the candidate stage rightly never generated). Output
-    normalizes to id_a < id_b."""
+    each side's elements are collapsed ONCE to a per-doc set array
+    (``collect_set`` — duplicate-INSENSITIVE, so a replayed ingest
+    batch whose element rows were appended twice cannot inflate a
+    pair's overlap), candidates equi-join the two array relations, and
+    the intersection is a codegen ``array_intersect`` per candidate
+    row. This replaces the earlier candidate x element join +
+    countDistinct aggregate, which shuffled |cand| * doc_size rows
+    into a 4-key hash agg — measured 2.3x slower at sf0.1 (3.9s vs
+    1.7s for the verify stage): the array form shuffles |cand| rows
+    (wider, but fewer) and needs no aggregate at all. Per-doc arrays
+    are bounded by document size, the same bound the per-doc rank
+    window in the prefix stage already relies on. The threshold test
+    is the exact integer cross-multiply (inter/union >= t), matching
+    the candidate stage's completeness guarantee; the rounded micros
+    column is for reporting only (a rounded-value test could admit
+    pairs just BELOW t that the candidate stage rightly never
+    generated). Output normalizes to id_a < id_b."""
+    sa = left.groupBy("ia").agg(F.collect_set("s").alias("__va"))
+    sb = right.groupBy("ib").agg(F.collect_set("s").alias("__vb"))
     inter = (
-        cand.join(left, "ia")
-        .join(right, ["ib", "s"])
-        .groupBy("ia", "ib", "sza", "szb")
-        .agg(F.countDistinct("s").alias("inter"))
+        cand.join(sa, "ia")
+        .join(sb, "ib")
+        .select(
+            "ia",
+            "ib",
+            "sza",
+            "szb",
+            F.size(F.array_intersect("__va", "__vb")).cast("long").alias("inter"),
+        )
     )
     union = F.col("sza") + F.col("szb") - F.col("inter")
     jm = F.floor(

@@ -89,6 +89,52 @@ def brute_force_topk(
     return topk_per_key(scored, "q_id", "cos_micros", id_col, k, descending=True)
 
 
+def hard_negatives(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    dup_threshold_micros: int = 950_000,
+    min_cos_micros: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per
+    query vector, the ``k`` MOST similar corpus vectors that are NOT
+    near-duplicates — cos in [``min_cos_micros``,
+    ``dup_threshold_micros``). Random negatives are trivially easy for
+    a model; near-duplicates are false negatives that poison the loss;
+    the band between them is where training signal lives (the standard
+    ANCE/DPR curation step).
+
+    Same plan family as :func:`brute_force_topk` — corpus scan x
+    broadcast(queries), exact integer cosine in codegen — with the band
+    filter applied BEFORE the bounded two-phase top-k, so excluded
+    rows never enter the heap. At scale the scan side swaps for the
+    ANN shortlist (``lsh_ann_topk`` / ``ivf_pq_search`` with k >>
+    shortlist) and this becomes the post-filter + re-rank stage; the
+    band semantics are identical. Returns (q_id, vec_id, cos_micros,
+    rnk)."""
+    base = _with_vectors(emb, id_col, vec_col)
+    q = (
+        _with_vectors(emb.filter(query_pred), id_col, vec_col)
+        .withColumnRenamed(id_col, "q_id")
+        .withColumnRenamed("__v", "__qv")
+        .withColumnRenamed("__n2", "__qn2")
+    )
+    joined = base.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+    scored = joined.select(
+        "q_id",
+        id_col,
+        cosine_micros(
+            dot_long(F.col("__v"), F.col("__qv")), F.col("__n2"), F.col("__qn2")
+        ).alias("cos_micros"),
+    ).filter(
+        (F.col("cos_micros") < F.lit(dup_threshold_micros))
+        & (F.col("cos_micros") >= F.lit(min_cos_micros))
+    )
+    return topk_per_key(scored, "q_id", "cos_micros", id_col, k, descending=True)
+
+
 def plane_signs(table: int, j: int, dim: int) -> list[int]:
     """Static +/-1 hyperplane weights for (table, plane): derived from
     md5 parity, computed in Python and constant-folded into the plan —

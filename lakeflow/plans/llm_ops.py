@@ -308,6 +308,46 @@ def q_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 10),
+    s AS (
+      SELECT q.q_id, n.vec_id,
+             CAST(FLOOR(list_dot_product(n.v, q.qv) / (sqrt(n.n2) * sqrt(q.qn2))
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS cos_micros
+      FROM n JOIN q ON n.vec_id <> q.q_id)
+    SELECT q_id, vec_id, cos_micros, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_micros DESC, vec_id) AS rnk
+      FROM s WHERE cos_micros < 950000 AND cos_micros >= 200000) t
+    WHERE rnk <= 5
+    """,
+    description="Hard-negative mining for contrastive/retrieval "
+    "training (operators/similarity.hard_negatives): per query vector "
+    "the 5 MOST similar corpus vectors inside the cos band "
+    "[0.2, 0.95) — random negatives are too easy, near-duplicates are "
+    "false negatives; the band between is the ANCE/DPR curation step. "
+    "Band filter runs in codegen BEFORE the bounded two-phase top-k; "
+    "at scale the scan side swaps for an ANN shortlist with identical "
+    "band semantics.",
+    refs=("§2.12",),
+)
+def q_hard_negatives(spark, sf_dir):
+    from lakeflow.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb,
+        F.col("vec_id") < 10,
+        k=5,
+        dup_threshold_micros=950_000,
+        min_cos_micros=200_000,
+    )
+
+
+@query(
     "q_embedding_stats",
     oracle=f"""
     WITH e AS (SELECT label, {_SQL_VEC} AS v FROM embeddings),

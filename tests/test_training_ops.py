@@ -879,3 +879,28 @@ def test_importance_profile_directions(spark):
         import math
 
         assert r.mean_weight_milli == math.floor(r.weight_bits * 1000 / r.n_tokens)
+
+
+def test_hard_negatives_band_excludes_dups_and_easy(spark):
+    from lakeflow.operators.similarity import hard_negatives
+
+    # q=(1,0); dup=(0.999..,~0.02) cos~1 -> excluded as near-dup;
+    # hard=(0.8,0.6) cos=0.8 -> kept; easy=(0.05,0.999) cos~0.05 ->
+    # excluded below the floor; anti=(-1,0) cos=-1 -> excluded
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9998, 0.02]),
+        (2, [0.8, 0.6]),
+        (3, [0.05, 0.9987]),
+        (4, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = hard_negatives(
+        emb,
+        F.col("vec_id") == 0,
+        k=5,
+        dup_threshold_micros=950_000,
+        min_cos_micros=200_000,
+    ).collect()
+    assert [(r.q_id, r.vec_id, r.rnk) for r in got] == [(0, 2, 1)]
+    assert got[0].cos_micros == 800_000
