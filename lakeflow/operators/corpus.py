@@ -213,16 +213,17 @@ def percentile_band(
 
     Either way the 1-row threshold relation broadcasts into the filter;
     the corpus itself is scanned, never sorted or shuffled."""
-    if approx:
-        thr = df.agg(
-            F.percentile_approx(value_col, lo, accuracy).alias("lo"),
-            F.percentile_approx(value_col, hi, accuracy).alias("hi"),
-        )
-    else:
-        thr = df.agg(
-            F.percentile(value_col, lo).alias("lo"),
-            F.percentile(value_col, hi).alias("hi"),
-        )
+    # both thresholds from ONE percentile expression (array form): two
+    # separate expressions each buffer/sketch the column independently
+    pcts = F.array(F.lit(lo), F.lit(hi))
+    agg = (
+        F.percentile_approx(value_col, pcts, accuracy)
+        if approx
+        else F.percentile(value_col, pcts)
+    )
+    thr = df.agg(agg.alias("__b")).select(
+        F.element_at("__b", 1).alias("lo"), F.element_at("__b", 2).alias("hi")
+    )
     return df.crossJoin(F.broadcast(thr)).filter(
         (F.col(value_col) >= F.col("lo")) & (F.col(value_col) <= F.col("hi"))
     )
@@ -445,16 +446,16 @@ def winsorize(
     oracle parity on small relations; either way ONE broadcast 1-row
     threshold relation and a narrow codegen clamp — the corpus is never
     sorted or shuffled."""
-    if approx:
-        thr = df.agg(
-            F.percentile_approx(value_col, lo, accuracy).alias("__lo"),
-            F.percentile_approx(value_col, hi, accuracy).alias("__hi"),
-        )
-    else:
-        thr = df.agg(
-            F.percentile(value_col, lo).alias("__lo"),
-            F.percentile(value_col, hi).alias("__hi"),
-        )
+    pcts = F.array(F.lit(lo), F.lit(hi))
+    agg = (
+        F.percentile_approx(value_col, pcts, accuracy)
+        if approx
+        else F.percentile(value_col, pcts)
+    )
+    thr = df.agg(agg.alias("__b")).select(
+        F.element_at("__b", 1).alias("__lo"),
+        F.element_at("__b", 2).alias("__hi"),
+    )
     out = out_col or value_col
     v = F.col(value_col)
     # greatest()/least() SKIP null arguments, which would turn a NULL

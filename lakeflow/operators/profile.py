@@ -73,11 +73,18 @@ def equi_depth_histogram(
     max_v)."""
     from pyspark.sql import functions as F
 
-    pct = F.percentile_approx if approx else F.percentile
-    args = (accuracy,) if approx else ()
-    thr = df.agg(
+    # all n-1 boundaries in ONE percentile aggregate (both builtins
+    # take an array of percentages) — n-1 separate aggregates each
+    # re-sort/re-sketch the full column, measured ~4x slower at sf0.1
+    pcts = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    agg = (
+        F.percentile_approx(value_col, pcts, accuracy)
+        if approx
+        else F.percentile(value_col, pcts)
+    )
+    thr = df.agg(agg.alias("__ts")).select(
         *[
-            pct(value_col, i / n_bins, *args).alias(f"__t{i}")
+            F.element_at("__ts", i).alias(f"__t{i}")
             for i in range(1, n_bins)
         ]
     )
