@@ -24,12 +24,15 @@ decomposition, Spark-first:
   the integer arithmetic reproduces bit-for-bit in any engine — the
   whole scorer is SQL-mirrorable, so linkage output is
   oracle-checkable like every other operator here.
-- **Match score**: agreement weights per field (the caller-supplied,
-  domain-tuned stand-in for fitted Fellegi-Sunter log m/u weights —
-  fitting them via EM is a bounded-iteration aggregate loop that
-  slots in later without changing this plan shape):
-  ``score = floor(sum(w_i * sim_i) / sum(w_i))`` — a weighted mean in
-  micro-units, again exact.
+- **Match score**, two tiers over the same candidate relation:
+  (a) caller-weighted mean ``score = floor(sum(w_i * sim_i) /
+  sum(w_i))`` (:func:`record_linkage` — zero fitting, good first
+  pass); (b) the full probabilistic model — :func:`fit_fs_em` learns
+  per-field m = P(agree|match), u = P(agree|non-match) and the match
+  prior by UNSUPERVISED EM (one aggregate per round, posteriors
+  quantized to integer micro-units so the sums are exact and the whole
+  fit replays in a SQL oracle), and :func:`fs_posteriors` folds the
+  fitted parameters into a codegen posterior per candidate.
 - **Classification**: ``score >= threshold_micros`` → candidate match
   pair (id_a, id_b, score). Downstream, pairs feed the SAME
   connected-components + survivor machinery as content dedup
@@ -110,6 +113,39 @@ def record_linkage(
     join, exactly like the LSH hot-bucket cap: a blocking key shared by
     thousands of records carries no signal and would quadratically
     dominate the candidate count."""
+    scored = scored_candidates(
+        left, right, left_id, right_id, fields, block_keys, max_block_size
+    )
+    total_w = sum(w for _l, _r, w in fields)
+    acc = None
+    for i, (_lf, _rf, w) in enumerate(fields):
+        term = F.col(f"sim_{i}") * F.lit(w)
+        acc = term if acc is None else acc + term
+    score = F.floor(acc.cast("double") / F.lit(total_w)).cast("long")
+    return scored.select(
+        F.col(left_id),
+        F.col(right_id),
+        score.alias("score_micros"),
+        (score >= F.lit(threshold_micros)).alias("match"),
+    )
+
+
+def scored_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    fields: Sequence[tuple[str, str, int]],
+    block_keys: Sequence[tuple[Column, Column]],
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Blocking + per-field similarity, the shared front half of both
+    scorers: candidate pairs (union of the blocking passes, distinct,
+    degenerate blocks capped) with one exact-integer edit-similarity
+    column per compared field — (left_id, right_id, sim_0..sim_{k-1}).
+    :func:`record_linkage` collapses the sims to a weighted mean;
+    :func:`fit_fs_em` + :func:`fs_posteriors` fit and apply the
+    Fellegi-Sunter probabilistic model over the same relation."""
     # compared fields get positional internal names: the two sides
     # routinely share column names (both have "name"), which would make
     # the scoring joins ambiguous
@@ -138,20 +174,16 @@ def record_linkage(
         cands = pairs if cands is None else cands.unionByName(pairs)
     cand = cands.distinct()
 
-    scored = cand.join(l_base, left_id).join(r_base, right_id)
-    total_w = sum(w for _l, _r, w in fields)
-    acc = None
-    for i, (_lf, _rf, w) in enumerate(fields):
-        term = edit_similarity_micros(
-            F.col(f"__lf{i}"), F.col(f"__rf{i}")
-        ) * F.lit(w)
-        acc = term if acc is None else acc + term
-    score = F.floor(acc.cast("double") / F.lit(total_w)).cast("long")
-    return scored.select(
+    joined = cand.join(l_base, left_id).join(r_base, right_id)
+    return joined.select(
         F.col(left_id),
         F.col(right_id),
-        score.alias("score_micros"),
-        (score >= F.lit(threshold_micros)).alias("match"),
+        *[
+            edit_similarity_micros(
+                F.col(f"__lf{i}"), F.col(f"__rf{i}")
+            ).alias(f"sim_{i}")
+            for i in range(len(fields))
+        ],
     )
 
 
@@ -177,4 +209,106 @@ def resolve_entities(
         records.join(clustered, id_col, "left")
         .withColumn("entity_id", F.coalesce(F.col("__entity"), F.col(id_col)))
         .drop("__entity")
+    )
+
+
+def _fs_posterior_micros(
+    flags: Sequence[Column], lam: float, ms: Sequence[float], us: Sequence[float]
+) -> Column:
+    """Match posterior for one candidate, quantized to micro-units:
+    ``p = lam*prod(f(m_i)) / (lam*prod(f(m_i)) + (1-lam)*prod(f(u_i)))``
+    with f selecting m/u on agreement and 1-m/1-u on disagreement.
+    The (lam, m, u) parameters fold in as double literals, so the
+    whole E-step is one codegen expression per row; quantizing the
+    posterior to an integer BEFORE any aggregation is what makes the
+    EM sums exact and partition-order-independent (raw double sums
+    are not associative)."""
+    num = F.lit(float(lam))
+    den = F.lit(float(1.0 - lam))
+    for a, m, u in zip(flags, ms, us):
+        num = num * F.when(a, F.lit(float(m))).otherwise(F.lit(float(1.0 - m)))
+        den = den * F.when(a, F.lit(float(u))).otherwise(F.lit(float(1.0 - u)))
+    p = num / (num + den)
+    return F.floor(p * F.lit(MICRO) + F.lit(0.5)).cast("long")
+
+
+def fit_fs_em(
+    scored: DataFrame,
+    n_fields: int,
+    agree_threshold_micros: int = 800_000,
+    n_rounds: int = 2,
+    lam: float = 0.5,
+    m0: float = 0.9,
+    u0: float = 0.1,
+) -> tuple[float, list[float], list[float]]:
+    """Fit Fellegi-Sunter parameters by EM over the candidate relation
+    (:func:`scored_candidates` output): per field, m = P(agree|match)
+    and u = P(agree|non-match), plus the match prior lam — UNSUPERVISED,
+    which is the point: no labeled pairs exist when two sources first
+    meet. Agreement is the binarized similarity (sim >= threshold).
+
+    Each round is ONE aggregate over the candidates: the posterior is a
+    folded-literal codegen expression quantized to integer micro-units
+    (see :func:`_fs_posterior_micros`), so every EM sum is an exact
+    long and the fit is deterministic across partitionings AND
+    reproducible in a SQL oracle; the M-step divisions happen
+    driver-side on the collected 1-row sums (bounded collect, the
+    k-means/PQ training pattern). Rounds are fixed, not
+    convergence-tested — each costs one scan, and two rounds already
+    separate planted match/non-match populations (tested).
+
+    Returns (lam, [m_i], [u_i]). Degenerate corpora (all candidates
+    match, or none) drive S -> N*1e6 or S -> 0; the M-step guards those
+    divisions by holding the affected parameter at its prior round's
+    value rather than dividing by zero."""
+    flags = [
+        F.col(f"sim_{i}") >= F.lit(agree_threshold_micros)
+        for i in range(n_fields)
+    ]
+    ms = [m0] * n_fields
+    us = [u0] * n_fields
+    for _ in range(n_rounds):
+        p = _fs_posterior_micros(flags, lam, ms, us)
+        aggs = [
+            F.sum(p).alias("S"),
+            F.count(F.lit(1)).alias("N"),
+        ]
+        for i, a in enumerate(flags):
+            aggs.append(F.sum(F.when(a, p).otherwise(F.lit(0))).alias(f"SA{i}"))
+            aggs.append(F.sum(a.cast("long")).alias(f"T{i}"))
+        row = scored.agg(*aggs).collect()[0]
+        s, n = int(row["S"]), int(row["N"])
+        nm = n * 1_000_000 - s  # total non-match posterior mass (micro)
+        if 0 < s:
+            lam = s / (n * 1_000_000)
+        for i in range(n_fields):
+            sa, t = int(row[f"SA{i}"]), int(row[f"T{i}"])
+            if s > 0:
+                ms[i] = sa / s
+            if nm > 0:
+                us[i] = (t * 1_000_000 - sa) / nm
+    return lam, ms, us
+
+
+def fs_posteriors(
+    scored: DataFrame,
+    params: tuple[float, list[float], list[float]],
+    agree_threshold_micros: int = 800_000,
+    match_threshold_micros: int = 500_000,
+) -> DataFrame:
+    """Apply fitted Fellegi-Sunter parameters: every candidate tagged
+    with its match posterior (integer micro-units) and the threshold
+    decision — (left_id, right_id, sims..., posterior_micros, match).
+    One narrow codegen projection over the candidate relation; the
+    parameters are folded literals, so serving cost is independent of
+    how the model was fit."""
+    lam, ms, us = params
+    n_fields = len(ms)
+    flags = [
+        F.col(f"sim_{i}") >= F.lit(agree_threshold_micros)
+        for i in range(n_fields)
+    ]
+    p = _fs_posterior_micros(flags, lam, ms, us)
+    return scored.withColumn("posterior_micros", p).withColumn(
+        "match", F.col("posterior_micros") >= F.lit(match_threshold_micros)
     )

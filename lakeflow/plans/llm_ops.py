@@ -3812,3 +3812,120 @@ def q_entity_resolution(spark, sf_dir):
     return tagged.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_records")
     )
+
+
+def _fs_post_sql(lam: str, m0: str, u0: str, m1: str, u1: str) -> str:
+    """Quantized FS posterior as SQL, mirroring linkage._fs_posterior_micros
+    construction-for-construction: complements are always written as
+    (1e0 - x) — never pre-folded literals — because the Spark side folds
+    Python ``1.0 - x``, and only the identical operation sequence
+    guarantees identical IEEE doubles."""
+    num = (
+        f"({lam} * (CASE WHEN a0 THEN {m0} ELSE 1e0 - ({m0}) END) "
+        f"* (CASE WHEN a1 THEN {m1} ELSE 1e0 - ({m1}) END))"
+    )
+    den = (
+        f"((1e0 - ({lam})) * (CASE WHEN a0 THEN {u0} ELSE 1e0 - ({u0}) END) "
+        f"* (CASE WHEN a1 THEN {u1} ELSE 1e0 - ({u1}) END))"
+    )
+    return f"CAST(FLOOR({num} / ({num} + {den}) * 1000000e0 + 0.5e0) AS BIGINT)"
+
+
+def _fs_round_sql(p_cte: str) -> str:
+    """Aggregate + M-step over a posterior CTE (integer sums only;
+    ratios as single double divisions of the exact sums — the same
+    arithmetic fit_fs_em does driver-side)."""
+    return f"""
+    (SELECT CAST(SUM(p) AS BIGINT) AS S, CAST(COUNT(*) AS BIGINT) AS N,
+            CAST(SUM(CASE WHEN a0 THEN p ELSE 0 END) AS BIGINT) AS SA0,
+            CAST(SUM(CASE WHEN a0 THEN 1 ELSE 0 END) AS BIGINT) AS T0,
+            CAST(SUM(CASE WHEN a1 THEN p ELSE 0 END) AS BIGINT) AS SA1,
+            CAST(SUM(CASE WHEN a1 THEN 1 ELSE 0 END) AS BIGINT) AS T1
+     FROM {p_cte})"""
+
+
+_FS_PARAMS = (
+    "SELECT CAST(S AS DOUBLE) / CAST(N*1000000 AS DOUBLE) AS lam, "
+    "CAST(SA0 AS DOUBLE) / CAST(S AS DOUBLE) AS m0, "
+    "CAST(T0*1000000 - SA0 AS DOUBLE) / CAST(N*1000000 - S AS DOUBLE) AS u0, "
+    "CAST(SA1 AS DOUBLE) / CAST(S AS DOUBLE) AS m1, "
+    "CAST(T1*1000000 - SA1 AS DOUBLE) / CAST(N*1000000 - S AS DOUBLE) AS u1 "
+)
+
+
+@query(
+    "q_fs_linkage",
+    oracle=f"""
+    WITH {_LINKAGE_CAND_CTE},
+    sims AS (
+      SELECT c.p_partkey, c.cat_id,
+             {_LINKAGE_SIM_NAME} AS s0, {_LINKAGE_SIM_TYPE} AS s1
+      FROM cand c
+      JOIN part l ON l.p_partkey = c.p_partkey
+      JOIN r ON r.cat_id = c.cat_id),
+    f AS (SELECT p_partkey, cat_id,
+                 s0 >= 800000 AS a0, s1 >= 800000 AS a1 FROM sims),
+    p1 AS (SELECT *, {_fs_post_sql('0.5e0', '0.9e0', '0.1e0', '0.9e0', '0.1e0')} AS p
+           FROM f),
+    g1 AS {_fs_round_sql('p1')},
+    w1 AS ({_FS_PARAMS} FROM g1),
+    p2 AS (SELECT f.*, {_fs_post_sql('lam', 'm0', 'u0', 'm1', 'u1')} AS p
+           FROM f CROSS JOIN w1),
+    g2 AS {_fs_round_sql('p2')},
+    w2 AS ({_FS_PARAMS} FROM g2)
+    SELECT p_partkey AS partkey_a, cat_id AS partkey_b,
+           {_fs_post_sql('lam', 'm0', 'u0', 'm1', 'u1')} AS posterior_micros,
+           CASE WHEN {_fs_post_sql('lam', 'm0', 'u0', 'm1', 'u1')} >= 500000
+                THEN 1 ELSE 0 END AS is_match
+    FROM f CROSS JOIN w2
+    """,
+    description="UNSUPERVISED Fellegi-Sunter linkage (operators/linkage."
+    "fit_fs_em + fs_posteriors): per-field m/u probabilities and the "
+    "match prior fitted by 2-round EM over the same blocked candidates "
+    "as q_record_linkage — no labeled pairs, which is the real state "
+    "when two sources first meet. Each EM round is ONE aggregate whose "
+    "E-step posterior is a folded-literal codegen expression QUANTIZED "
+    "to integer micro-units before summing, so the fit is exact, "
+    "partition-order-independent, and fully replayed by this SQL "
+    "oracle (double M-step divisions of exact integer sums are "
+    "IEEE-identical cross-engine). Output: every candidate's match "
+    "posterior + decision.",
+    refs=("§2.12", "J2", "A5"),
+)
+def q_fs_linkage(spark, sf_dir):
+    from lakeflow.operators.linkage import (
+        fit_fs_em,
+        fs_posteriors,
+        scored_candidates,
+    )
+
+    left, right = _linkage_frames(spark, sf_dir)
+    scored = scored_candidates(
+        left,
+        right,
+        "p_partkey",
+        "cat_id",
+        fields=[("p_name", "name", 1), ("p_type", "type", 1)],
+        block_keys=[
+            (
+                F.concat_ws("|", "p_brand", "p_size"),
+                F.concat_ws("|", "brand", "size"),
+            ),
+            (
+                F.substring_index("p_name", " ", 1),
+                F.substring_index("name", " ", 1),
+            ),
+        ],
+        max_block_size=60,
+    ).persist()
+    params = fit_fs_em(scored, 2, agree_threshold_micros=800_000, n_rounds=2)
+    out = fs_posteriors(
+        scored, params, agree_threshold_micros=800_000,
+        match_threshold_micros=500_000,
+    )
+    return out.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("cat_id").alias("partkey_b"),
+        "posterior_micros",
+        F.when(F.col("match"), 1).otherwise(0).cast("int").alias("is_match"),
+    )

@@ -157,3 +157,51 @@ def test_resolve_entities_assigns_min_reachable_and_singletons(spark):
     got = {r.rec_id: r.entity_id for r in out.collect()}
     # chain 1-11-21 collapses to min id 1; pair 2-12 to 2; 3 stays itself
     assert got == {1: 1, 11: 1, 21: 1, 2: 2, 12: 2, 3: 3}
+
+
+def test_fit_fs_em_separates_planted_populations(spark):
+    from lakeflow.operators.linkage import fit_fs_em, fs_posteriors
+
+    # planted: 20 true matches (both fields agree), 80 non-matches
+    # (fields agree only by chance ~10%)
+    rows = []
+    for i in range(20):
+        rows.append((i, 1000 + i, 950_000, 980_000))
+    for i in range(80):
+        a0 = 900_000 if i % 10 == 0 else 100_000
+        a1 = 900_000 if i % 9 == 0 else 50_000
+        rows.append((100 + i, 2000 + i, a0, a1))
+    scored = spark.createDataFrame(
+        rows, "lid long, rid long, sim_0 long, sim_1 long"
+    )
+    lam, ms, us = fit_fs_em(scored, 2, agree_threshold_micros=800_000)
+    # the match prior lands near the planted 20%
+    assert 0.1 < lam < 0.35, lam
+    # agreement is far likelier under match than non-match, per field
+    # (2 rounds is not full convergence; the SEPARATION is the contract)
+    assert ms[0] > 0.8 and ms[1] > 0.8
+    assert us[0] < 0.35 and us[1] < 0.35
+    assert ms[0] - us[0] > 0.4 and ms[1] - us[1] > 0.4
+    out = fs_posteriors(
+        scored, (lam, ms, us), agree_threshold_micros=800_000
+    ).collect()
+    post = {(r.lid): (r.posterior_micros, r.match) for r in out}
+    # every planted match scores near 1, chance-agreement rows near 0
+    assert all(post[i][1] for i in range(20))
+    assert not post[101][0] > 500_000  # disagree/disagree row
+    assert min(post[i][0] for i in range(20)) > max(
+        post[100 + i][0] for i in range(80) if i % 10 and i % 9
+    )
+
+
+def test_fit_fs_em_degenerate_guards(spark):
+    from lakeflow.operators.linkage import fit_fs_em
+
+    # all candidates identical agree/agree: the non-match mass can hit
+    # zero; the M-step must hold parameters instead of dividing by zero
+    rows = [(i, 100 + i, 1_000_000, 1_000_000) for i in range(5)]
+    scored = spark.createDataFrame(
+        rows, "lid long, rid long, sim_0 long, sim_1 long"
+    )
+    lam, ms, us = fit_fs_em(scored, 2, agree_threshold_micros=800_000)
+    assert all(0.0 <= x <= 1.0 for x in [lam, *ms, *us])
