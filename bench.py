@@ -190,6 +190,10 @@ BENCH_QUERIES = [
     "q_mad_outliers",
     "q_data_selection",
     "q_incremental_setsim",
+    "q_record_linkage",
+    "q_entity_resolution",
+    "q_fs_linkage",
+    "q_hard_negatives",
 ]
 
 

@@ -42,7 +42,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_lang_id",
     "q_pagerank",
     "q_simhash",
-    "q_ngram_jaccard",
+    # q_ngram_jaccard rotated out for the round-6-built FS-EM linkage
+    # flagship (first-ever driver row for the record-linkage family;
+    # the near-dup family keeps q_near_dup_pipeline +
+    # q_incremental_near_dup + q_dedup_survivors + q_dup_clusters +
+    # q_simhash in-window; q_ngram_jaccard was green in r01-r04 and
+    # stays green in the local gate)
+    "q_fs_linkage",
     "q_bitmap_rollup",
     "q_multimodal_meta",
     "q_embedding_near_dup",
