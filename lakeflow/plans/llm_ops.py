@@ -3581,9 +3581,16 @@ def q_data_selection(spark, sf_dir):
     from lakeflow.operators.sampling import pps_systematic_sample
 
     d = load_table(spark, sf_dir, "documents")
-    prof = importance_profile(
-        d, "doc_id", "text", F.col("source").isin("src1", "src3")
-    ).select("doc_id", "n_tokens", "weight_bits")
+    # the profile feeds the min aggregate AND the shifted main path —
+    # persist it so the score join + per-doc reduction run once, not
+    # twice (the internal token-explode persist only covers the scan)
+    prof = (
+        importance_profile(
+            d, "doc_id", "text", F.col("source").isin("src1", "src3")
+        )
+        .select("doc_id", "n_tokens", "weight_bits")
+        .persist()
+    )
     mn = prof.agg(F.min("weight_bits").alias("__m"))
     # min-shift to positive weights; aliases break the shared-lineage
     # self-join ambiguity (mn aggregates the same plan prof comes from)
