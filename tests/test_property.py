@@ -326,3 +326,67 @@ def test_pps_sample_equals_reference(spark, rows, k):
     df = spark.createDataFrame(list(rows), ["id", "w"])
     got = {r.id for r in pps_systematic_sample(df, "id", "w", k).collect()}
     assert got == want
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+@slow
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcXYZ 0#", max_size=12),
+            st.text(alphabet="abcXYZ 0#", max_size=12),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_edit_similarity_matches_python_reference(spark, pairs):
+    from lakeflow.operators.linkage import MICRO, edit_similarity_micros
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], ["i", "a", "b"]
+    )
+    got = {
+        r.i: r.sim
+        for r in df.select(
+            "i", edit_similarity_micros(F.col("a"), F.col("b")).alias("sim")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        ml = max(len(a), len(b))
+        want = MICRO if ml == 0 else (ml - _py_levenshtein(a, b)) * MICRO // ml
+        assert got[i] == want, (a, b)
+
+
+@slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.integers(0, 1_000_000)),
+        min_size=2,
+        max_size=30,
+    ),
+    st.integers(1, 8),
+)
+def test_fs_em_fit_is_partitioning_invariant(spark, sims, nparts):
+    # the EM sums are integer-quantized, so the fitted parameters must
+    # be EXACTLY equal no matter how the candidates are partitioned
+    from lakeflow.operators.linkage import fit_fs_em
+
+    rows = [(i, 1000 + i, s0, s1) for i, (s0, s1) in enumerate(sims)]
+    base = spark.createDataFrame(
+        rows, "lid long, rid long, sim_0 long, sim_1 long"
+    )
+    p1 = fit_fs_em(base.coalesce(1), 2)
+    p2 = fit_fs_em(base.repartition(nparts, "lid"), 2)
+    assert p1 == p2
