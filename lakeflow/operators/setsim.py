@@ -140,33 +140,41 @@ def prefix_filter_candidates(
     )
 
 
+def _set_arrays(elements: DataFrame, id_col: str) -> DataFrame:
+    """(id, __arr) per-doc element-set arrays for verification:
+    ``collect_set`` is duplicate-INSENSITIVE, so a replayed ingest
+    batch whose element rows were appended twice cannot inflate a
+    pair's overlap. Arrays are bounded by document size — the same
+    bound the per-doc rank window in the prefix stage relies on.
+    Callers that consume a side's arrays more than once (the batch
+    self-join, the incremental tier's shared new side) build this
+    relation ONCE and persist it scope-aware."""
+    return elements.groupBy(id_col).agg(F.collect_set("s").alias("__arr"))
+
+
 def _verify_pairs(
     cand: DataFrame,
-    left: DataFrame,
-    right: DataFrame,
+    arrays_a: DataFrame,
+    arrays_b: DataFrame,
     id_col: str,
     threshold_micros: int,
 ) -> DataFrame:
     """Exact verification shared by the batch and incremental tiers:
-    each side's elements are collapsed ONCE to a per-doc set array
-    (``collect_set`` — duplicate-INSENSITIVE, so a replayed ingest
-    batch whose element rows were appended twice cannot inflate a
-    pair's overlap), candidates equi-join the two array relations, and
-    the intersection is a codegen ``array_intersect`` per candidate
-    row. This replaces the earlier candidate x element join +
-    countDistinct aggregate, which shuffled |cand| * doc_size rows
-    into a 4-key hash agg — measured 2.3x slower at sf0.1 (3.9s vs
-    1.7s for the verify stage): the array form shuffles |cand| rows
-    (wider, but fewer) and needs no aggregate at all. Per-doc arrays
-    are bounded by document size, the same bound the per-doc rank
-    window in the prefix stage already relies on. The threshold test
-    is the exact integer cross-multiply (inter/union >= t), matching
-    the candidate stage's completeness guarantee; the rounded micros
-    column is for reporting only (a rounded-value test could admit
-    pairs just BELOW t that the candidate stage rightly never
-    generated). Output normalizes to id_a < id_b."""
-    sa = left.groupBy("ia").agg(F.collect_set("s").alias("__va"))
-    sb = right.groupBy("ib").agg(F.collect_set("s").alias("__vb"))
+    candidates equi-join the two prebuilt per-doc array relations
+    (:func:`_set_arrays`, keyed ``ia``/``ib``), and the intersection
+    is a codegen ``array_intersect`` per candidate row. This replaces
+    the earlier candidate x element join + countDistinct aggregate,
+    which shuffled |cand| * doc_size rows into a 4-key hash agg —
+    measured 2.3x slower at sf0.1 (3.9s vs 1.7s for the verify
+    stage): the array form shuffles |cand| rows (wider, but fewer)
+    and needs no aggregate at all. The threshold test is the exact
+    integer cross-multiply (inter/union >= t), matching the candidate
+    stage's completeness guarantee; the rounded micros column is for
+    reporting only (a rounded-value test could admit pairs just BELOW
+    t that the candidate stage rightly never generated). Output
+    normalizes to id_a < id_b."""
+    sa = arrays_a.select(F.col(id_col).alias("ia"), F.col("__arr").alias("__va"))
+    sb = arrays_b.select(F.col(id_col).alias("ib"), F.col("__arr").alias("__vb"))
     inter = (
         cand.join(sa, "ia")
         .join(sb, "ib")
@@ -206,15 +214,14 @@ def setsim_join(
     (prefix filtering loses no qualifying pair), candidate generation
     via the rarest-first prefix equi-join above.
 
-    The element relation is consumed three times (doc frequency,
-    prefix join, verification), so it is persisted; pass
-    ``cache=CacheScope()`` (or run under ``scoped_cache``) to bound the
-    persist's lifetime."""
+    The element relation is consumed twice (doc frequency + prefix
+    join) and the per-doc ARRAY relation twice (both verify sides of
+    the self-join), so both are persisted; pass ``cache=CacheScope()``
+    (or run under ``scoped_cache``) to bound the persists' lifetime."""
     el = maybe_persist(_distinct_elements(df, id_col, text_col, shingle_n), cache)
     cand = prefix_filter_candidates(el, id_col, threshold_micros)
-    ta = el.select(F.col(id_col).alias("ia"), "s")
-    tb = el.select(F.col(id_col).alias("ib"), "s")
-    return _verify_pairs(cand, ta, tb, id_col, threshold_micros)
+    arrs = maybe_persist(_set_arrays(el, id_col), cache)
+    return _verify_pairs(cand, arrs, arrs, id_col, threshold_micros)
 
 
 def element_index(
@@ -281,11 +288,18 @@ def incremental_setsim_pairs(
     cand_nn = prefix_filter_candidates(
         new_index.select(id_col, "s"), id_col, threshold_micros
     )
-    ne = new_index.select(F.col(id_col).alias("ia"), "s")
-    se = stored_index.select(F.col(id_col).alias("ib"), "s")
-    nn_b = new_index.select(F.col(id_col).alias("ib"), "s")
+    # the batch's array relation serves THREE verify sides (new side of
+    # new x stored, both sides of new x new) — build once, persist
+    # scope-aware; the stored side's arrays are consumed once and stay
+    # a lazy aggregate over the persisted index
+    new_arr = maybe_persist(
+        _set_arrays(new_index.select(id_col, "s"), id_col), cache
+    )
+    stored_arr = _set_arrays(stored_index.select(id_col, "s"), id_col)
     return (
-        _verify_pairs(cand_ns, ne, se, id_col, threshold_micros)
-        .unionByName(_verify_pairs(cand_nn, ne, nn_b, id_col, threshold_micros))
+        _verify_pairs(cand_ns, new_arr, stored_arr, id_col, threshold_micros)
+        .unionByName(
+            _verify_pairs(cand_nn, new_arr, new_arr, id_col, threshold_micros)
+        )
         .distinct()
     )

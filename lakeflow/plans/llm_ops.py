@@ -3634,12 +3634,18 @@ def q_data_selection(spark, sf_dir):
     refs=("§2.12", "J2", "N7"),
 )
 def q_incremental_setsim(spark, sf_dir):
+    from lakeflow.caching import maybe_persist
     from lakeflow.operators.setsim import element_index, incremental_setsim_pairs
 
     d = load_table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 10 == 0)
     stored = d.filter(F.col("doc_id") % 10 != 0)
-    idx = element_index(stored, "doc_id", "text")
+    # in production the stored element index is a PERSISTED table
+    # (element_index's contract: append each batch's rows); this query
+    # derives it in-flight for self-containment, so persist it — its
+    # two consumers (shared-element candidate join, verify arrays)
+    # must not re-shingle 90% of the corpus each
+    idx = maybe_persist(element_index(stored, "doc_id", "text"), None)
     return incremental_setsim_pairs(new, idx, "doc_id", "text", 250_000)
 
 
