@@ -106,8 +106,10 @@ def record_linkage(
     ``match`` = score >= threshold — keeping near-miss candidates
     visible is what lets a clerical-review band be carved out later
     (the Fellegi-Sunter three-way decision). Self-linkage callers
-    (left is right) should pre-filter ``left_id < right_id`` downstream
-    or pass distinct frames.
+    (left is right) rename one side's id column first (distinct
+    ``left_id``/``right_id`` names are required — see
+    :func:`scored_candidates`) and pre-filter ``left_id < right_id``
+    downstream to drop mirrored pairs.
 
     ``max_block_size`` drops degenerate blocks (both sides) before the
     join, exactly like the LSH hot-bucket cap: a blocking key shared by
@@ -145,7 +147,20 @@ def scored_candidates(
     column per compared field — (left_id, right_id, sim_0..sim_{k-1}).
     :func:`record_linkage` collapses the sims to a weighted mean;
     :func:`fit_fs_em` + :func:`fs_posteriors` fit and apply the
-    Fellegi-Sunter probabilistic model over the same relation."""
+    Fellegi-Sunter probabilistic model over the same relation.
+
+    ``left_id`` and ``right_id`` must be DISTINCT names: the output
+    carries both as pair columns, so a shared name would be ambiguous
+    to every downstream select (and to the blocking join itself).
+    Self-linkage callers rename one side first, e.g.
+    ``right.withColumnRenamed(id, id + "_b")``."""
+    if left_id == right_id:
+        raise ValueError(
+            f"scored_candidates: left_id and right_id share the name "
+            f"{left_id!r}; rename one side first (e.g. "
+            f"right.withColumnRenamed({left_id!r}, {left_id + '_b'!r})) "
+            f"so the output pair columns stay distinguishable"
+        )
     # compared fields get positional internal names: the two sides
     # routinely share column names (both have "name"), which would make
     # the scoring joins ambiguous
@@ -277,6 +292,15 @@ def fit_fs_em(
             aggs.append(F.sum(F.when(a, p).otherwise(F.lit(0))).alias(f"SA{i}"))
             aggs.append(F.sum(a.cast("long")).alias(f"T{i}"))
         row = scored.agg(*aggs).collect()[0]
+        # empty candidate relation: SUM over zero rows is null — there
+        # is nothing to fit, so hold the current (prior) parameters
+        # rather than crashing on int(None). NOTE: the q_fs_linkage SQL
+        # oracle replays the EM rounds assuming a non-degenerate
+        # candidate set; on an empty corpus the Python side returns the
+        # priors while the oracle CTEs would also see no rows, so the
+        # parity contract only covers non-empty candidate relations.
+        if row["S"] is None or int(row["N"]) == 0:
+            return lam, ms, us
         s, n = int(row["S"]), int(row["N"])
         nm = n * 1_000_000 - s  # total non-match posterior mass (micro)
         if 0 < s:

@@ -82,6 +82,20 @@ def read_trends(
     spark: SparkSession, target_path: str, key_cols: list[str] | None = None
 ) -> DataFrame:
     """Current per-key slope/intercept from the monitor's totals table —
-    identical to a batch ``grouped_ols`` over every event ever streamed."""
+    identical to a batch ``grouped_ols`` over every event ever streamed.
+
+    Reads through :func:`~lakeflow.sinks.merge.read_target_if_exists`
+    so a reader landing in the crash-mid-swap window (base renamed
+    away, tmp not yet renamed in) triggers the fenced-swap recovery
+    instead of a path-not-found error; before the first batch commits
+    it raises a clear not-yet-initialized error."""
+    from lakeflow.sinks.merge import read_target_if_exists
+
     keys = key_cols or ["event_type"]
-    return ols_from_stats(spark.read.parquet(target_path), keys)
+    totals = read_target_if_exists(spark, target_path)
+    if totals is None:
+        raise FileNotFoundError(
+            f"read_trends: no trend totals at {target_path!r} — the "
+            f"monitor stream has not committed its first batch yet"
+        )
+    return ols_from_stats(totals, keys)

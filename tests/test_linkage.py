@@ -205,3 +205,50 @@ def test_fit_fs_em_degenerate_guards(spark):
     )
     lam, ms, us = fit_fs_em(scored, 2, agree_threshold_micros=800_000)
     assert all(0.0 <= x <= 1.0 for x in [lam, *ms, *us])
+
+
+def test_fit_fs_em_empty_candidates_returns_priors(spark):
+    # SUM over zero rows is null — the fit must hold the priors, not
+    # crash on int(None) (ADVICE r5)
+    from lakeflow.operators.linkage import fit_fs_em
+
+    scored = spark.createDataFrame(
+        [], "lid long, rid long, sim_0 long, sim_1 long"
+    )
+    lam, ms, us = fit_fs_em(scored, 2, lam=0.5, m0=0.9, u0=0.1)
+    assert lam == 0.5 and ms == [0.9, 0.9] and us == [0.1, 0.1]
+
+
+def test_scored_candidates_rejects_shared_id_name(spark):
+    # left_id == right_id would make the pair columns ambiguous to
+    # every downstream select — require distinct names (ADVICE r5)
+    from lakeflow.operators.linkage import scored_candidates
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="rename one side"):
+        scored_candidates(
+            df,
+            df,
+            "id",
+            "id",
+            fields=[("name", "name", 1)],
+            block_keys=[(F.col("name"), F.col("name"))],
+        )
+
+
+def test_self_linkage_via_renamed_side(spark):
+    # the documented self-linkage recipe: rename one side's id, then
+    # drop mirrored pairs with left < right
+    rows = [(1, "alpha"), (2, "alpha"), (3, "gamma")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = record_linkage(
+        df,
+        df.withColumnRenamed("id", "id_b"),
+        "id",
+        "id_b",
+        fields=[("name", "name", 1)],
+        block_keys=[(F.substring("name", 1, 1), F.substring("name", 1, 1))],
+        threshold_micros=900_000,
+    ).filter(F.col("id") < F.col("id_b"))
+    pairs = {(r.id, r.id_b): r.match for r in out.collect()}
+    assert pairs == {(1, 2): True}

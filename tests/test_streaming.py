@@ -607,6 +607,24 @@ def test_stream_trend_stats_matches_batch_ols(spark, tmp_path):
     }
     assert again == want, "replayed batches must not double-count"
 
+    # a reader landing in the crash-mid-swap window must recover via
+    # the fenced-swap machinery, not die on path-not-found (ADVICE r5)
+    import os
+
+    os.rename(tgt, tgt + "._merge_old")
+    recovered = {
+        r.event_type: (r.n, r.slope_micros_per_x, r.intercept_micros)
+        for r in read_trends(spark, tgt).collect()
+    }
+    assert recovered == want
+
+
+def test_read_trends_uninitialized_raises_clear_error(spark, tmp_path):
+    from lakeflow.streaming.monitor import read_trends
+
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_trends(spark, str(tmp_path / "never_written"))
+
 
 def test_stream_exact_neardup_index_incremental(spark, tmp_path):
     # the exact-recall twin of the LSH stream: wave 2's pairs come from
