@@ -128,7 +128,11 @@ BENCH_QUERIES = [
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "q_tfidf_terms",
-    "q_quality_band",
+    # q_quality_band_approx replaced the exact-percentile q_quality_band
+    # row in round 6: the benched form is now the GK-sketch scale path
+    # (the one that runs at 100 TB); the exact row stays registered for
+    # bit-exact oracle parity but no longer shapes the headline.
+    "q_quality_band_approx",
     "q_chunk_windows",
     "q_leakage_safe_split",
     "q_cluster_safe_split",
@@ -148,7 +152,13 @@ BENCH_QUERIES = [
     "q_pq_ann",
     "q_doc_surprisal",
     "q_dedup_survivors",
-    "q_ivf_pq_ann",
+    # q_ivf_pq_ann retired from the headline in round 6 (VERDICT r5
+    # task #2): its ~3 s was in-query codebook/centroid TRAINING, which
+    # the serve path never pays. The build cost is now measured once as
+    # the separate "build_ivf_pq_fit_sec" metric below; the query stays
+    # registered (its oracle row still certifies the composed path) and
+    # q_ann_serving benches the steady-state search against the
+    # prebuilt index.
     # round 5 additions (serving-path ANN against a prebuilt index +
     # the gold card-funnel star query)
     "q_ann_serving",
@@ -254,6 +264,28 @@ def main() -> None:
             probes.append(_calibrate(spark))
     probes.append(_calibrate(spark))
 
+    # Separate BUILD benchmark (outside the headline sum): one IVF-PQ
+    # index fit over the embeddings table into a throwaway dir — the
+    # amortized index-construction cost whose in-query form used to eat
+    # ~3 s of the headline as q_ivf_pq_ann. Serving cost is the
+    # q_ann_serving row above (prebuilt index).
+    import shutil
+    import tempfile
+
+    from lakeflow.operators.pq import ivf_pq_fit
+
+    build_dir = tempfile.mkdtemp(prefix="lakeflow_bench_ivfpq_")
+    shutil.rmtree(build_dir)
+    try:
+        from lakeflow.catalog import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        ivf_pq_fit(spark, emb, build_dir, m=8, k_sub=16, target_cell_size=128)
+        build_ivf_pq_fit_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(build_dir, ignore_errors=True)
+
     calibration = min(probes)
     scale = CALIBRATION_REF_SEC / calibration
     normalized = {n: round(t * scale, 3) for n, t in timings.items()}
@@ -270,6 +302,7 @@ def main() -> None:
         "calibration_ref_sec": CALIBRATION_REF_SEC,
         "value_normalized": round(sum(normalized.values()), 3),
         "queries_normalized": normalized,
+        "build_ivf_pq_fit_sec": build_ivf_pq_fit_sec,
     }
     # The per-query map (now ~80 entries, twice) outgrew the driver's
     # stdout tail capture in round 4 — the captured tail began mid-map
@@ -277,8 +310,13 @@ def main() -> None:
     # So: the FULL record goes to a sidecar file and an EARLIER stdout
     # line; the LAST stdout line is a compact summary that always
     # survives tail capture.
-    with open(os.path.join(os.path.dirname(__file__) or ".", "bench_detail.json"), "w") as f:
+    repo_dir = os.path.dirname(__file__) or "."
+    with open(os.path.join(repo_dir, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    # append-only in-repo history so round-over-round diffs never depend
+    # on the driver's (truncating) stdout capture — one line per run
+    with open(os.path.join(repo_dir, "bench_history.jsonl"), "a") as f:
+        f.write(json.dumps({"ts": time.time(), **detail}) + "\n")
     print(json.dumps(detail))
     print(
         json.dumps(

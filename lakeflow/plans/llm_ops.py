@@ -1878,6 +1878,79 @@ def q_quality_band(spark, sf_dir):
 
 
 @query(
+    "q_quality_band_approx",
+    # the sketch thresholds are approximate-by-design (and their exact
+    # value may depend on partial-merge order), so the oracle checks
+    # the RANK-ERROR CONTRACT instead of the values — same pattern as
+    # the ANN recall contracts (q_lsh_ann): the Spark side verifies
+    # the Greenwald-Khanna bound (each threshold's rank within
+    # n/accuracy positions of the target percentile rank, ties handled
+    # via the [cnt_lt, cnt_le] rank interval) and emits pass booleans;
+    # the oracle asserts TRUE with the exact doc count.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS lo_pass, TRUE AS hi_pass, TRUE AS kept_pass
+    FROM documents
+    """,
+    description="The SCALE path of the percentile-band quality filter "
+    "(operators/corpus.percentile_band approx=True): thresholds from "
+    "approx_percentile, a Greenwald-Khanna-style sketch whose partial "
+    "state is O(accuracy*log n) regardless of corpus size — this, not "
+    "the exact buffering aggregate benched by q_quality_band's oracle "
+    "twin, is what runs at 100 TB. Certified via the documented rank "
+    "bound: each threshold's rank interval [cnt_lt+1, cnt_le] must "
+    "intersect [(p-eps)n - 1, (p+eps)n + 1] with eps = 1/accuracy "
+    "(integer cross-multiplied, no float compare), and the kept band "
+    "must retain at least (0.9 - 2*eps)n - 2 rows.",
+    refs=("§2.12", "A5"),
+)
+def q_quality_band_approx(spark, sf_dir):
+    acc = 10_000
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        F.floor(quality_score("text") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q")
+    )
+    thr = s.agg(
+        F.percentile_approx("q", F.array(F.lit(0.05), F.lit(0.95)), acc).alias("__b")
+    ).select(
+        F.element_at("__b", 1).alias("lo"), F.element_at("__b", 2).alias("hi")
+    )
+    j = s.crossJoin(F.broadcast(thr))
+    c = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("q") < F.col("lo")).cast("long")).alias("lt_lo"),
+        F.sum((F.col("q") <= F.col("lo")).cast("long")).alias("le_lo"),
+        F.sum((F.col("q") < F.col("hi")).cast("long")).alias("lt_hi"),
+        F.sum((F.col("q") <= F.col("hi")).cast("long")).alias("le_hi"),
+        F.sum(
+            ((F.col("q") >= F.col("lo")) & (F.col("q") <= F.col("hi"))).cast("long")
+        ).alias("kept"),
+    )
+    n = F.col("n")
+    A = F.lit(acc)
+    # rank interval of threshold t is [lt+1, le]; contract: it must
+    # intersect [(p-eps)n - 1, (p+eps)n + 1]. All integer, scaled by
+    # 100*acc (p in percent): lt*100*acc <= p*acc*n + 100*n + 100*acc
+    # AND le*100*acc >= p*acc*n - 100*n - 100*acc.
+    def _rank_pass(lt, le, pct):
+        target = F.lit(pct) * A * n
+        slack = F.lit(100) * n + F.lit(100) * A
+        return (F.col(lt) * F.lit(100) * A <= target + slack) & (
+            F.col(le) * F.lit(100) * A >= target - slack
+        )
+
+    kept_floor = (F.lit(90) * A - F.lit(200)) * n - F.lit(200) * A
+    return c.select(
+        n.alias("n_docs"),
+        _rank_pass("lt_lo", "le_lo", 5).alias("lo_pass"),
+        _rank_pass("lt_hi", "le_hi", 95).alias("hi_pass"),
+        (F.col("kept") * F.lit(100) * A >= kept_floor).alias("kept_pass"),
+    )
+
+
+@query(
     "q_collocations",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
