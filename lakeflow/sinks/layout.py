@@ -153,7 +153,13 @@ def compact_parquet(
     this per partition under a table format's transactional commit
     instead (see :func:`compact_partitions`). A crash between the two
     renames is recovered on the next run (``._compact_old`` is restored
-    before staging dirs are cleaned)."""
+    before staging dirs are cleaned).
+
+    Reader caveat: between the two renames the path briefly does not
+    exist. Tables that can take manifest-committed layout should use
+    ``sinks/txtable.optimize_table`` instead — compaction there is one
+    atomic manifest publish with NO reader gap (old files stay until
+    vacuum)."""
     base = path.rstrip("/")
     tmp, old = _recover_staged_swap(base)
     total = _parquet_bytes(base)

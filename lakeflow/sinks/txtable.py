@@ -280,6 +280,68 @@ def vacuum_table(
     return removed
 
 
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder: tuple[str, str] | None = None,
+) -> int:
+    """Delta-style ``OPTIMIZE [ZORDER BY (x, y)]`` as ONE manifest
+    commit: rewrite the current snapshot into ~target-sized files
+    (optionally Z-order-clustered via the same Morton key as
+    ``sinks/layout.zorder_write``) and publish the new file list as
+    version v+1. Returns the committed version.
+
+    This is the reader-gap-free maintenance path the staged-swap
+    compaction in ``sinks/layout.compact_parquet`` can only
+    approximate: there, the table path does not exist between the two
+    directory renames, so an unlucky reader sees ENOENT. Here the old
+    version's immutable files stay on disk (and listed in manifest v)
+    until ``vacuum_table`` retires them, so a reader pinned to ANY
+    retained snapshot — or opening the table at any instant — always
+    resolves a complete file list. Compaction being just another
+    commit also means it composes with concurrent upserts: whichever
+    publishes v+1 second gets :class:`ConcurrentCommitError` and
+    retries, never torn state.
+
+    Scale shape: the rewrite is a full-parallelism read of the
+    snapshot + a coalesce (shrinking) or Morton range-repartition
+    (clustering); the critical section stays one manifest create,
+    O(#files), independent of data size. At 100 TB run it per
+    partition of a partitioned table so the blast radius and the
+    rewrite working set stay bounded."""
+    base = current_version(path)
+    if base == 0:
+        raise FileNotFoundError(f"no committed version at {path!r}")
+    manifest = _read_manifest(path, base)
+    total = 0
+    for rel in manifest["files"]:
+        try:
+            total += os.path.getsize(os.path.join(path, rel))
+        except OSError:
+            pass
+    n_files = int(max(1, (total + target_file_bytes - 1) // target_file_bytes))
+    snap = read_table(spark, path, base)
+    if zorder is not None:
+        from lakeflow.sinks.layout import morton_key
+
+        col_x, col_y = zorder
+        out = (
+            snap.withColumn("__z", morton_key(col_x, col_y))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        out = snap.coalesce(n_files)
+    files = _write_data_files(out, path)
+    try:
+        return _publish(path, base, files, "optimize")
+    except ConcurrentCommitError:
+        _cleanup(path, files)
+        raise
+
+
 def history(path: str) -> list[dict]:
     """Commit log: one dict per retained version (version, op,
     n_files)."""
