@@ -2,11 +2,15 @@
 opaque ``binary`` columns with a typed metadata struct alongside.
 
 The Spark-side plumbing here is real and tested — schema, Arrow-batched
-``mapInPandas``, partition sizing — while the actual media decode is
-STUBBED (the container ships no image/audio libraries): decode raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic synthetic feature extractor so the distributed pipeline
-shape is exercised end-to-end.
+``mapInPandas``, partition sizing. The media decode itself runs for
+real when a PIL-class library is importable (:func:`has_real_decode`,
+detected at module import so the closure ships the same branch to
+executors); without one — as in this sandbox, which ships no media
+libraries — ``fake=False`` raises ``NotImplementedError`` and
+``fake=True`` substitutes a deterministic synthetic extractor so the
+distributed pipeline shape is exercised end-to-end either way. True
+video containers additionally need an ffmpeg-class decoder and always
+raise here.
 
 Design notes for 100 TB of media:
 - payloads never become shuffle keys or join keys; all grouping happens
@@ -20,11 +24,27 @@ Design notes for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # real decode path when a PIL-class library is present (prod)
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # this sandbox ships no media libraries
+    _PILImage = None
+
+
+def has_real_decode() -> bool:
+    """True when a real image decoder (PIL) was importable — the
+    decode/resize/frame operators then run their real branch for
+    ``fake=False`` instead of raising. Detection happens on the
+    EXECUTORS too (the import is module-level, shipped with the
+    function closure), so a cluster must install the library on every
+    node or pin ``fake=True``."""
+    return _PILImage is not None
 
 META_SCHEMA = (
     "id long, n_bytes long, content_md5 string, media_type string"
@@ -61,24 +81,41 @@ def extract_metadata(df: DataFrame) -> DataFrame:
 
 
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Media decode + feature extraction. STUB: real decoding needs
-    image/audio libraries not present in this environment; ``fake=True``
-    runs a deterministic synthetic extractor (md5-derived 4-dim feature)
-    through the identical mapInPandas plumbing."""
+    """Media decode + feature extraction through Arrow-batched
+    ``mapInPandas``. With ``fake=False`` the REAL branch runs when PIL
+    is importable (:func:`has_real_decode`): true width/height plus a
+    deterministic 4-dim feature (mean R/G/B of an 8x8 thumbnail + mean
+    gray, each in [0,1]). Without PIL it raises ``NotImplementedError``
+    (this sandbox ships no media libraries); ``fake=True`` substitutes
+    a deterministic md5-derived extractor through the identical
+    plumbing so schema/batching/partitioning stay exercised in CI."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if not fake and _PILImage is None:
                 raise NotImplementedError(
-                    "media decode requires PIL/ffmpeg-class libraries; "
-                    "run with fake=True for the deterministic stub"
+                    "media decode requires a PIL-class library on every "
+                    "executor; run with fake=True for the deterministic "
+                    "stub"
                 )
             feats, widths, heights = [], [], []
             for b in pdf["payload"]:
-                digest = hashlib.md5(bytes(b)).digest()
-                feats.append([d / 255.0 for d in digest[:4]])
-                widths.append(digest[4] + 1)
-                heights.append(digest[5] + 1)
+                if fake:
+                    digest = hashlib.md5(bytes(b)).digest()
+                    feats.append([d / 255.0 for d in digest[:4]])
+                    widths.append(digest[4] + 1)
+                    heights.append(digest[5] + 1)
+                else:
+                    with _PILImage.open(io.BytesIO(bytes(b))) as im:
+                        w, h = im.size
+                        px = list(im.convert("RGB").resize((8, 8)).getdata())
+                    n = 255.0 * len(px)
+                    mr = sum(p[0] for p in px) / n
+                    mg = sum(p[1] for p in px) / n
+                    mb = sum(p[2] for p in px) / n
+                    feats.append([mr, mg, mb, (mr + mg + mb) / 3.0])
+                    widths.append(w)
+                    heights.append(h)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -94,27 +131,39 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
 def resize_images(
     df: DataFrame, width: int, height: int, fake: bool = False
 ) -> DataFrame:
-    """Image resize over binary payloads. STUB decode (no PIL-class
-    library in this environment); ``fake=True`` emits a deterministic
-    ``width*height``-byte pseudo-bitmap derived from the payload md5 so
-    the 1:1 mapInPandas plumbing (schema, Arrow batching, output size ∝
-    target dims not input size) is exercised for real. At scale the
-    win is that resize happens WHERE the bytes are scanned — payloads
-    never shuffle; output partitions shrink to thumbnail size."""
+    """Image resize over binary payloads. The real branch (PIL present,
+    ``fake=False``) emits the row-major grayscale bitmap of the resized
+    image — exactly ``width*height`` bytes; ``fake=True`` emits a
+    deterministic pseudo-bitmap of the same size derived from the
+    payload md5, so the 1:1 mapInPandas plumbing (schema, Arrow
+    batching, output size ∝ target dims not input size) is exercised
+    even where no decoder ships. At scale the win is that resize
+    happens WHERE the bytes are scanned — payloads never shuffle;
+    output partitions shrink to thumbnail size."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if not fake and _PILImage is None:
                 raise NotImplementedError(
-                    "image resize requires PIL/opencv-class libraries; "
-                    "run with fake=True for the deterministic stub"
+                    "image resize requires a PIL-class library on every "
+                    "executor; run with fake=True for the deterministic "
+                    "stub"
                 )
             out = []
             for b in pdf["payload"]:
-                digest = hashlib.md5(bytes(b)).digest()
-                # deterministic pseudo-bitmap: digest tiled to w*h bytes
-                n = width * height
-                out.append((digest * (n // 16 + 1))[:n])
+                if fake:
+                    digest = hashlib.md5(bytes(b)).digest()
+                    # deterministic pseudo-bitmap: digest tiled to w*h
+                    n = width * height
+                    out.append((digest * (n // 16 + 1))[:n])
+                else:
+                    # real branch: grayscale bitmap, width*height bytes
+                    # (row-major L mode) — same output contract as the
+                    # stub, so downstream schema/size math is identical
+                    with _PILImage.open(io.BytesIO(bytes(b))) as im:
+                        out.append(
+                            im.convert("L").resize((width, height)).tobytes()
+                        )
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -133,21 +182,45 @@ def sample_frames(
     """Video frame sampling: one input row fans out to N frame rows —
     the 1:N mapInPandas shape (output batches are NOT row-aligned with
     input batches, which is exactly what mapInPandas allows and a
-    pandas_udf does not). STUB decode; ``fake=True`` derives a
-    deterministic frame count (1..max_frames from the payload md5) and
-    per-frame bytes so partitioning/row-expansion is exercised. At
-    scale: frames inherit the scan's partitioning, no shuffle; a
-    downstream repartition only if frame-level grouping follows."""
+    pandas_udf does not). Real branch (PIL present, ``fake=False``):
+    multi-frame formats PIL can open (animated GIF/WebP/TIFF) are
+    stepped at ``every_ms`` using each frame's declared duration, up to
+    ``max_frames``, emitting 16x16 grayscale frame thumbnails; true
+    video containers still need an ffmpeg-class decoder and raise.
+    ``fake=True`` derives a deterministic frame count (1..max_frames
+    from the payload md5) and per-frame bytes so
+    partitioning/row-expansion is exercised everywhere. At scale:
+    frames inherit the scan's partitioning, no shuffle; a downstream
+    repartition only if frame-level grouping follows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if not fake and _PILImage is None:
                 raise NotImplementedError(
-                    "video decode requires ffmpeg-class libraries; "
+                    "frame sampling requires a PIL-class library (or an "
+                    "ffmpeg-class one for true video) on every executor; "
                     "run with fake=True for the deterministic stub"
                 )
             ids, idxs, tss, frames = [], [], [], []
             for i, b in zip(pdf["id"], pdf["payload"]):
+                if not fake:
+                    with _PILImage.open(io.BytesIO(bytes(b))) as im:
+                        n_avail = int(getattr(im, "n_frames", 1))
+                        # per-frame duration in ms (animated formats
+                        # declare it; default 1 frame/sec otherwise)
+                        dur = int(im.info.get("duration", 1000) or 1000)
+                        step = max(1, every_ms // dur)
+                        for j, fi in enumerate(range(0, n_avail, step)):
+                            if j >= max_frames:
+                                break
+                            im.seek(fi)
+                            ids.append(i)
+                            idxs.append(j)
+                            tss.append(fi * dur)
+                            frames.append(
+                                im.convert("L").resize((16, 16)).tobytes()
+                            )
+                    continue
                 # fake bytes derive from the HEX digest (not raw bytes)
                 # so a SQL oracle with only md5(VARCHAR) reproduces the
                 # frame content exactly (q_multimodal_frames)

@@ -30,7 +30,7 @@ def pack_sequences(
     token_col: str,
     shard_col: str,
     budget: int,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Assign concat-and-chunk placements: per shard (ordered by id),
     ``start`` = running token sum before the doc, ``seq_id`` =

@@ -195,7 +195,7 @@ def pps_systematic_sample(
     weight_col: str,
     k: int,
     seed: str = "pps",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Weighted (probability-proportional-to-size) sample of ~``k`` rows
     via systematic sampling: lay every row's weight along a line in a

@@ -318,3 +318,45 @@ def test_jpeg_dims_fill_bytes_and_eoi(spark):
     out = {r["id"]: (r["width"], r["height"]) for r in jpeg_dims(df).collect()}
     assert out[1] == (320, 240)
     assert out[2] == (None, None)
+
+
+def test_multimodal_real_decode_when_pil_present(spark):
+    # the real-decode escape hatch (VERDICT r5 task #4): when a
+    # PIL-class library is importable, fake=False runs true decode;
+    # skipped in environments (like this sandbox) without one — the
+    # NotImplementedError contract for that case is asserted in
+    # test_multimodal_resize_stub_plumbing
+    import pytest as _pytest
+
+    from lakeflow.operators.multimodal import (
+        has_real_decode,
+        resize_images,
+        sample_frames,
+    )
+
+    if not has_real_decode():
+        _pytest.skip("PIL not installed; real decode branch unavailable")
+    import io as _io
+
+    from PIL import Image
+
+    def png_bytes(w, h, color):
+        buf = _io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(32, 16, (255, 0, 0))), (2, png_bytes(8, 8, (0, 0, 0)))]
+    d = spark.createDataFrame(rows, "id long, payload binary").withColumn(
+        "media_type", F.lit("image/png")
+    )
+    feats = {r["id"]: r for r in decode_features(d, fake=False).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (32, 16)
+    assert feats[1]["feature"][0] > 0.9 and feats[1]["feature"][1] < 0.1  # red
+    assert all(v < 0.05 for v in feats[2]["feature"])  # black
+    rs = {r["id"]: r for r in resize_images(d, 4, 4, fake=False).collect()}
+    assert len(rs[1]["resized"]) == 16
+    assert all(b == 0 for b in rs[2]["resized"])  # black stays black
+    fr = sample_frames(d, every_ms=1000, max_frames=2, fake=False).collect()
+    # single-frame stills emit exactly one 16x16 gray frame each
+    assert sorted((r["id"], r["frame_idx"]) for r in fr) == [(1, 0), (2, 0)]
+    assert all(len(r["frame"]) == 256 for r in fr)

@@ -216,3 +216,28 @@ def test_bucketed_running_sum_keeps_null_groups(spark):
         for r in bucketed_running_sum(df, "g", "i", (), "v").collect()
     }
     assert got == {("a", 1, 5), (None, 2, 7), (None, 3, 9)}
+
+
+def test_auto_buckets_size_switch(spark, tmp_path):
+    # n_buckets=None derives the plan from source bytes (VERDICT r5
+    # task #5): small parquet -> plain window (1), unknown/in-memory
+    # source -> the scale-safe bucketed path; results identical
+    from lakeflow.operators.prefix import auto_buckets, bucketed_running_sum
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [Row(g="a", i=1, v=5), Row(g="a", i=2, v=7), Row(g=None, i=3, v=2)]
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert auto_buckets(df) == 1  # tiny file: single window wins
+    mem = spark.createDataFrame([Row(g="a", i=1, v=5)])
+    assert auto_buckets(mem) == 32  # unknown size: scale-safe default
+    want = {
+        (r["g"], r["i"], r["run"])
+        for r in bucketed_running_sum(df, "g", "i", (), "v", n_buckets=8).collect()
+    }
+    got = {
+        (r["g"], r["i"], r["run"])
+        for r in bucketed_running_sum(df, "g", "i", (), "v").collect()  # auto=1
+    }
+    assert got == want == {("a", 1, 5), ("a", 2, 12), (None, 3, 2)}
