@@ -227,6 +227,159 @@ def resolve_entities(
     )
 
 
+def incremental_linkage_pairs(
+    new: DataFrame,
+    stored: DataFrame,
+    id_col: str,
+    fields: Sequence[tuple[str, int]],
+    block_keys: Sequence[Column],
+    threshold_micros: int = 800_000,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Linkage pairs involving at least one NEW record, against a
+    PERSISTED record set — the incremental tier of entity resolution
+    (the linkage analogue of ``setsim.incremental_setsim_pairs``): an
+    ingest batch's cost is new×block-density plus scoring on
+    candidates, never |corpus|², and stored×stored pairs are never
+    regenerated.
+
+    Both frames share one schema (self-linkage domain), so ``fields``
+    is (col, weight) and ``block_keys`` one expression per pass,
+    evaluated on each side. Candidates per pass are
+    new×stored ∪ new×new on the block key; the degenerate-block cap is
+    evaluated against the COMBINED (new + stored) block size, so the
+    incremental result is bit-identical to a batch recompute over the
+    union — the cap must not depend on how the corpus was split into
+    batches. (In production the stored per-block counts are a
+    persisted additive rollup, maintained like the element index;
+    here they are one aggregate over the stored side.)
+
+    Replay safety: pairs are normalized to ``{id}_a < {id}_b`` and
+    same-id matches are dropped, so a crashed-and-replayed batch whose
+    rows already reached the stored set degrades to pure duplicate
+    pairs (consumers ``distinct()``), exactly the setsim contract.
+    Returns ({id}_a, {id}_b, score_micros, match)."""
+    ida, idb = f"{id_col}_a", f"{id_col}_b"
+    cands = None
+    for bk in block_keys:
+        a = new.select(F.col(id_col).alias(ida), bk.alias("__bk"))
+        b = stored.select(F.col(id_col).alias(idb), bk.alias("__bk"))
+        if max_block_size is not None:
+            an = a.groupBy("__bk").agg(F.count(F.lit(1)).alias("__na"))
+            bn = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__nb"))
+            ok = (
+                an.join(bn, "__bk", "full")
+                .filter(
+                    F.coalesce(F.col("__na"), F.lit(0))
+                    + F.coalesce(F.col("__nb"), F.lit(0))
+                    <= F.lit(max_block_size)
+                )
+                .select("__bk")
+            )
+            a = a.join(ok, "__bk")
+            b = b.join(ok, "__bk")
+        ns = a.join(b, "__bk").select(ida, idb)
+        # new×new: join the capped new side with itself, keep one
+        # orientation (the batch relation `a` is reused for both sides)
+        nn = (
+            a.alias("__l")
+            .join(a.alias("__r"), "__bk")
+            .select(
+                F.col(f"__l.{ida}").alias(ida),
+                F.col(f"__r.{ida}").alias(idb),
+            )
+            .filter(F.col(ida) < F.col(idb))
+        )
+        pairs = ns.unionByName(nn)
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cand = (
+        cands.filter(F.col(ida) != F.col(idb))
+        .select(
+            F.least(ida, idb).alias(ida), F.greatest(ida, idb).alias(idb)
+        )
+        .distinct()
+    )
+    base = new.unionByName(stored).select(
+        F.col(id_col),
+        *[F.col(c).alias(f"__f{i}") for i, (c, _w) in enumerate(fields)],
+    )
+    joined = (
+        cand.join(base.withColumnRenamed(id_col, ida), ida)
+        .join(
+            base.select(
+                F.col(id_col).alias(idb),
+                *[
+                    F.col(f"__f{i}").alias(f"__g{i}")
+                    for i in range(len(fields))
+                ],
+            ),
+            idb,
+        )
+    )
+    total_w = sum(w for _c, w in fields)
+    acc = None
+    for i, (_c, w) in enumerate(fields):
+        term = edit_similarity_micros(
+            F.col(f"__f{i}"), F.col(f"__g{i}")
+        ) * F.lit(w)
+        acc = term if acc is None else acc + term
+    score = F.floor(acc.cast("double") / F.lit(total_w)).cast("long")
+    return joined.select(
+        F.col(ida),
+        F.col(idb),
+        score.alias("score_micros"),
+        (score >= F.lit(threshold_micros)).alias("match"),
+    )
+
+
+def incremental_resolve_entities(
+    match_pairs: DataFrame,
+    stored_assignments: DataFrame,
+    new_records: DataFrame,
+    id_col: str,
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Fold a batch's match pairs into a PERSISTED entity assignment
+    table — incremental connected components without re-running the
+    stored×stored linkage. ``stored_assignments`` is (id, entity_id)
+    where entity ids are min-label component representatives (i.e.
+    :func:`resolve_entities` output — each entity id IS a member
+    record id); ``match_pairs`` is :func:`incremental_linkage_pairs`
+    output filtered to matches.
+
+    The trick: the stored assignment table is a STAR-EDGE encoding of
+    the old component structure (record—representative), so components
+    over (new match pairs ∪ stored star edges) equal components over
+    (all pairs ever seen) — and because min-label representatives are
+    member ids, the merged components' min labels equal a full batch
+    recompute's. Cost per batch: components over |batch pairs| +
+    |stored records| star edges (diameter ≤ old diameter + 2), never
+    the historical pair set. Returns the UPDATED full assignment table
+    (id, entity_id) covering stored ∪ new records; entity ids of
+    stored records only change when a new record bridges two old
+    entities — exactly the batch-recompute semantics."""
+    from lakeflow.operators.clusters import min_label_components
+
+    ida, idb = f"{id_col}_a", f"{id_col}_b"
+    stars = stored_assignments.filter(
+        F.col(entity_col) != F.col(id_col)
+    ).select(F.col(id_col).alias(ida), F.col(entity_col).alias(idb))
+    edges = match_pairs.select(ida, idb).unionByName(stars)
+    clustered = min_label_components(
+        edges, ida, idb, out_id=id_col, out_label="__e"
+    )
+    all_ids = (
+        stored_assignments.select(id_col)
+        .unionByName(new_records.select(id_col))
+        .distinct()
+    )
+    return (
+        all_ids.join(clustered, id_col, "left")
+        .withColumn(entity_col, F.coalesce(F.col("__e"), F.col(id_col)))
+        .drop("__e")
+    )
+
+
 def _fs_posterior_micros(
     flags: Sequence[Column], lam: float, ms: Sequence[float], us: Sequence[float]
 ) -> Column:

@@ -35,10 +35,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # local gate (scripts/driver_gate.py, 159/159), so no §2 row loses
     # its certification — prior-round rows remain the evidence of
     # record, and COVERAGE.md's ledger maps each §2 ref to its row.
-    # After this round the never-certified set drops from 55 to ~6
+    # After this round the never-certified set drops from 55 to ~8
     # (q_hash_sample, q_chunk_windows, q_equi_depth_hist,
-    # q_flatten_collision, q_struct_json, q_empty_to_null — the
-    # lowest-priority granulars, queued for round 7).
+    # q_flatten_collision, q_struct_json, q_empty_to_null, plus
+    # q_resample_interp / q_winsorize — displaced below in favor of the
+    # round-6-built incremental-linkage pair, whose driver rows certify
+    # the incremental==batch star-edge algebra; both displaced queries
+    # keep an in-window family sibling, q_resample_locf /
+    # q_stats_moments. All queued for round 7.)
     #
     # --- round-5-final capability flagships (10) ---
     "q_setsim_join",
@@ -51,9 +55,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_trend_slope",
     "q_ts_gaps",
     "q_embedding_dim_stats",
-    # --- round-6-built linkage family + the new sketch contract (4) ---
+    # --- round-6-built linkage family + the new sketch contract (6) ---
     "q_record_linkage",
     "q_entity_resolution",
+    "q_incremental_linkage",
+    "q_incremental_entities",
     "q_hard_negatives",
     "q_quality_band_approx",
     # --- round-5 text/corpus (8) ---
@@ -75,12 +81,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_image_dims",
     "q_wav_meta",
     "q_multimodal_frames",
-    # --- timeseries / profiling (5) ---
+    # --- timeseries / profiling (4) ---
     "q_resample_locf",
-    "q_resample_interp",
     "q_profile_orders",
     "q_stats_moments",
-    "q_winsorize",
     # --- scan layout / sketch rollups (3) ---
     "q_zonemap_scan",
     "q_zorder_key",

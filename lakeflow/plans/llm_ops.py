@@ -4025,3 +4025,186 @@ def q_fs_linkage(spark, sf_dir):
         "posterior_micros",
         F.when(F.col("match"), 1).otherwise(0).cast("int").alias("is_match"),
     )
+
+
+# Incremental entity resolution: ONE self-linkage record domain (both
+# part catalogs unified into a single record stream), split into a
+# stored 6/7 and a "new batch" 1/7 by rid % 7. The unified CTE carries
+# both blocking keys; caps are evaluated on the COMBINED counts, which
+# is exactly the incremental operator's contract (the cap must not
+# depend on how the corpus was split into batches).
+_ILINK_U_CTE = """
+    u AS (
+      SELECT p_partkey AS rid, p_name AS name, p_type AS type,
+             p_brand || '|' || p_size AS bk1,
+             split_part(p_name, ' ', 1) AS bk2
+      FROM part
+      UNION ALL
+      SELECT p_partkey + 1000000, translate(p_name, 'eo', '30'), p_type,
+             p_brand || '|' || p_size,
+             split_part(translate(p_name, 'eo', '30'), ' ', 1)
+      FROM part),
+    b1 AS (SELECT bk1 AS bk, COUNT(*) AS n FROM u GROUP BY 1),
+    b2 AS (SELECT bk2 AS bk, COUNT(*) AS n FROM u GROUP BY 1),
+    cand AS (
+      SELECT a.rid AS ia, b.rid AS ib
+      FROM u a JOIN u b ON a.bk1 = b.bk1 AND a.rid < b.rid
+      WHERE a.bk1 IN (SELECT bk FROM b1 WHERE n <= 120)
+      UNION
+      SELECT a.rid, b.rid
+      FROM u a JOIN u b ON a.bk2 = b.bk2 AND a.rid < b.rid
+      WHERE a.bk2 IN (SELECT bk FROM b2 WHERE n <= 120))"""
+
+_ILINK_SIM_NAME = (
+    "CASE WHEN GREATEST(LENGTH(l.name), LENGTH(r.name)) = 0 THEN 1000000 "
+    "ELSE CAST(FLOOR(CAST((GREATEST(LENGTH(l.name), LENGTH(r.name)) "
+    "- levenshtein(l.name, r.name)) AS DOUBLE) * 1000000e0 "
+    "/ CAST(GREATEST(LENGTH(l.name), LENGTH(r.name)) AS DOUBLE)) AS BIGINT) END"
+)
+_ILINK_SIM_TYPE = (
+    "CASE WHEN GREATEST(LENGTH(l.type), LENGTH(r.type)) = 0 THEN 1000000 "
+    "ELSE CAST(FLOOR(CAST((GREATEST(LENGTH(l.type), LENGTH(r.type)) "
+    "- levenshtein(l.type, r.type)) AS DOUBLE) * 1000000e0 "
+    "/ CAST(GREATEST(LENGTH(l.type), LENGTH(r.type)) AS DOUBLE)) AS BIGINT) END"
+)
+_ILINK_SCORE = (
+    f"CAST(FLOOR(CAST(2 * ({_ILINK_SIM_NAME}) + 1 * ({_ILINK_SIM_TYPE}) "
+    f"AS DOUBLE) / 3e0) AS BIGINT)"
+)
+
+
+def _ilink_frames(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    left = p.select(
+        F.col("p_partkey").alias("rid"),
+        F.col("p_name").alias("name"),
+        F.col("p_type").alias("type"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    right = p.select(
+        (F.col("p_partkey") + 1_000_000).alias("rid"),
+        F.translate("p_name", "eo", "30").alias("name"),
+        F.col("p_type").alias("type"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    u = left.unionByName(right)
+    return u.filter(F.col("rid") % 7 == 0), u.filter(F.col("rid") % 7 != 0)
+
+
+_ILINK_KW = dict(
+    fields=[("name", 2), ("type", 1)],
+    threshold_micros=550_000,
+    max_block_size=120,
+)
+
+
+def _ilink_blocks():
+    return [
+        F.concat_ws("|", "brand", "size"),
+        F.substring_index("name", " ", 1),
+    ]
+
+
+@query(
+    "q_incremental_linkage",
+    oracle=f"""
+    WITH {_ILINK_U_CTE}
+    SELECT c.ia AS rid_a, c.ib AS rid_b,
+           {_ILINK_SCORE} AS score_micros,
+           CASE WHEN {_ILINK_SCORE} >= 550000 THEN 1 ELSE 0 END AS is_match
+    FROM cand c
+    JOIN u l ON l.rid = c.ia
+    JOIN u r ON r.rid = c.ib
+    WHERE c.ia % 7 = 0 OR c.ib % 7 = 0
+    """,
+    description="Incremental record linkage (operators/linkage."
+    "incremental_linkage_pairs): a 1/7 batch of the unified two-catalog "
+    "record stream linked against the persisted 6/7 — every scored "
+    "candidate pair touching a new record, at new x block-density cost "
+    "(stored x stored never regenerated; the linkage analogue of "
+    "q_incremental_setsim). Block caps are evaluated on the COMBINED "
+    "corpus counts, so the oracle — the full-batch blocked scan "
+    "restricted to new-touching pairs — certifies incremental == "
+    "batch-recompute bit-for-bit.",
+    refs=("§2.12", "J2", "F1"),
+)
+def q_incremental_linkage(spark, sf_dir):
+    from lakeflow.operators.linkage import incremental_linkage_pairs
+
+    new, stored = _ilink_frames(spark, sf_dir)
+    out = incremental_linkage_pairs(
+        new, stored, "rid", block_keys=_ilink_blocks(), **_ILINK_KW
+    )
+    return out.select(
+        F.col("rid_a"),
+        F.col("rid_b"),
+        "score_micros",
+        F.when(F.col("match"), 1).otherwise(0).cast("int").alias("is_match"),
+    )
+
+
+@query(
+    "q_incremental_entities",
+    oracle=f"""
+    WITH RECURSIVE {_ILINK_U_CTE},
+    m AS (
+      SELECT c.ia, c.ib FROM cand c
+      JOIN u l ON l.rid = c.ia
+      JOIN u r ON r.rid = c.ib
+      WHERE {_ILINK_SCORE} >= 550000),
+    e AS (SELECT ia AS src, ib AS dst FROM m UNION SELECT ib, ia FROM m),
+    reach AS (
+      SELECT src AS id, src AS rt FROM e
+      UNION
+      SELECT e.src AS id, reach.rt FROM e JOIN reach ON e.dst = reach.id),
+    lbl AS (SELECT id, MIN(rt) AS entity_id FROM reach GROUP BY id)
+    SELECT COALESCE(lbl.entity_id, u.rid) AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM u LEFT JOIN lbl ON lbl.id = u.rid
+    GROUP BY 1
+    """,
+    description="Incremental entity-index maintenance (operators/"
+    "linkage.incremental_resolve_entities): the persisted assignment "
+    "table (components of the stored 6/7's own matches) folded with "
+    "the new batch's incremental match pairs — components over batch "
+    "pairs + stored STAR edges, never the historical pair set. The "
+    "oracle recomputes the transitive closure over ALL match pairs of "
+    "the full corpus, so a green row certifies that the star-edge "
+    "encoding preserves components and min-labels exactly (including "
+    "the bridge case where one new record merges two old entities) — "
+    "incremental == batch-recompute. Streaming twin: "
+    "streaming/corpus_intake.stream_entity_index (restart-tested).",
+    refs=("§2.12", "J2"),
+)
+def q_incremental_entities(spark, sf_dir):
+    from lakeflow.caching import maybe_persist
+    from lakeflow.operators.linkage import (
+        incremental_linkage_pairs,
+        incremental_resolve_entities,
+        resolve_entities,
+    )
+
+    new, stored = _ilink_frames(spark, sf_dir)
+    stored = maybe_persist(stored, None)  # consumed by both linkage tiers
+    blocks = _ilink_blocks()
+    stored_pairs = incremental_linkage_pairs(
+        stored, stored.limit(0), "rid", block_keys=blocks, **_ILINK_KW
+    ).filter("match")
+    stored_asgn = resolve_entities(
+        stored_pairs, stored.select("rid"), "rid",
+        left_id="rid_a", right_id="rid_b",
+    )
+    new_pairs = incremental_linkage_pairs(
+        new, stored, "rid", block_keys=blocks, **_ILINK_KW
+    ).filter("match")
+    updated = incremental_resolve_entities(
+        new_pairs,
+        stored_asgn.select("rid", "entity_id"),
+        new.select("rid"),
+        "rid",
+    )
+    return updated.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )

@@ -249,6 +249,100 @@ def stream_bitmap_rollup(
     return writer.start()
 
 
+def stream_entity_index(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    records_path: str,
+    entities_path: str,
+    checkpoint: str,
+    id_col: str,
+    fields: list[tuple[str, int]],
+    block_keys_sql: list[str],
+    threshold_micros: int = 800_000,
+    max_block_size: int | None = 200,
+    trigger_available_now: bool = True,
+):
+    """Continuous ENTITY RESOLUTION maintenance (§2.10 + §2.12
+    composed, the linkage analogue of :func:`stream_exact_neardup_index`):
+    as records stream in, each micro-batch is linked against the
+    PERSISTED record set (``incremental_linkage_pairs`` — new×stored +
+    new×new only, block caps evaluated on the COMBINED corpus so the
+    result matches a batch recompute bit-for-bit), the match pairs are
+    folded into the persisted entity assignment table
+    (``incremental_resolve_entities`` — components over batch pairs +
+    stored star edges, never the historical pair set), and the batch's
+    records append to ``records_path``. Returns the StreamingQuery.
+
+    ``block_keys_sql``: blocking expressions as SQL strings (evaluated
+    on both sides' shared schema) so the config is serializable.
+
+    Ordering inside the batch: the assignment table is refreshed
+    BEFORE the batch's records join the stored set, so the stored side
+    the pairs were computed against never includes the batch itself.
+    Replay contract mirrors the dedup streams: a crashed-and-replayed
+    batch whose rows already reached ``records_path`` produces only
+    duplicate pairs (same-id matches are dropped, pairs are
+    normalized + distinct) and recomputes the identical assignment
+    table; the records append degrades to duplicate rows, which every
+    consumer here tolerates (``incremental_resolve_entities`` ids are
+    distinct; a transactional table format upgrades this to true
+    exactly-once)."""
+    from lakeflow.operators.linkage import (
+        incremental_linkage_pairs,
+        incremental_resolve_entities,
+    )
+    from lakeflow.sinks.merge import merge_upsert, read_target_if_exists
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        batch = batch.persist()  # three consumers: pairs, resolve, append
+        try:
+            stored = read_target_if_exists(spark, records_path)
+            if stored is None:
+                stored = batch.limit(0)  # first batch: new x new only
+            stored_asgn = read_target_if_exists(spark, entities_path)
+            if stored_asgn is None:
+                stored_asgn = (
+                    batch.select(
+                        F.col(id_col), F.col(id_col).alias("entity_id")
+                    ).limit(0)
+                )
+            pairs = incremental_linkage_pairs(
+                batch,
+                stored,
+                id_col,
+                fields,
+                [F.expr(s) for s in block_keys_sql],
+                threshold_micros,
+                max_block_size,
+            ).filter("match")
+            updated = incremental_resolve_entities(
+                pairs,
+                stored_asgn.select(id_col, "entity_id"),
+                batch,
+                id_col,
+            ).withColumn("__b", F.lit(batch_id))
+            # latest-wins upsert: the refresh covers ALL ids, so the
+            # new batch's assignment replaces every stale row; fenced
+            # swap keeps readers consistent mid-refresh
+            merge_upsert(
+                spark, entities_path, updated, [id_col], "__b"
+            )
+            batch.write.mode("append").parquet(records_path)
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_exact_neardup_index(
     spark: SparkSession,
     path: str,

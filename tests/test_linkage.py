@@ -252,3 +252,144 @@ def test_self_linkage_via_renamed_side(spark):
     ).filter(F.col("id") < F.col("id_b"))
     pairs = {(r.id, r.id_b): r.match for r in out.collect()}
     assert pairs == {(1, 2): True}
+
+
+def _incr_records(spark):
+    # three potential entities in one city block plus singletons; the
+    # NEW slice includes a BRIDGE record (13) that matches two stored
+    # records (1, 2) which do NOT match each other — the nontrivial
+    # incremental-components case (two old entities merge)
+    rows = [
+        # stored
+        (1, "team-000011", "nyc"),
+        (2, "team-001111", "nyc"),
+        (4, "acme corp ltd", "sf"),
+        (5, "acme corp ltd", "sf"),
+        (7, "solo record here", "la"),
+        # new (ids % 3 == 0)
+        (3, "team-000011", "nyc"),
+        (6, "unmatched new rec", "sf"),
+        (13 * 3, "team-000111", "nyc"),  # 39: bridges 1 <-> 2
+    ]
+    return spark.createDataFrame(rows, "rec_id long, name string, city string")
+
+
+def test_incremental_linkage_matches_batch(spark):
+    from lakeflow.operators.linkage import incremental_linkage_pairs
+
+    recs = _incr_records(spark)
+    new = recs.filter(F.col("rec_id") % 3 == 0)
+    stored = recs.filter(F.col("rec_id") % 3 != 0)
+    kw = dict(
+        fields=[("name", 1)],
+        block_keys=[F.col("city")],
+        threshold_micros=850_000,
+    )
+    # ground truth: the full batch run (stored side empty -> new x new
+    # covers ALL pairs), restricted to pairs touching a new record
+    full = incremental_linkage_pairs(
+        recs, recs.limit(0), "rec_id", **kw
+    ).collect()
+    want = {
+        (r["rec_id_a"], r["rec_id_b"], r["score_micros"], r["match"])
+        for r in full
+        if r["rec_id_a"] % 3 == 0 or r["rec_id_b"] % 3 == 0
+    }
+    got = {
+        (r["rec_id_a"], r["rec_id_b"], r["score_micros"], r["match"])
+        for r in incremental_linkage_pairs(new, stored, "rec_id", **kw).collect()
+    }
+    assert got == want and len(got) > 0
+    # the bridge pair scores: 39 matches both 1 and 2; 1-2 is old x old
+    matches = {(a, b) for a, b, _s, m in got if m}
+    assert (1, 39) in matches and (2, 39) in matches
+    assert (1, 2) not in {(a, b) for a, b, _s, _m in got}
+    # replay safety: stored already containing the batch degrades to
+    # the same pair set (same-id dropped, normalized + distinct)
+    replay = {
+        (r["rec_id_a"], r["rec_id_b"], r["score_micros"], r["match"])
+        for r in incremental_linkage_pairs(new, recs, "rec_id", **kw).collect()
+    }
+    assert replay == want
+
+
+def test_incremental_linkage_combined_block_cap(spark):
+    # the cap is evaluated on new+stored counts: a block whose COMBINED
+    # size exceeds the cap is dropped even when each side alone is under
+    from lakeflow.operators.linkage import incremental_linkage_pairs
+
+    rows = [(i, f"name-{i:03d}", "hot") for i in range(10)] + [
+        (100, "cold-rec-aa", "cold"),
+        (101, "cold-rec-ab", "cold"),
+    ]
+    recs = spark.createDataFrame(rows, "rec_id long, name string, city string")
+    new = recs.filter(F.col("rec_id").isin(0, 3, 6, 9, 100))
+    stored = recs.subtract(new)
+    out = incremental_linkage_pairs(
+        new,
+        stored,
+        "rec_id",
+        fields=[("name", 1)],
+        block_keys=[F.col("city")],
+        threshold_micros=800_000,
+        max_block_size=8,  # hot block is 10 combined (5 new + 5 stored)
+    ).collect()
+    assert {(r["rec_id_a"], r["rec_id_b"]) for r in out} == {(100, 101)}
+
+
+def test_incremental_resolve_entities_matches_batch(spark):
+    from lakeflow.operators.linkage import (
+        incremental_linkage_pairs,
+        incremental_resolve_entities,
+    )
+
+    recs = _incr_records(spark)
+    new = recs.filter(F.col("rec_id") % 3 == 0)
+    stored = recs.filter(F.col("rec_id") % 3 != 0)
+    kw = dict(
+        fields=[("name", 1)],
+        block_keys=[F.col("city")],
+        threshold_micros=850_000,
+    )
+    stored_pairs = incremental_linkage_pairs(
+        stored, stored.limit(0), "rec_id", **kw
+    ).filter("match")
+    stored_asgn = resolve_entities(
+        stored_pairs,
+        stored.select("rec_id"),
+        "rec_id",
+        left_id="rec_id_a",
+        right_id="rec_id_b",
+    )
+    new_pairs = incremental_linkage_pairs(new, stored, "rec_id", **kw).filter(
+        "match"
+    )
+    got = {
+        (r["rec_id"], r["entity_id"])
+        for r in incremental_resolve_entities(
+            new_pairs,
+            stored_asgn.select("rec_id", "entity_id"),
+            new.select("rec_id"),
+            "rec_id",
+        ).collect()
+    }
+    # batch ground truth: components over ALL pairs of the full corpus
+    all_pairs = incremental_linkage_pairs(
+        recs, recs.limit(0), "rec_id", **kw
+    ).filter("match")
+    want = {
+        (r["rec_id"], r["entity_id"])
+        for r in resolve_entities(
+            all_pairs,
+            recs.select("rec_id"),
+            "rec_id",
+            left_id="rec_id_a",
+            right_id="rec_id_b",
+        ).collect()
+    }
+    assert got == want
+    # the bridge merged 1, 2, 3, 39 into entity 1 (min member id) even
+    # though stored-era entities were {1,3?}... stored had 1 and 2 apart
+    ent = dict(got)
+    assert ent[1] == ent[2] == ent[3] == ent[39] == 1
+    assert ent[6] == 6 and ent[7] == 7  # singletons keep their own id

@@ -686,3 +686,63 @@ def test_stream_exact_neardup_index_incremental(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
     } == {1, 2, 3, 10, 11}
+
+
+def test_stream_entity_index_incremental(spark, tmp_path):
+    # continuous entity resolution: wave 2's records link against the
+    # PERSISTED record set and fold into the persisted assignment
+    # table — including the bridge case where a new record merges two
+    # previously-separate stored entities
+    from lakeflow.streaming.corpus_intake import stream_entity_index
+
+    src = str(tmp_path / "recs")
+    recp = str(tmp_path / "records")
+    entp = str(tmp_path / "entities")
+    ck = str(tmp_path / "ck")
+    schema = "rec_id long, name string, city string"
+
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"rec_id": 1, "name": "team-000011", "city": "nyc"},
+            {"rec_id": 2, "name": "team-001111", "city": "nyc"},
+            {"rec_id": 4, "name": "acme corp ltd", "city": "sf"},
+            {"rec_id": 5, "name": "acme corp ltd", "city": "sf"},
+        ],
+    )
+    kw = dict(
+        id_col="rec_id",
+        fields=[("name", 1)],
+        block_keys_sql=["city"],
+        threshold_micros=850_000,
+    )
+    q = stream_entity_index(spark, src, schema, recp, entp, ck, **kw)
+    q.awaitTermination(120)
+    ent1 = {
+        r["rec_id"]: r["entity_id"]
+        for r in spark.read.parquet(entp).select("rec_id", "entity_id").collect()
+    }
+    # wave 1: 1 and 2 are NOT a match (lev 2 on len 11 < 850k); 4-5 are
+    assert ent1 == {1: 1, 2: 2, 4: 4, 5: 4}
+
+    # wave 2 (fresh stream start = restart path): a bridge record that
+    # matches BOTH 1 and 2, plus an unmatched singleton
+    _write_events(
+        src,
+        "w2.json",
+        [
+            {"rec_id": 9, "name": "team-000111", "city": "nyc"},
+            {"rec_id": 10, "name": "nothing alike", "city": "la"},
+        ],
+    )
+    q = stream_entity_index(spark, src, schema, recp, entp, ck, **kw)
+    q.awaitTermination(120)
+    ent2 = {
+        r["rec_id"]: r["entity_id"]
+        for r in spark.read.parquet(entp).select("rec_id", "entity_id").collect()
+    }
+    # the bridge merged stored entities {1} and {2}: all three now
+    # share min-label 1; stored 4-5 assignment survives untouched
+    assert ent2 == {1: 1, 2: 1, 9: 1, 4: 4, 5: 4, 10: 10}
+    assert spark.read.parquet(recp).select("rec_id").distinct().count() == 6
