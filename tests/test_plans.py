@@ -257,11 +257,23 @@ def test_setsim_join_no_cartesian_no_nested_loop(spark):
 
 
 def test_pps_sample_windows_are_bucketed(spark):
-    # the cumulative weight must ride the distributed prefix sum: every
+    # at scale (n_buckets explicit or source > SINGLE_TASK_BYTES) the
+    # cumulative weight must ride the distributed prefix sum: every
     # window sort key list that orders the full relation must be
     # partitioned by the bucket column, and the only unbucketed window
     # is the per-bucket offsets pass (input <= n_buckets rows)
-    plan = _plan(spark, "q_pps_sample")
+    import contextlib
+    import io
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.sampling import pps_systematic_sample
+
+    d = load_table(spark, SF, "documents")
+    df = pps_systematic_sample(d, "doc_id", "n_chars", 50, n_buckets=32)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "CartesianProduct" not in plan, plan
     # the bucket column must survive into the window stage — formatted
     # plans spell window specs as windowspecdefinition(...); the
@@ -269,3 +281,13 @@ def test_pps_sample_windows_are_bucketed(spark):
     assert "windowspecdefinition" in plan, plan
     assert "__b" in plan, plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_pps_sample_auto_plan_at_small_scale(spark):
+    # n_buckets=None on a tiny parquet source picks the plain window
+    # (auto_buckets metadata switch): one partitionBy(__g) window, no
+    # bucket machinery overhead — results bit-identical (test_topk)
+    plan = _plan(spark, "q_pps_sample")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" in plan, plan
+    assert "__b" not in plan, plan  # no bucket column below threshold
