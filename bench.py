@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "q_entity_resolution",
     "q_fs_linkage",
     "q_hard_negatives",
+    # round 6 additions: incremental entity resolution
+    "q_incremental_linkage",
+    "q_incremental_entities",
 ]
 
 

@@ -188,3 +188,54 @@ def windowed_drift(
         "n_events",
         F.floor(diff_total / F.lit(2)).cast("long").alias("tvd_micros"),
     )
+
+
+def stream_stream_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    key_col: str,
+    imp_ts: str = "imp_ts",
+    click_ts: str = "click_ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Watermarked STREAM-STREAM interval join — the attribution shape
+    (every click joined to the impression that preceded it within
+    ``horizon``, same ``key_col``). This is the one §2.10 stateful
+    operator the rest of the surface deliberately avoids (windowed
+    aggs, state-store dedup, foreachBatch upserts all keep state
+    per-key-per-window); here BOTH sides buffer rows in the state
+    store and the TIME-BOUND in the join condition is what lets Spark
+    evict them: impressions older than watermark+horizon and clicks
+    older than watermark can never match a future row, so state is
+    bounded by (arrival rate × (watermark + horizon)), independent of
+    stream lifetime. An unconstrained stream-stream join (no time
+    bound) would grow state forever — Spark rejects it in append mode,
+    and so does this signature by construction.
+
+    Inner join ⇒ append-mode output with no extra aggregation; a
+    late click (beyond watermark) is dropped, a late impression can
+    no longer match — the standard completeness/latency trade the
+    watermark encodes. Returns the joined stream (caller attaches the
+    sink + checkpoint); batch twin: the same expression over static
+    frames is q_interval_join's bucketed range join, which is the
+    oracle-certified semantics."""
+    li = impressions.withWatermark(imp_ts, watermark).alias("i")
+    lc = clicks.withWatermark(click_ts, watermark).alias("c")
+    cond = (
+        (F.col(f"i.{key_col}") == F.col(f"c.{key_col}"))
+        & (F.col(f"c.{click_ts}") >= F.col(f"i.{imp_ts}"))
+        & (
+            F.col(f"c.{click_ts}")
+            <= F.col(f"i.{imp_ts}") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return li.join(lc, cond, "inner").select(
+        F.col(f"i.{key_col}").alias(key_col),
+        F.col(f"i.{imp_ts}").alias(imp_ts),
+        F.col(f"c.{click_ts}").alias(click_ts),
+        (
+            F.unix_millis(F.col(f"c.{click_ts}"))
+            - F.unix_millis(F.col(f"i.{imp_ts}"))
+        ).alias("lag_ms"),
+    )

@@ -83,14 +83,20 @@ def main() -> None:
         spec = QUERIES.get(name)
         if spec is None or (ONLY is not None and name not in ONLY):
             continue
+        from lakeflow.caching import scoped_cache
+
         times = []
         for sf_dir in (SRC, OUT):
             runs = []
             for _ in range(2):
-                df = spec.fn(spark, sf_dir)
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
+                # per-run ambient scope (the bench.py contract): a
+                # query's internal persists are released before the
+                # next run — at 30x a leaked shingle relation is GBs
+                with scoped_cache():
+                    df = spec.fn(spark, sf_dir)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
             times.append(min(runs))
         ratio = times[1] / times[0] if times[0] > 0 else float("inf")
         flag = "  <-- superlinear" if ratio > K * 1.6 else ""

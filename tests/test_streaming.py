@@ -746,3 +746,78 @@ def test_stream_entity_index_incremental(spark, tmp_path):
     # share min-label 1; stored 4-5 assignment survives untouched
     assert ent2 == {1: 1, 2: 1, 9: 1, 4: 4, 5: 4, 10: 10}
     assert spark.read.parquet(recp).select("rec_id").distinct().count() == 6
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    # watermarked stream-stream interval join: clicks attach to the
+    # impression within the horizon; state persists across restart so
+    # a wave-2 click still matches a wave-1 impression
+    from lakeflow.streaming.pipeline import stream_ndjson, stream_stream_attribution
+
+    imp_src = str(tmp_path / "imp")
+    clk_src = str(tmp_path / "clk")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    _write_events(
+        imp_src,
+        "w1.json",
+        [
+            {"key": "u1", "imp_ts": "2024-01-01T10:00:00"},
+            {"key": "u2", "imp_ts": "2024-01-01T10:00:00"},
+        ],
+    )
+    _write_events(
+        clk_src,
+        "w1.json",
+        [
+            {"key": "u1", "click_ts": "2024-01-01T10:10:00"},  # match
+            {"key": "u2", "click_ts": "2024-01-01T11:00:00"},  # beyond horizon
+            {"key": "u3", "click_ts": "2024-01-01T10:05:00"},  # no impression
+        ],
+    )
+
+    def run():
+        joined = stream_stream_attribution(
+            stream_ndjson(spark, imp_src, "key string, imp_ts timestamp"),
+            stream_ndjson(spark, clk_src, "key string, click_ts timestamp"),
+            "key",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = {
+        (r["key"], str(r["imp_ts"]), str(r["click_ts"]), r["lag_ms"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {("u1", "2024-01-01 10:00:00", "2024-01-01 10:10:00", 600_000)}
+
+    # wave 2 (restart): cross-wave match against the state-store-held
+    # impression + a fully-in-wave-2 pair
+    _write_events(
+        imp_src, "w2.json", [{"key": "u4", "imp_ts": "2024-01-01T10:30:00"}]
+    )
+    _write_events(
+        clk_src,
+        "w2.json",
+        [
+            {"key": "u1", "click_ts": "2024-01-01T10:20:00"},  # cross-wave
+            {"key": "u4", "click_ts": "2024-01-01T10:40:00"},
+        ],
+    )
+    run()
+    got2 = {
+        (r["key"], str(r["click_ts"])) for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {
+        ("u1", "2024-01-01 10:10:00"),
+        ("u1", "2024-01-01 10:20:00"),
+        ("u4", "2024-01-01 10:40:00"),
+    }
