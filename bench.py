@@ -250,10 +250,13 @@ def main() -> None:
         #
         # Timed region = the noop write only (plan execution), matching
         # rounds 1-2 methodology so round-over-round comparisons hold.
-        # Caveat: q_dup_clusters is iterative and runs its jobs EAGERLY
-        # during fn() (driver-side convergence loop), so its row here
-        # reflects only the final projection — its true cost is the
-        # component breakdown in SCALING.md, not this number.
+        # Caveat: queries built on iterative driver-side loops with
+        # eager localCheckpoints (q_dup_clusters, q_entity_resolution,
+        # q_incremental_entities, q_pagerank's unrolled rounds run
+        # lazily and ARE timed; the components family is not) execute
+        # most of their work during fn(), so their rows here reflect
+        # only the final projection — their true cost is the component
+        # breakdown in SCALING.md, not this number.
         runs = []
         with scoped_cache():
             for _ in range(3):

@@ -100,14 +100,58 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
     return rel
 
 
+def _collect_stats(
+    path: str, rel_files: list[str], cols: list[str]
+) -> dict[str, dict]:
+    """Per-file (n_rows, min, max) for ``cols`` from parquet FOOTERS
+    only — metadata I/O, a few KB per file regardless of file size
+    (the Delta data-skipping stats, gathered at commit time so reads
+    never touch footers). Values that don't serialize to JSON
+    (timestamps, binary) record as None = never pruned; conservative
+    by construction."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        entry: dict = {"n_rows": md.num_rows}
+        for c in cols:
+            lo = hi = None
+            if c in idx:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if not all(
+                v is None or isinstance(v, (int, float, str, bool))
+                for v in (lo, hi)
+            ):
+                lo = hi = None
+            entry[c] = None if lo is None or hi is None else [lo, hi]
+        out[rel] = entry
+    return out
+
+
 def _publish(
-    path: str, base_version: int, files: list[str], op: str
+    path: str,
+    base_version: int,
+    files: list[str],
+    op: str,
+    stats_cols: list[str] | None = None,
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """Atomically publish manifest ``base_version + 1``. Raises
     :class:`ConcurrentCommitError` if someone else got there first."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     version = base_version + 1
     manifest = {"version": version, "op": op, "files": files}
+    if stats_cols:
+        manifest["stats_cols"] = stats_cols
+        manifest["stats"] = stats or {}
     try:
         with open(_manifest_path(path, version), "x") as fh:
             json.dump(manifest, fh)
@@ -127,15 +171,25 @@ def _cleanup(path: str, files: list[str]) -> None:
             pass
 
 
-def write_table(spark: SparkSession, df: DataFrame, path: str) -> int:
+def write_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Create the table or replace its contents (full overwrite
     semantics, previous versions retained for time travel). Returns the
-    committed version."""
+    committed version.
+
+    ``stats_cols``: columns whose per-file min/max land in the manifest
+    (data-skipping stats — see :func:`scan_where`). Sticky: later
+    appends/upserts/optimizes maintain them without re-passing."""
     os.makedirs(path, exist_ok=True)
     base = current_version(path)
     files = _write_data_files(df, path)
+    stats = _collect_stats(path, files, stats_cols) if stats_cols else None
     try:
-        return _publish(path, base, files, "overwrite")
+        return _publish(path, base, files, "overwrite", stats_cols, stats)
     except ConcurrentCommitError:
         _cleanup(path, files)
         raise
@@ -144,14 +198,23 @@ def write_table(spark: SparkSession, df: DataFrame, path: str) -> int:
 def append_table(spark: SparkSession, df: DataFrame, path: str) -> int:
     """Atomic multi-file append: new files become visible all at once
     when manifest v+1 publishes — readers never see a partial batch
-    (plain parquet directory appends can't promise that)."""
+    (plain parquet directory appends can't promise that). Data-skipping
+    stats, if the table carries them, extend to the new files only —
+    prior files' entries carry forward untouched (their footers are
+    never re-read: commit cost stays O(batch), not O(table))."""
     base = current_version(path)
     if base == 0:
         return write_table(spark, df, path)
-    prior = _read_manifest(path, base)["files"]
+    prior_m = _read_manifest(path, base)
+    prior = prior_m["files"]
+    scols = prior_m.get("stats_cols")
     files = _write_data_files(df, path)
+    stats = None
+    if scols:
+        stats = dict(prior_m.get("stats", {}))
+        stats.update(_collect_stats(path, files, scols))
     try:
-        return _publish(path, base, prior + files, "append")
+        return _publish(path, base, prior + files, "append", scols, stats)
     except ConcurrentCommitError:
         _cleanup(path, files)
         raise
@@ -208,8 +271,10 @@ def merge_upsert_table(
         cond = c if cond is None else cond & c
     merged = existing.join(batch_keys, cond, "left_anti").unionByName(batch)
     files = _write_data_files(merged, path)
+    scols = _read_manifest(path, base).get("stats_cols")
+    stats = _collect_stats(path, files, scols) if scols else None
     try:
-        return _publish(path, base, files, "merge_upsert")
+        return _publish(path, base, files, "merge_upsert", scols, stats)
     except ConcurrentCommitError:
         _cleanup(path, files)
         raise
@@ -224,8 +289,10 @@ def delete_where(
     existing = read_table(spark, path, base)
     remaining = existing.where(~predicate | predicate.isNull())
     files = _write_data_files(remaining, path)
+    scols = _read_manifest(path, base).get("stats_cols")
+    stats = _collect_stats(path, files, scols) if scols else None
     try:
-        return _publish(path, base, files, "delete")
+        return _publish(path, base, files, "delete", scols, stats)
     except ConcurrentCommitError:
         _cleanup(path, files)
         raise
@@ -335,11 +402,64 @@ def optimize_table(
     else:
         out = snap.coalesce(n_files)
     files = _write_data_files(out, path)
+    scols = manifest.get("stats_cols")
+    stats = _collect_stats(path, files, scols) if scols else None
     try:
-        return _publish(path, base, files, "optimize")
+        return _publish(path, base, files, "optimize", scols, stats)
     except ConcurrentCommitError:
         _cleanup(path, files)
         raise
+
+
+def scan_where(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping snapshot read: resolve the manifest, drop every
+    file whose committed [min, max] stats for ``col`` cannot intersect
+    [lo, hi] (either bound None = unbounded), scan only the survivors,
+    and re-apply the residual predicate — the result equals
+    ``read_table(...).where(...)`` exactly (equivalence tested), but
+    the scan lists only surviving files.
+
+    This is the manifest half of Delta-style data skipping: stats were
+    collected ONCE at commit time (``stats_cols``), so a read prunes
+    with zero footer I/O and zero directory listing — at 100 TB the
+    difference between "open the manifest, read 3 files" and "stat
+    100k files before planning". Files without stats for ``col``
+    (column not tracked, non-JSON-able type, footer gaps) are always
+    kept — pruning is conservative, never wrong. Composes with
+    ``optimize_table(zorder=...)``: clustering is what makes file
+    ranges disjoint enough to prune; stats are recomputed on the
+    rewritten files in the same commit."""
+    v = version if version is not None else current_version(path)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version at {path!r}")
+    manifest = _read_manifest(path, v)
+    stats = manifest.get("stats", {})
+    tracked = col in (manifest.get("stats_cols") or [])
+    keep: list[str] = []
+    for rel in manifest["files"]:
+        z = stats.get(rel, {}).get(col) if tracked else None
+        if z is None:
+            keep.append(rel)  # no stats -> conservative keep
+            continue
+        zmin, zmax = z
+        if (lo is None or zmax >= lo) and (hi is None or zmin <= hi):
+            keep.append(rel)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    if not keep:
+        return read_table(spark, path, v).where(F.lit(False))
+    files = [os.path.join(path, rel) for rel in keep]
+    return spark.read.parquet(*files).where(pred)
 
 
 def history(path: str) -> list[dict]:

@@ -211,3 +211,74 @@ def test_optimize_zorder_clusters_both_columns(spark, tmp_path):
     assert len(files) >= 8
     assert sum(spans_x) / len(spans_x) < 32
     assert sum(spans_y) / len(spans_y) < 32
+
+
+def test_scan_where_prunes_from_manifest_stats(spark, tmp_path):
+    # data-skipping via commit-time manifest stats: disjoint file
+    # ranges (repartitionByRange) -> a bounded predicate scans a strict
+    # subset of files, result identical to full-scan + filter
+    from lakeflow.sinks.txtable import _read_manifest, scan_where
+
+    path = str(tmp_path / "t")
+    df = _df(spark, 0, 10_000).repartitionByRange(8, "k").sortWithinPartitions("k")
+    write_table(spark, df, path, stats_cols=["k"])
+    m = _read_manifest(path, 1)
+    assert m["stats_cols"] == ["k"]
+    assert set(m["stats"]) == set(m["files"])  # every file has an entry
+    assert all(s["k"] is not None for s in m["stats"].values())
+
+    out = scan_where(spark, path, "k", lo=2_000, hi=2_499)
+    full = read_table(spark, path).where(
+        (F.col("k") >= 2_000) & (F.col("k") <= 2_499)
+    )
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in full.collect()
+    )
+    # the scan listed only surviving files — strictly fewer than all 8
+    assert 0 < len(out.inputFiles()) < len(m["files"])
+
+    # empty-survivor path: predicate outside every zone
+    assert scan_where(spark, path, "k", lo=1_000_000).count() == 0
+    # untracked column: no pruning, still correct
+    nv = scan_where(spark, path, "v", lo=0, hi=10).count()
+    assert nv == read_table(spark, path).where(F.col("v").between(0, 10)).count()
+
+
+def test_scan_where_stats_sticky_through_commits(spark, tmp_path):
+    # append extends stats to new files only; optimize/upsert/delete
+    # recompute on rewritten files; time travel prunes per version
+    from lakeflow.sinks.txtable import (
+        _read_manifest,
+        optimize_table,
+        scan_where,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark,
+        _df(spark, 0, 1000).repartitionByRange(4, "k"),
+        path,
+        stats_cols=["k"],
+    )
+    append_table(
+        spark, _df(spark, 1000, 2000).repartitionByRange(4, "k"), path
+    )
+    m2 = _read_manifest(path, 2)
+    assert m2["stats_cols"] == ["k"] and set(m2["stats"]) == set(m2["files"])
+    got = sorted(
+        r["k"] for r in scan_where(spark, path, "k", lo=1500, hi=1599).collect()
+    )
+    assert got == list(range(1500, 1600))
+
+    v3 = optimize_table(spark, path, target_file_bytes=4 * 1024)
+    m3 = _read_manifest(path, v3)
+    assert m3["stats_cols"] == ["k"] and set(m3["stats"]) == set(m3["files"])
+    assert scan_where(spark, path, "k", lo=0, hi=49).count() == 50
+    # pinned pre-optimize version still prunes with ITS stats
+    assert scan_where(spark, path, "k", lo=0, hi=49, version=2).count() == 50
+
+    merge_upsert_table(spark, _df(spark, 500, 505), path, ["k"])
+    delete_where(spark, path, F.col("k") >= 1900)
+    mv = _read_manifest(path, current_version(path))
+    assert mv["stats_cols"] == ["k"] and set(mv["stats"]) == set(mv["files"])
+    assert scan_where(spark, path, "k", lo=1890, hi=5000).count() == 10
