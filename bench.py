@@ -204,9 +204,10 @@ BENCH_QUERIES = [
     "q_entity_resolution",
     "q_fs_linkage",
     "q_hard_negatives",
-    # round 6 additions: incremental entity resolution
+    # round 6 additions: incremental entity resolution + trained filter
     "q_incremental_linkage",
     "q_incremental_entities",
+    "q_quality_classifier",
 ]
 
 

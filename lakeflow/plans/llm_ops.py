@@ -4208,3 +4208,101 @@ def q_incremental_entities(spark, sf_dir):
     return updated.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_records")
     )
+
+
+def _qc_sql_parts():
+    """Shared SQL fragments for the q_quality_classifier oracle,
+    generated from the SAME feature mirror the operator exposes
+    (operators/classifier.sql_text_features) so the two can't drift."""
+    from lakeflow.operators.classifier import sql_text_features
+
+    feats = sql_text_features("text")
+    k = len(feats)
+    fcols = ", ".join(f"{e} AS x{i}" for i, e in enumerate(feats))
+    f_cte = (
+        "f AS (SELECT doc_id, "
+        "CASE WHEN source IN ('src1','src3') THEN 1 ELSE -1 END AS y, "
+        f"{fcols} FROM documents)"
+    )
+    # epoch 1: w = 0, so the margin test y*(w.x) <= 0 holds for every
+    # row — the first update is the plain class-difference sum
+    u1 = (
+        "u1 AS (SELECT "
+        + ", ".join(
+            f"CAST(SUM(y * x{i}) AS BIGINT) AS w{i}" for i in range(k)
+        )
+        + " FROM f)"
+    )
+    dot1 = " + ".join(f"w{i} * x{i}" for i in range(k))
+    u2 = (
+        "u2 AS (SELECT "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN y * ({dot1}) <= 0 THEN y * x{i} "
+            f"ELSE 0 END) AS BIGINT) AS d{i}"
+            for i in range(k)
+        )
+        + " FROM f CROSS JOIN u1)"
+    )
+    w_cte = (
+        "w AS (SELECT "
+        + ", ".join(f"w{i} + d{i} AS v{i}" for i in range(k))
+        + " FROM u1 CROSS JOIN u2)"
+    )
+    dot_final = " + ".join(f"v{i} * x{i}" for i in range(k))
+    return f_cte, u1, u2, w_cte, dot_final
+
+
+_QC_F, _QC_U1, _QC_U2, _QC_W, _QC_DOT = _qc_sql_parts()
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH {_QC_F},
+    {_QC_U1},
+    {_QC_U2},
+    {_QC_W}
+    SELECT doc_id, CAST({_QC_DOT} AS BIGINT) AS score,
+           CASE WHEN {_QC_DOT} > 0 THEN 1 ELSE 0 END AS keep
+    FROM f CROSS JOIN w
+    """,
+    description="TRAINABLE quality filter (operators/classifier."
+    "fit_linear_filter + score_linear): the CCNet/fastText-style "
+    "learned tier above the rule-based Gopher/C4 filters — weak "
+    "labels (target-domain sources, the DSIR proxy), integer-micro "
+    "text features, and a margin perceptron whose every epoch is ONE "
+    "whole-corpus aggregate of exact long sums (no exp: IEEE exp is "
+    "not correctly-rounded across engines, so logistic would break "
+    "bit-parity; the perceptron needs only +/*/compare). Weights fold "
+    "into a codegen projection for serving. The oracle replays BOTH "
+    "training epochs in CTEs and scores every document — fit and "
+    "serve certified bit-exact, the fs_em contract applied to "
+    "classifier training.",
+    refs=("§2.12", "A5", "F1"),
+)
+def q_quality_classifier(spark, sf_dir):
+    from lakeflow.caching import maybe_persist
+    from lakeflow.operators.classifier import (
+        fit_linear_filter,
+        score_linear,
+        text_feature_micros,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = text_feature_micros("text")
+    labeled = maybe_persist(
+        d.withColumn(
+            "__y",
+            F.when(F.col("source").isin("src1", "src3"), 1)
+            .otherwise(-1)
+            .cast("long"),
+        ),
+        None,  # two fit epochs + the scoring pass share the scan
+    )
+    w = fit_linear_filter(labeled, "__y", feats, n_epochs=2)
+    out = score_linear(labeled, w, feats)
+    return out.select(
+        "doc_id",
+        F.col("score").cast("long").alias("score"),
+        F.when(F.col("keep"), 1).otherwise(0).cast("int").alias("keep"),
+    )

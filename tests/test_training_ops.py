@@ -904,3 +904,75 @@ def test_hard_negatives_band_excludes_dups_and_easy(spark):
     ).collect()
     assert [(r.q_id, r.vec_id, r.rnk) for r in got] == [(0, 2, 1)]
     assert got[0].cos_micros == 800_000
+
+
+def test_linear_filter_separates_planted_populations(spark):
+    # planted separable classes: "good" prose (spaced, punctuated) vs
+    # "bad" digit-soup; two perceptron epochs must separate them and
+    # the fit must be invariant to partitioning (exact integer sums)
+    from lakeflow.operators.classifier import (
+        fit_linear_filter,
+        score_linear,
+        text_feature_micros,
+    )
+
+    good = [
+        (i, 1, "a clean sentence with words. another one follows here.")
+        for i in range(40)
+    ]
+    bad = [(100 + i, -1, "0123456789" * 30) for i in range(40)]
+    df = spark.createDataFrame(good + bad, "id long, y long, text string")
+    feats = text_feature_micros("text")
+    w = fit_linear_filter(df, "y", feats, n_epochs=2)
+    scored = {r["id"]: r["keep"] for r in score_linear(df, w, feats).collect()}
+    assert all(scored[i] for i, _y, _t in good)
+    assert not any(scored[i] for i, _y, _t in bad)
+    # partitioning invariance: same weights from 1 or 13 partitions
+    assert fit_linear_filter(df.repartition(13), "y", feats, n_epochs=2) == w
+    assert fit_linear_filter(df.coalesce(1), "y", feats, n_epochs=2) == w
+
+
+def test_linear_filter_feature_sql_mirror(spark):
+    # each Spark feature expression must equal its DuckDB mirror on
+    # awkward inputs (empty, punct-only, unicode, long)
+    import duckdb
+
+    from lakeflow.operators.classifier import sql_text_features, text_feature_micros
+
+    texts = [
+        "",
+        "   ",
+        "no punct here",
+        "Dots. Dots! Dots? 123",
+        "x" * 5000,
+        "unicode éè text. 42",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    feats = text_feature_micros("text")
+    got = [
+        tuple(r[f"f{i}"] for i in range(len(feats)))
+        for r in df.select(
+            *[f.alias(f"f{i}") for i, f in enumerate(feats)]
+        ).collect()
+    ]
+    con = duckdb.connect()
+    exprs = ", ".join(sql_text_features("text"))
+    want = []
+    for t in texts:
+        want.append(
+            tuple(
+                int(v)
+                for v in con.execute(
+                    f"SELECT {exprs} FROM (SELECT ?::VARCHAR AS text) t", [t]
+                ).fetchone()
+            )
+        )
+    assert got == want
+
+
+def test_linear_filter_empty_training_set(spark):
+    from lakeflow.operators.classifier import fit_linear_filter, text_feature_micros
+
+    df = spark.createDataFrame([], "id long, y long, text string")
+    w = fit_linear_filter(df, "y", text_feature_micros("text"), n_epochs=2)
+    assert w == [0, 0, 0, 0, 0]
