@@ -195,18 +195,39 @@ def write_table(
         raise
 
 
-def append_table(spark: SparkSession, df: DataFrame, path: str) -> int:
+def append_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    allow_schema_drift: bool = False,
+) -> int:
     """Atomic multi-file append: new files become visible all at once
     when manifest v+1 publishes — readers never see a partial batch
     (plain parquet directory appends can't promise that). Data-skipping
     stats, if the table carries them, extend to the new files only —
     prior files' entries carry forward untouched (their footers are
-    never re-read: commit cost stays O(batch), not O(table))."""
+    never re-read: commit cost stays O(batch), not O(table)).
+
+    Schema discipline: a batch whose columns differ from the current
+    snapshot raises unless ``allow_schema_drift=True`` (schema
+    EVOLUTION — new columns land in the new files only; read the
+    union with ``read_table(..., merge_schema=True)``, older files'
+    missing columns surface as null)."""
     base = current_version(path)
     if base == 0:
         return write_table(spark, df, path)
     prior_m = _read_manifest(path, base)
     prior = prior_m["files"]
+    if not allow_schema_drift:
+        snap_cols = set(read_table(spark, path, base).columns)
+        new_cols = set(df.columns)
+        if snap_cols != new_cols:
+            raise ValueError(
+                f"append schema drift at {path!r}: table has "
+                f"{sorted(snap_cols)}, batch has {sorted(new_cols)}; pass "
+                f"allow_schema_drift=True to widen (read back with "
+                f"merge_schema=True)"
+            )
     scols = prior_m.get("stats_cols")
     files = _write_data_files(df, path)
     stats = None
@@ -221,12 +242,18 @@ def append_table(spark: SparkSession, df: DataFrame, path: str) -> int:
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read: latest version, or a pinned one (time travel).
     The returned DataFrame scans exactly the manifest's immutable
     files — concurrent commits cannot change or break it (files live
-    until vacuum)."""
+    until vacuum). ``merge_schema=True`` unions the schemas of all
+    listed files (columns absent from older files read as null) — the
+    read half of schema evolution; appends that WIDEN the schema
+    (``append_table(..., allow_schema_drift=True)``) need it."""
     v = version if version is not None else current_version(path)
     if v == 0:
         raise FileNotFoundError(f"no committed version at {path!r}")
@@ -234,7 +261,10 @@ def read_table(
     files = [os.path.join(path, rel) for rel in manifest["files"]]
     if not files:
         raise FileNotFoundError(f"version {v} of {path!r} lists no files")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def merge_upsert_table(
@@ -460,6 +490,64 @@ def scan_where(
         return read_table(spark, path, v).where(F.lit(False))
     files = [os.path.join(path, rel) for rel in keep]
     return spark.read.parquet(*files).where(pred)
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Delta-CDF-style change feed between two committed versions:
+    one row per inserted ('I'), deleted ('D'), or value-changed ('U')
+    key from snapshot ``v_from`` to snapshot ``v_to`` (see
+    ``operators/diff.snapshot_diff`` for the relational
+    reconstruction — one null-safe full outer join, one codegen
+    comparison). Works on any retained version pair, in either
+    direction; versions beyond vacuum retention raise like any time
+    travel would. At scale, downstream incremental consumers process
+    |changes| rows instead of re-reading the new snapshot."""
+    from lakeflow.operators.diff import snapshot_diff
+
+    return snapshot_diff(
+        read_table(spark, path, v_from),
+        read_table(spark, path, v_to),
+        keys,
+    )
+
+
+def auto_optimize(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 64,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder: tuple[str, str] | None = None,
+) -> int | None:
+    """Compaction POLICY on top of :func:`optimize_table`: rewrite only
+    when the current manifest is actually fragmented — more than
+    ``max_files`` files AND an average file size under half the
+    target. Returns the new version, or None when the table is already
+    healthy (the common case — the check is one manifest read plus
+    file stats, no Spark job). Run after streaming appends /
+    micro-batch upserts; at 100 TB apply per partition so the rewrite
+    working set stays bounded."""
+    base = current_version(path)
+    if base == 0:
+        return None
+    manifest = _read_manifest(path, base)
+    files = manifest["files"]
+    if len(files) <= max_files:
+        return None
+    total = 0
+    for rel in files:
+        try:
+            total += os.path.getsize(os.path.join(path, rel))
+        except OSError:
+            pass
+    if total / max(1, len(files)) >= target_file_bytes / 2:
+        return None
+    return optimize_table(spark, path, target_file_bytes, zorder)
 
 
 def history(path: str) -> list[dict]:

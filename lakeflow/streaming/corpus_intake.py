@@ -343,6 +343,67 @@ def stream_entity_index(
     return writer.start()
 
 
+def stream_exact_k_sample(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sample_path: str,
+    checkpoint: str,
+    key_col: str,
+    k: int,
+    seed: str = "smp",
+    trigger_available_now: bool = True,
+):
+    """Continuous EXACTLY-K uniform sample maintenance — the streaming
+    reservoir, kept deterministic: the persisted sample is always the
+    k rows of the corpus-so-far with the smallest seeded key hash
+    (``operators/sampling.exact_k_sample`` semantics), so at every
+    instant the stored sample is BIT-IDENTICAL to a batch
+    ``exact_k_sample`` over everything ever streamed — no
+    reservoir-algorithm randomness, no arrival-order dependence, and
+    restart/replay change nothing (min-k of a multiset ignores
+    duplicates).
+
+    Per-batch cost: TakeOrdered(k) over the BATCH, unioned with the k
+    stored rows, TakeOrdered(k) again — O(|batch| + k), never the
+    corpus. The sample table lives in the manifest-committed format
+    (``sinks/txtable``): each refresh is one atomic version publish
+    over immutable files, so reading version v while writing v+1 is
+    hazard-free (a plain-parquet overwrite would truncate its own
+    input), a replayed batch just commits a byte-identical version,
+    and the sample's history is time-travelable like any table.
+    Returns the StreamingQuery."""
+    from lakeflow.operators.sampling import exact_k_sample
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        from lakeflow.sinks.txtable import (
+            current_version,
+            read_table,
+            write_table,
+        )
+
+        best = exact_k_sample(batch, key_col, k, seed)
+        if current_version(sample_path) > 0:
+            stored = read_table(spark, sample_path)
+            best = exact_k_sample(
+                stored.select(*best.columns).unionByName(best),
+                key_col,
+                k,
+                seed,
+            )
+        write_table(spark, best, sample_path)
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_exact_neardup_index(
     spark: SparkSession,
     path: str,

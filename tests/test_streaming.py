@@ -821,3 +821,33 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         ("u1", "2024-01-01 10:20:00"),
         ("u4", "2024-01-01 10:40:00"),
     }
+
+
+def test_stream_exact_k_sample_matches_batch(spark, tmp_path):
+    # streaming reservoir, deterministic flavor: after every wave the
+    # stored sample == batch exact_k_sample over everything streamed
+    from lakeflow.operators.sampling import exact_k_sample
+    from lakeflow.sinks.txtable import read_table
+    from lakeflow.streaming.corpus_intake import stream_exact_k_sample
+
+    src = str(tmp_path / "recs")
+    smp = str(tmp_path / "sample")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    all_rows = []
+    for wave, lo in enumerate((0, 50, 100)):
+        rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(lo, lo + 50)]
+        all_rows += rows
+        _write_events(src, f"w{wave}.json", rows)
+        q = stream_exact_k_sample(spark, src, schema, smp, ck, "doc_id", k=10)
+        q.awaitTermination(120)
+        batch = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in all_rows], schema
+        )
+        want = ids(exact_k_sample(batch, "doc_id", 10))
+        got = ids(read_table(spark, smp))
+        assert got == want and len(got) == 10, wave

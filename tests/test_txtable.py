@@ -282,3 +282,65 @@ def test_scan_where_stats_sticky_through_commits(spark, tmp_path):
     mv = _read_manifest(path, current_version(path))
     assert mv["stats_cols"] == ["k"] and set(mv["stats"]) == set(mv["files"])
     assert scan_where(spark, path, "k", lo=1890, hi=5000).count() == 10
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    # Delta-CDF parity: I/D/U rows between any two retained versions
+    from lakeflow.sinks.txtable import table_changes
+
+    path = str(tmp_path / "t")
+    write_table(spark, _df(spark, 0, 5), path)  # v1: k=0..4
+    merge_upsert_table(
+        spark,
+        spark.createDataFrame([(2, 999), (7, 14)], "k long, v long"),
+        path,
+        ["k"],
+    )  # v2: update k=2, insert k=7
+    delete_where(spark, path, F.col("k") == 0)  # v3: delete k=0
+    ch = {
+        (r["k"], r["op"]): r["v"]
+        for r in table_changes(spark, path, 1, 3, ["k"]).collect()
+    }
+    assert ch == {(2, "U"): 999, (7, "I"): 14, (0, "D"): 0}
+    # reverse direction inverts the feed
+    rev = {
+        (r["k"], r["op"]) for r in table_changes(spark, path, 3, 1, ["k"]).collect()
+    }
+    assert rev == {(2, "U"), (7, "D"), (0, "I")}
+
+
+def test_append_schema_drift_guard_and_evolution(spark, tmp_path):
+    from lakeflow.sinks.txtable import read_table
+
+    path = str(tmp_path / "t")
+    write_table(spark, _df(spark, 0, 3), path)
+    wider = spark.createDataFrame([(10, 20, "x")], "k long, v long, tag string")
+    with pytest.raises(ValueError, match="schema drift"):
+        append_table(spark, wider, path)
+    append_table(spark, wider, path, allow_schema_drift=True)
+    out = read_table(spark, path, merge_schema=True)
+    rows = {r["k"]: (r["v"], r["tag"]) for r in out.collect()}
+    assert rows[10] == (20, "x")
+    assert rows[0] == (0, None)  # old files surface the new column as null
+
+
+def test_auto_optimize_policy(spark, tmp_path):
+    from lakeflow.sinks.txtable import _read_manifest, auto_optimize
+
+    path = str(tmp_path / "t")
+    write_table(spark, _df(spark, 0, 100).repartition(10), path)
+    for i in range(1, 6):
+        append_table(
+            spark, _df(spark, 100 * i, 100 * i + 100).repartition(10), path
+        )
+    n_before = len(_read_manifest(path, current_version(path))["files"])
+    assert n_before > 16
+    # healthy threshold: no rewrite
+    assert auto_optimize(spark, path, max_files=1000) is None
+    v = auto_optimize(spark, path, max_files=16, target_file_bytes=1 << 20)
+    assert v is not None
+    m = _read_manifest(path, v)
+    assert m["op"] == "optimize" and len(m["files"]) < n_before
+    assert read_table(spark, path).count() == 600
+    # now healthy: policy is a no-op
+    assert auto_optimize(spark, path, max_files=16, target_file_bytes=1 << 20) is None
