@@ -25,6 +25,18 @@ from lakeflow.plans.fingerprint import plan_fingerprint
 SF = "/root/testdata/sf0.001"
 SNAP_PATH = os.path.join(os.path.dirname(__file__), "plan_snapshots.json")
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _cold_cache(spark):
+    # fingerprints are COLD-CACHE plans: earlier test modules that run
+    # registry queries without an ambient scope (oracle parity) leave
+    # session-lifetime persisted relations, and any lineage match would
+    # surface as InMemoryTableScan here — a session artifact, not a
+    # plan regression. One blanket clear before the module restores the
+    # snapshot baseline; per-query scoped_cache below keeps the module
+    # itself leak-free.
+    spark.catalog.clearCache()
+
 with open(SNAP_PATH) as _fh:
     SNAPSHOTS: dict[str, dict[str, int]] = json.load(_fh)
 

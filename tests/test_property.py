@@ -390,3 +390,78 @@ def test_fs_em_fit_is_partitioning_invariant(spark, sims, nparts):
     p1 = fit_fs_em(base.coalesce(1), 2)
     p2 = fit_fs_em(base.repartition(nparts, "lid"), 2)
     assert p1 == p2
+
+
+# incremental linkage: random micro-corpora of short names in a few
+# blocks; property = incremental (new vs stored) pair set AND the
+# star-edge entity refresh both equal the batch recompute, for every
+# random split
+_link_rows = st.lists(
+    st.tuples(
+        st.integers(0, 40),  # rec id (dedup below)
+        st.sampled_from(["ann", "anne", "bob", "rob", "carl", "karl", "zz"]),
+        st.sampled_from(["b1", "b2"]),  # block key
+    ),
+    min_size=2,
+    max_size=16,
+    unique_by=lambda t: t[0],
+)
+
+
+@slow
+@given(_link_rows, st.integers(0, 4))
+def test_incremental_linkage_equals_batch_property(spark, rows, mod):
+    from lakeflow.operators.linkage import (
+        incremental_linkage_pairs,
+        incremental_resolve_entities,
+        resolve_entities,
+    )
+
+    recs = spark.createDataFrame(rows, "rid long, name string, blk string")
+    new = recs.filter(F.col("rid") % 5 == mod)
+    stored = recs.filter(F.col("rid") % 5 != mod)
+    kw = dict(
+        fields=[("name", 1)],
+        block_keys=[F.col("blk")],
+        threshold_micros=700_000,
+    )
+    full = incremental_linkage_pairs(recs, recs.limit(0), "rid", **kw)
+    want_pairs = {
+        (r["rid_a"], r["rid_b"], r["score_micros"], r["match"])
+        for r in full.collect()
+        if r["rid_a"] % 5 == mod or r["rid_b"] % 5 == mod
+    }
+    got_pairs = {
+        (r["rid_a"], r["rid_b"], r["score_micros"], r["match"])
+        for r in incremental_linkage_pairs(new, stored, "rid", **kw).collect()
+    }
+    assert got_pairs == want_pairs
+
+    stored_asgn = resolve_entities(
+        incremental_linkage_pairs(stored, stored.limit(0), "rid", **kw)
+        .filter("match"),
+        stored.select("rid"),
+        "rid",
+        left_id="rid_a",
+        right_id="rid_b",
+    )
+    got_ents = {
+        (r["rid"], r["entity_id"])
+        for r in incremental_resolve_entities(
+            incremental_linkage_pairs(new, stored, "rid", **kw).filter("match"),
+            stored_asgn.select("rid", "entity_id"),
+            new.select("rid"),
+            "rid",
+        ).collect()
+    }
+    want_ents = {
+        (r["rid"], r["entity_id"])
+        for r in resolve_entities(
+            full.filter("match"),
+            recs.select("rid"),
+            "rid",
+            left_id="rid_a",
+            right_id="rid_b",
+        ).collect()
+    }
+    assert got_ents == want_ents
