@@ -257,6 +257,177 @@ def semantic_dup_pairs(
     )
 
 
+def semantic_index(
+    emb: DataFrame,
+    cents: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment relation ``(id, cell, v, n2)`` against FIXED
+    centroids — the persisted-index side of incremental semantic dedup
+    (and the predict half of a build/serve split). One narrow row per
+    vector; assignment is the same literal-fold map (or broadcast join
+    beyond ``MAX_FOLDED_CENTROIDS``) as the batch path, so an index
+    built here and a batch assignment over the same centroids agree
+    bit-for-bit."""
+    base = _with_vectors(emb, id_col, vec_col)
+    return _with_best(base, cents, id_col).select(
+        F.col(id_col),
+        F.col("__m").getField("i").cast("long").alias("cell"),
+        F.col("__v").alias("v"),
+        F.col("__n2").alias("n2"),
+    )
+
+
+def semantic_pairs_from_index(
+    index: DataFrame, min_cos_micros: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Within-cell near-dup pairs (``a < b``) over a
+    :func:`semantic_index` relation — ``semantic_dup_pairs`` minus the
+    in-query fit, for serving against a prebuilt index."""
+    a = index.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col("v").alias("__va"),
+        F.col("n2").alias("__n2a"),
+        "cell",
+    )
+    b = index.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col("v").alias("__vb"),
+        F.col("n2").alias("__n2b"),
+        "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "cell",
+            cosine_micros(
+                dot_long(F.col("__va"), F.col("__vb")),
+                F.col("__n2a"),
+                F.col("__n2b"),
+            ).alias("cos_micros"),
+        )
+        .filter(F.col("cos_micros") >= F.lit(min_cos_micros))
+    )
+
+
+def incremental_semantic_pairs(
+    new_emb: DataFrame,
+    stored_index: DataFrame,
+    cents: list[list[int]],
+    min_cos_micros: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    new_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: near-dup pairs for a NEW batch of vectors
+    against a persisted :func:`semantic_index` (plus new x new), with
+    the stored x stored work never regenerated — the semantic twin of
+    ``setsim.incremental_setsim_pairs`` / the LSH incremental tier.
+
+    The new batch is assigned to the SAME fixed centroids the stored
+    index was built with (a narrow map over the batch scan), so
+    ``incremental(new, stored) == batch(new + stored)`` restricted to
+    pairs touching a new vector — exactly, because assignment is a
+    pure function of (vector, centroids). Cost per batch is
+    |batch| x cell size for the new x stored equi-join on ``cell``
+    plus |batch|^2 / k for new x new: batch-proportional, never
+    corpus^2. Centroid refresh (drift) is an explicit periodic refit +
+    index rebuild, not a per-batch mutation — runs stay deterministic
+    and replayable.
+
+    Output matches the batch shape: (vec_id_a, vec_id_b, cell,
+    cos_micros) with ``vec_id_a < vec_id_b`` (cosine is symmetric, so
+    mixed pairs are orientation-normalized). ``new_index`` lets a
+    caller that already assigned the batch (the streaming intake, which
+    also appends it to the persisted index) pass the relation in so the
+    batch is assigned ONCE per micro-batch."""
+    new_idx = (
+        new_index
+        if new_index is not None
+        else semantic_index(new_emb, cents, id_col, vec_col)
+    )
+    n = new_idx.select(
+        F.col(id_col).alias("__idn"),
+        F.col("v").alias("__vn"),
+        F.col("n2").alias("__n2n"),
+        "cell",
+    )
+    s = stored_index.select(
+        F.col(id_col).alias("__ids"),
+        F.col("v").alias("__vs"),
+        F.col("n2").alias("__n2s"),
+        "cell",
+    )
+    # same-id matches are dropped so a crashed-and-replayed batch whose
+    # ids already reached the stored index never emits self-pairs (the
+    # setsim/LSH replay contract); for disjoint corpora it's a no-op
+    mixed = (
+        n.join(s, "cell")
+        .filter(F.col("__idn") != F.col("__ids"))
+        .select(
+            F.least("__idn", "__ids").alias("vec_id_a"),
+            F.greatest("__idn", "__ids").alias("vec_id_b"),
+            "cell",
+            cosine_micros(
+                dot_long(F.col("__vn"), F.col("__vs")),
+                F.col("__n2n"),
+                F.col("__n2s"),
+            ).alias("cos_micros"),
+        )
+        .filter(F.col("cos_micros") >= F.lit(min_cos_micros))
+    )
+    return mixed.unionByName(
+        semantic_pairs_from_index(new_idx, min_cos_micros, id_col)
+    )
+
+
+def semantic_index_fit(
+    spark,
+    emb: DataFrame,
+    index_path: str,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "kmeans",
+    target_cell_size: int | None = None,
+) -> list[list[int]]:
+    """Build and persist the semantic-dedup index (the build half of
+    the build/serve split, mirroring ``pq.ivf_pq_fit``):
+
+    - ``{index_path}/centroids``: (i, centroid array<long>) — k rows;
+    - ``{index_path}/assignments``: the :func:`semantic_index`
+      relation, one narrow row per corpus vector.
+
+    Returns the centroids (bounded: k*dim ints) so the caller can
+    assign the first incremental batch without a re-read."""
+    if target_cell_size is not None:
+        k = derive_k(emb.count(), target_cell_size, k_min=k)
+    cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col, seed)
+    spark.createDataFrame(
+        list(enumerate(cents)), "i int, centroid array<long>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    semantic_index(emb, cents, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{index_path}/assignments"
+    )
+    return cents
+
+
+def load_semantic_index(spark, index_path: str) -> tuple[list[list[int]], DataFrame]:
+    """(centroids, assignments): the centroid collect is bounded by k
+    rows; assignments stays a lazy relation over the persisted
+    parquet."""
+    cr = spark.read.parquet(f"{index_path}/centroids").collect()
+    cents: list[list[int]] = [None] * len(cr)  # type: ignore[list-item]
+    for r in cr:
+        cents[r["i"]] = [int(x) for x in r["centroid"]]
+    return cents, spark.read.parquet(f"{index_path}/assignments")
+
+
 def kmeans_diagnostics(
     emb: DataFrame,
     k: int = 8,

@@ -1380,7 +1380,7 @@ def q_drift_tvd(spark, sf_dir):
 
 
 def _kmeans_cte(
-    k: int | str = 8, n_iter: int = 2, dim: int = 64
+    k: int | str = 8, n_iter: int = 2, dim: int = 64, where: str = ""
 ) -> tuple[str, str]:
     """DuckDB mirror of ``operators.kmeans``: unrolled Lloyd's rounds
     as a CTE chain. Returns (cte_block, final_assignment_alias). The
@@ -1390,9 +1390,12 @@ def _kmeans_cte(
     c_i (truncating integer division, empty cells carry over); the
     FINAL assignment runs against c_{n_iter}. ``k`` may be a SQL
     expression string (e.g. a subquery LIMIT) for corpus-derived k —
-    the rest of the chain is k-agnostic."""
+    the rest of the chain is k-agnostic. ``where`` filters the fit
+    corpus (e.g. the stored 90% for incremental queries)."""
     parts = [
-        f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings"
+        + (f" WHERE {where}" if where else "")
+        + ")",
         "h AS (SELECT vec_id, v, "
         + SQL_SEEDED_HASH.format(seed="kmeans", x="CAST(vec_id AS VARCHAR)")
         + " AS hh FROM e)",
@@ -1491,6 +1494,70 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dup_pairs(
         emb, k=2, n_iter=2, min_cos_micros=300_000, target_cell_size=250
     )
+
+
+#: fit on the STORED 90% only (the index existed before the batch
+#: arrived), k derived from the stored count — mirrors the Spark side
+_KM_CTE_STORED, _ = _kmeans_cte(
+    k="(SELECT GREATEST(2, (COUNT(*) + 249) // 250) FROM e)",
+    where="vec_id % 10 <> 0",
+)
+
+
+@query(
+    "q_incremental_semantic",
+    oracle=f"""
+    WITH {_KM_CTE_STORED},
+    ae AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    sc AS (SELECT ae.vec_id, ae.v, c2.cell,
+                  2*list_dot_product(ae.v, c2.cv)
+                  - list_dot_product(c2.cv, c2.cv) AS sc
+           FROM ae CROSS JOIN c2),
+    asg AS (SELECT vec_id, v, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY sc DESC, cell DESC) AS rn FROM sc) t WHERE rn = 1),
+    n AS (SELECT vec_id, v, cell, list_dot_product(v, v) AS n2 FROM asg)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.cell,
+           CAST(FLOOR(list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2))
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS cos_micros
+    FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
+      AND CAST(FLOOR(list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2))
+                     * 1000000e0 + 0.5e0) AS BIGINT) >= 300000
+    """,
+    description="Incremental SemDeDup (kmeans.incremental_semantic_"
+    "pairs): the batch of vectors with vec_id%10=0 assigned to the "
+    "FIXED centroids of a semantic index fit on the other 90%, then "
+    "near-dup pairs from the new x stored within-cell equi-join plus "
+    "new x new — stored x stored never regenerated, cost "
+    "batch-proportional (|batch| x cell size). The oracle replays the "
+    "stored-only k-means fit, assigns ALL vectors against its final "
+    "centroids, and keeps pairs touching a new vector — so the green "
+    "row certifies incremental == batch-recompute for the semantic "
+    "tier, completing the incremental family (LSH, exact setsim, "
+    "linkage, semantic).",
+    refs=("§2.12", "J2"),
+)
+def q_incremental_semantic(spark, sf_dir):
+    from lakeflow.caching import maybe_persist
+    from lakeflow.operators.kmeans import (
+        derive_k,
+        incremental_semantic_pairs,
+        kmeans_centroids,
+        semantic_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    stored = emb.filter(F.col("vec_id") % 10 != 0)
+    # in production the centroids + assignments are a PERSISTED index
+    # (semantic_index_fit); this query derives them in-flight for
+    # self-containment, persisting the assignment relation — it feeds
+    # the new x stored join once per batch
+    k = derive_k(stored.count(), 250)
+    cents = kmeans_centroids(stored, k=k, n_iter=2)
+    idx = maybe_persist(semantic_index(stored, cents), None)
+    return incremental_semantic_pairs(new, idx, cents, min_cos_micros=300_000)
 
 
 @query(

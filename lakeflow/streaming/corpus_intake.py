@@ -472,3 +472,76 @@ def stream_exact_neardup_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_semantic_index(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos_micros: int = 950_000,
+    trigger_available_now: bool = True,
+):
+    """Streaming SemDeDup intake against a PREBUILT semantic index
+    (``kmeans.semantic_index_fit`` on a seed corpus): the centroids
+    load once at stream start (bounded k*dim collect, folded into
+    every micro-batch's assignment map), each batch's qualifying
+    cosine pairs against the persisted assignment relation
+    (new×stored + new×new — stored×stored never regenerated) append to
+    ``pairs_path``, then the batch's assignment rows join
+    ``{index_path}/assignments``. Per-batch cost is |batch| × cell
+    size; centroid drift is handled by a periodic refit + index
+    rebuild (deterministic, replayable), never per-batch mutation.
+
+    Ordering and replay contracts mirror the exact/LSH streams: pairs
+    are written BEFORE the batch's assignments join the index, and a
+    crashed-and-replayed batch whose ids already reached the index
+    produces no self-pairs (``incremental_semantic_pairs`` drops
+    same-id matches), so replays degrade to duplicate pair rows that
+    consumers ``distinct()`` away."""
+    from lakeflow.operators.kmeans import (
+        incremental_semantic_pairs,
+        load_semantic_index,
+        semantic_index,
+    )
+    from lakeflow.sinks.merge import read_target_if_exists
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    cents, _ = load_semantic_index(spark, index_path)
+    asg_path = f"{index_path}/assignments"
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        new_idx = semantic_index(batch, cents, id_col, vec_col)
+        new_idx = new_idx.persist()  # two consumers: pairs + append
+        try:
+            stored = read_target_if_exists(spark, asg_path)
+            if stored is None:
+                stored = new_idx.limit(0)  # first batch: new x new only
+            from lakeflow.caching import scoped_cache
+
+            with scoped_cache():
+                pairs = incremental_semantic_pairs(
+                    batch,
+                    stored,
+                    cents,
+                    min_cos_micros,
+                    id_col,
+                    vec_col,
+                    new_index=new_idx,
+                )
+                pairs.write.mode("append").parquet(pairs_path)
+            new_idx.write.mode("append").parquet(asg_path)
+        finally:
+            new_idx.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -74,6 +74,112 @@ def test_semantic_dup_pairs_contract(spark):
     assert all(cells[r["vec_id_a"]] == cells[r["vec_id_b"]] for r in pairs)
 
 
+def test_semantic_index_serving_matches_batch(spark):
+    # pairs served from a prebuilt index == the in-query-fit batch path
+    # (assignment is a pure function of (vector, centroids), and the
+    # fit is deterministic, so the two must agree bit-for-bit)
+    from lakeflow.operators.kmeans import (
+        semantic_index,
+        semantic_pairs_from_index,
+    )
+
+    # i starts at 1: i=0 is the zero vector, whose cosine is undefined
+    # (division by zero under ANSI mode — same contract as the batch path)
+    vecs = [
+        [(i * 7 % 13) / 13.0, (i * 5 % 11) / 11.0, -((i * 3 % 7) / 7.0)]
+        for i in range(1, 25)
+    ]
+    df = _emb_df(spark, vecs)
+    cents = kmeans_centroids(df, k=3, n_iter=2)
+    served = sorted(
+        map(
+            tuple,
+            semantic_pairs_from_index(
+                semantic_index(df, cents), min_cos_micros=500_000
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, semantic_dup_pairs(df, k=3, n_iter=2, min_cos_micros=500_000).collect())
+    )
+    assert served == batch and len(served) > 0
+
+
+def test_incremental_semantic_equals_batch_restriction(spark):
+    # incremental(new, stored index) == batch over new+stored with the
+    # SAME centroids, restricted to pairs touching a new vector
+    from lakeflow.operators.kmeans import (
+        incremental_semantic_pairs,
+        semantic_index,
+        semantic_pairs_from_index,
+    )
+
+    vecs = [
+        [(i * 7 % 13) / 13.0, (i * 5 % 11) / 11.0, -((i * 3 % 7) / 7.0)]
+        for i in range(1, 31)
+    ]
+    df = _emb_df(spark, vecs)
+    new = df.filter(F.col("vec_id") % 4 == 0)
+    stored = df.filter(F.col("vec_id") % 4 != 0)
+    cents = kmeans_centroids(stored, k=3, n_iter=2)
+    got = sorted(
+        map(
+            tuple,
+            incremental_semantic_pairs(
+                new, semantic_index(stored, cents), cents, min_cos_micros=500_000
+            ).collect(),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in semantic_pairs_from_index(
+            semantic_index(df, cents), min_cos_micros=500_000
+        ).collect()
+        if r["vec_id_a"] % 4 == 0 or r["vec_id_b"] % 4 == 0
+    )
+    assert got == want and len(got) > 0
+    # every pair is ordered and over-threshold
+    assert all(a < b and c >= 500_000 for a, b, _, c in got)
+
+
+def test_semantic_index_fit_load_roundtrip(spark, tmp_path):
+    from lakeflow.operators.kmeans import (
+        incremental_semantic_pairs,
+        load_semantic_index,
+        semantic_index,
+        semantic_index_fit,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    stored = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    idx_path = str(tmp_path / "semidx")
+    cents = semantic_index_fit(spark, stored, idx_path, target_cell_size=100)
+    loaded_cents, loaded_idx = load_semantic_index(spark, idx_path)
+    assert loaded_cents == cents
+    assert loaded_idx.count() == stored.count()
+    assert set(loaded_idx.columns) == {"vec_id", "cell", "v", "n2"}
+    # serving the incremental batch from the PERSISTED index equals the
+    # in-flight composition
+    inflight = sorted(
+        map(
+            tuple,
+            incremental_semantic_pairs(
+                new, semantic_index(stored, cents), cents, min_cos_micros=300_000
+            ).collect(),
+        )
+    )
+    served = sorted(
+        map(
+            tuple,
+            incremental_semantic_pairs(
+                new, loaded_idx, loaded_cents, min_cos_micros=300_000
+            ).collect(),
+        )
+    )
+    assert served == inflight
+
+
 def test_kmeans_diagnostics_and_purity(spark):
     # two exact blobs + aligned labels: inertia 0, purity 1.0 per cell
     rows = [Row(vec_id=i, embedding=[1.0, 1.0], label=0) for i in range(5)] + [

@@ -465,3 +465,58 @@ def test_incremental_linkage_equals_batch_property(spark, rows, mod):
         ).collect()
     }
     assert got_ents == want_ents
+
+
+# incremental semantic dedup: random integer micro-corpora of 3-d
+# vectors; property = incremental (new batch vs stored index) pair set
+# equals the batch recompute restricted to new-touching pairs, for
+# every random split — centroids fixed from the stored fit, as in
+# production
+_sem_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # vec id (dedup below)
+        st.lists(st.integers(-3, 3), min_size=3, max_size=3),
+    ),
+    min_size=5,
+    max_size=14,
+    unique_by=lambda t: t[0],
+)
+
+
+@slow
+@given(_sem_rows, st.integers(0, 3))
+def test_incremental_semantic_equals_batch_property(spark, rows, mod):
+    from hypothesis import assume
+
+    from lakeflow.operators.kmeans import (
+        incremental_semantic_pairs,
+        kmeans_centroids,
+        semantic_index,
+        semantic_pairs_from_index,
+    )
+
+    # zero vectors have undefined cosine; keep the corpus nonzero
+    rows = [(i, v) for i, v in rows if any(x != 0 for x in v)]
+    stored_ids = [i for i, _ in rows if i % 4 != mod]
+    assume(len(stored_ids) >= 2 and len(rows) > len(stored_ids))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    new = df.filter(F.col("vec_id") % 4 == mod)
+    stored = df.filter(F.col("vec_id") % 4 != mod)
+    cents = kmeans_centroids(stored, k=2, n_iter=1)
+    got = {
+        tuple(r)
+        for r in incremental_semantic_pairs(
+            new, semantic_index(stored, cents), cents, min_cos_micros=100_000
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in semantic_pairs_from_index(
+            semantic_index(df, cents), min_cos_micros=100_000
+        ).collect()
+        if r["vec_id_a"] % 4 == mod or r["vec_id_b"] % 4 == mod
+    }
+    assert got == want

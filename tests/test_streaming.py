@@ -851,3 +851,78 @@ def test_stream_exact_k_sample_matches_batch(spark, tmp_path):
         want = ids(exact_k_sample(batch, "doc_id", 10))
         got = ids(read_table(spark, smp))
         assert got == want and len(got) == 10, wave
+
+
+def test_stream_semantic_index_incremental(spark, tmp_path):
+    # streaming SemDeDup against a prebuilt index: wave 1 pairs vs the
+    # seed corpus; wave 2 (fresh stream start = restart path) pairs vs
+    # seed + wave 1, stored x stored never re-emitted; equals the
+    # batch recompute restricted to new-touching pairs throughout
+    from pyspark.sql import Row
+
+    from lakeflow.operators.kmeans import (
+        semantic_index,
+        semantic_index_fit,
+        semantic_pairs_from_index,
+    )
+    from lakeflow.streaming.corpus_intake import stream_semantic_index
+
+    src = str(tmp_path / "vecs")
+    idx = str(tmp_path / "semidx")
+    prs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    schema = "vec_id long, ts timestamp, embedding array<double>"
+
+    def vec(i, base):
+        return [base[0] + 0.001 * i, base[1], base[2]]
+
+    A, B = [1.0, 0.1, 0.0], [-1.0, 0.2, 0.1]
+    seed_rows = [Row(vec_id=i, embedding=vec(i, A if i % 2 else B)) for i in range(6)]
+    seed = spark.createDataFrame(seed_rows)
+    cents = semantic_index_fit(spark, seed, idx, k=2, n_iter=2)
+
+    def ev(i, base):
+        return {"vec_id": i, "ts": "2024-01-01T00:00:00", "embedding": vec(i, base)}
+
+    _write_events(src, "w1.json", [ev(10, A), ev(11, B)])
+    q = stream_semantic_index(spark, src, schema, idx, prs, ck, min_cos_micros=900_000)
+    q.awaitTermination(120)
+    got1 = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in spark.read.parquet(prs).distinct().collect()
+    }
+    all1 = seed.unionByName(spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i, b)) for i, b in [(10, A), (11, B)]]
+    ))
+    want1 = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs_from_index(
+            semantic_index(all1, cents), 900_000
+        ).collect()
+        if r["vec_id_a"] >= 10 or r["vec_id_b"] >= 10
+    }
+    assert got1 == want1 and len(got1) > 0
+
+    # wave 2: one more near-dup of the A cluster
+    _write_events(src, "w2.json", [ev(20, A)])
+    q = stream_semantic_index(spark, src, schema, idx, prs, ck, min_cos_micros=900_000)
+    q.awaitTermination(120)
+    got2 = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in spark.read.parquet(prs).distinct().collect()
+    }
+    all2 = all1.unionByName(
+        spark.createDataFrame([Row(vec_id=20, embedding=vec(20, A))])
+    )
+    want2 = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs_from_index(
+            semantic_index(all2, cents), 900_000
+        ).collect()
+        if r["vec_id_a"] >= 10 or r["vec_id_b"] >= 10
+    }
+    assert got2 == want2
+    assert len(got2) > len(got1)  # wave 2 added new-touching pairs only
+    # the persisted assignment relation now covers seed + both waves
+    asg = spark.read.parquet(f"{idx}/assignments")
+    assert {r["vec_id"] for r in asg.select("vec_id").collect()} == set(range(6)) | {10, 11, 20}
