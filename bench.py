@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q_incremental_linkage",
     "q_incremental_entities",
     "q_quality_classifier",
+    "q_incremental_semantic",
 ]
 
 
