@@ -1,5 +1,6 @@
 """Regenerate tests/plan_snapshots.json — the plan-shape regression
-baseline for every DRIVER_WINDOW query.
+baseline for EVERY registered query (the driver window and the wider
+registry alike).
 
 Run after a DELIBERATE plan change (a new operator rewrite, a join
 strategy fix) and review the JSON diff like code: each changed count
@@ -36,7 +37,7 @@ def main() -> None:
     from lakeflow.caching import scoped_cache
 
     snaps: dict[str, dict[str, int]] = {}
-    for name in DRIVER_WINDOW:
+    for name in QUERIES:
         # per-query ambient scope: persists a query takes internally
         # are released before the next fingerprint, so no query's plan
         # sees another's cached relations (and each query's own

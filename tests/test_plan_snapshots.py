@@ -1,5 +1,6 @@
-"""Plan-shape regression gate (VERDICT r5 task #9): every DRIVER_WINDOW
-query's physical plan is fingerprinted (counts of shuffles, broadcasts,
+"""Plan-shape regression gate (VERDICT r5 task #9, widened in round 6
+from the driver window to ALL registered queries): every query's
+physical plan is fingerprinted (counts of shuffles, broadcasts,
 Python-eval boundaries, join strategies, windows, sorts, explodes,
 top-k) and compared against the checked-in snapshot. ANY drift fails —
 a silent extra Exchange, a broadcast degrading to a sort-merge join, or
@@ -19,7 +20,7 @@ import os
 
 import pytest
 
-from lakeflow.plans import DRIVER_WINDOW, QUERIES
+from lakeflow.plans import QUERIES
 from lakeflow.plans.fingerprint import plan_fingerprint
 
 SF = "/root/testdata/sf0.001"
@@ -42,14 +43,14 @@ with open(SNAP_PATH) as _fh:
 
 
 def test_snapshot_covers_the_window():
-    missing = [n for n in DRIVER_WINDOW if n not in SNAPSHOTS]
+    missing = [n for n in QUERIES if n not in SNAPSHOTS]
     assert not missing, (
         f"no plan snapshot for {missing}; run scripts/plan_snapshot.py "
         "and review the diff"
     )
 
 
-@pytest.mark.parametrize("name", sorted(DRIVER_WINDOW))
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_shape_unchanged(spark, name):
     if name not in SNAPSHOTS:
         pytest.skip("covered by test_snapshot_covers_the_window")
