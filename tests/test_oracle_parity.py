@@ -68,6 +68,9 @@ def test_docs_counts_match_registry():
         "q_hash_sample",
         "q_kmeans_cells",
         "q_exact_k_sample",
+        # exercises the decimal->double single-division idiom: scores
+        # must not depend on partial-agg grouping or partition count
+        "q_bm25_search",
     ],
 )
 def test_partitioning_invariance(spark, name):

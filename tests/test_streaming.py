@@ -926,3 +926,71 @@ def test_stream_semantic_index_incremental(spark, tmp_path):
     # the persisted assignment relation now covers seed + both waves
     asg = spark.read.parquet(f"{idx}/assignments")
     assert {r["vec_id"] for r in asg.select("vec_id").collect()} == set(range(6)) | {10, 11, 20}
+
+
+def test_stream_inverted_index_serves_search(spark, tmp_path):
+    # continuous index maintenance: after each wave the persisted
+    # posting table equals the batch-built index over all docs so far,
+    # and BM25/keyword search served from it match the batch recompute
+    # (including a doc whose text arrives SPLIT across waves — tf is
+    # additive)
+    from pyspark.sql import Row
+
+    from lakeflow.operators.index import (
+        bm25_search,
+        build_inverted_index,
+        keyword_search_all,
+    )
+    from lakeflow.streaming.corpus_intake import stream_inverted_index
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "invidx")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+
+    def ev(i, text):
+        return {"doc_id": i, "ts": "2024-01-01T00:00:00", "text": text}
+
+    _write_events(src, "w1.json", [
+        ev(1, "alpha beta gamma alpha"),
+        ev(2, "beta gamma"),
+        ev(3, "alpha beta"),  # first half of doc 3
+    ])
+    q = stream_inverted_index(spark, src, schema, idx, ck)
+    q.awaitTermination(120)
+
+    _write_events(src, "w2.json", [
+        ev(3, "alpha delta"),  # second half of doc 3: tf folds in
+        ev(4, "delta epsilon alpha"),
+    ])
+    q = stream_inverted_index(spark, src, schema, idx, ck)
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma alpha"),
+        Row(doc_id=2, text="beta gamma"),
+        Row(doc_id=3, text="alpha beta alpha delta"),
+        Row(doc_id=4, text="delta epsilon alpha"),
+    ])
+    want_idx = {
+        (r["token"], r["doc_id"]): r["tf"]
+        for r in build_inverted_index(full).collect()
+    }
+    served = spark.read.parquet(idx)
+    got_idx = {
+        (r["token"], r["doc_id"]): r["tf"]
+        for r in served.select("token", "doc_id", "tf").collect()
+    }
+    assert got_idx == want_idx
+
+    want_kw = sorted(map(tuple, keyword_search_all(
+        build_inverted_index(full), ["alpha", "beta"]).collect()))
+    got_kw = sorted(map(tuple, keyword_search_all(
+        served.select("token", "doc_id", "tf"), ["alpha", "beta"]).collect()))
+    assert got_kw == want_kw
+
+    want_bm = [tuple(r) for r in bm25_search(
+        build_inverted_index(full), ["alpha", "delta"], k=4).collect()]
+    got_bm = [tuple(r) for r in bm25_search(
+        served.select("token", "doc_id", "tf"), ["alpha", "delta"], k=4).collect()]
+    assert got_bm == want_bm and len(got_bm) > 0
