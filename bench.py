@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q_quality_classifier",
     "q_incremental_semantic",
     "q_bm25_search",
+    "q_hybrid_search",
 ]
 
 

@@ -153,6 +153,46 @@ def bm25_search(index: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
     )
 
 
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of two ranked
+    retrieval lists — the standard hybrid-search combiner for a
+    keyword (BM25) list and a vector (ANN) list:
+
+        score(d) = sum over lists of 1 / (c + rank_d(list))
+
+    PURE integer arithmetic: each side contributes
+    ``1_000_000 div (c + rank)`` micros (floor division, identical on
+    any engine), a missing side contributes 0, and the fused score is
+    an integer sum — no floats anywhere, so distributed and
+    single-node runs agree bit-for-bit. Ranks are consumed, not
+    recomputed: both inputs are ALREADY-BOUNDED top-k relations
+    (<= list-k rows each), so the full outer join and the final
+    TakeOrdered are constant-size regardless of corpus scale. Returns
+    (id, rank_a, rank_b, rrf_micros) ordered by fused score desc, id
+    asc, limited to ``k``."""
+    ra = a.select(F.col(id_col), F.col(rank_col).cast("long").alias("rank_a"))
+    rb = b.select(F.col(id_col), F.col(rank_col).cast("long").alias("rank_b"))
+    fused = (
+        ra.join(rb, id_col, "full_outer")
+        .withColumn(
+            "rrf_micros",
+            (
+                F.coalesce(F.expr(f"1000000 div ({c} + rank_a)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000 div ({c} + rank_b)"), F.lit(0))
+            ).cast("long"),
+        )
+        .select(id_col, "rank_a", "rank_b", "rrf_micros")
+    )
+    return fused.orderBy(F.desc("rrf_micros"), F.asc(id_col)).limit(k)
+
+
 def keyword_search_any(
     index: DataFrame, terms: list[str], min_terms: int = 1
 ) -> DataFrame:

@@ -3195,10 +3195,10 @@ def q_keyword_search(spark, sf_dir):
     return keyword_search_all(idx, ["spark", "join", "merge"])
 
 
-@query(
-    "q_bm25_search",
-    oracle=r"""
-    WITH t AS (SELECT doc_id,
+#: BM25 per-doc score CTE chain (terms spark/join/merge), shared by
+#: the BM25 query and the hybrid-fusion query; final alias ``bsc`` =
+#: (doc_id, score_micros, n_terms) for every matching document
+_BM25_CTE = r"""t AS (SELECT doc_id,
                       regexp_split_to_array(lower(text), '\s+') AS toks
                FROM documents),
     ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
@@ -3224,10 +3224,17 @@ def q_keyword_search(spark, sf_dir):
                            + CAST(3 AS HUGEINT)*sum_dl
                            + CAST(9 AS HUGEINT)*dl*n_docs AS DOUBLE)
                   ) AS BIGINT) AS s
-           FROM sc)
-    SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_micros,
-           CAST(COUNT(*) AS BIGINT) AS n_terms
-    FROM ts GROUP BY doc_id
+           FROM sc),
+    bsc AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_micros,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM ts GROUP BY doc_id)"""
+
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+    WITH {_BM25_CTE}
+    SELECT doc_id, score_micros, n_terms FROM bsc
     ORDER BY score_micros DESC, doc_id ASC LIMIT 25
     """,
     description="BM25 ranked retrieval (operators/index.bm25_search) "
@@ -3250,6 +3257,66 @@ def q_bm25_search(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     idx = build_inverted_index(d)
     return bm25_search(idx, ["spark", "join", "merge"], k=25)
+
+
+@query(
+    "q_hybrid_search",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    tr AS (SELECT doc_id, rank_a FROM (
+             SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank_a
+             FROM bsc) z WHERE rank_a <= 50),
+    ve AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    vn AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM ve),
+    vq AS (SELECT v AS qv, n2 AS qn2 FROM vn WHERE vec_id = 7),
+    vs AS (SELECT vn.vec_id AS doc_id,
+                  CAST(FLOOR(list_dot_product(vn.v, vq.qv)
+                             / (sqrt(vn.n2) * sqrt(vq.qn2))
+                             * 1000000e0 + 0.5e0) AS BIGINT) AS cos_micros
+           FROM vn CROSS JOIN vq WHERE vn.vec_id <> 7),
+    vr AS (SELECT doc_id, rank_b FROM (
+             SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY cos_micros DESC, doc_id) AS BIGINT) AS rank_b
+             FROM vs) z WHERE rank_b <= 50)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.rank_a, b.rank_b,
+           CAST(COALESCE(1000000 // (60 + a.rank_a), 0)
+                + COALESCE(1000000 // (60 + b.rank_b), 0) AS BIGINT)
+             AS rrf_micros
+    FROM tr a FULL OUTER JOIN vr b ON a.doc_id = b.doc_id
+    ORDER BY rrf_micros DESC, doc_id ASC LIMIT 20
+    """,
+    description="Hybrid retrieval via reciprocal-rank fusion "
+    "(operators/index.rrf_fuse): the BM25 top-50 for "
+    "['spark','join','merge'] fused with the exact-cosine top-50 "
+    "neighbors of vector 7 (documents and embeddings share the id "
+    "space) by score(d) = sum of 1/(60 + rank) per list — PURE integer "
+    "micros (1000000 div (60+rank)), missing side contributes 0, so "
+    "the fused ranking is bit-exact on any engine. Both inputs are "
+    "already-bounded top-k relations, so the outer join, the ranking "
+    "windows, and the final TakeOrdered are constant-size at any "
+    "corpus scale; the corpus-sized work is exactly the two underlying "
+    "retrievals. The RAG-stack keyword+vector combiner.",
+    refs=("§2.12", "J2", "D3"),
+)
+def q_hybrid_search(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from lakeflow.operators.index import bm25_search, build_inverted_index, rrf_fuse
+    from lakeflow.operators.similarity import brute_force_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text = bm25_search(build_inverted_index(d), ["spark", "join", "merge"], k=50)
+    # rank the <= 50 fused candidates: a bounded single-partition
+    # window over an already-limited relation, never corpus-sized
+    text = text.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("score_micros"), F.asc("doc_id")))
+    ).select("doc_id", "rnk")
+    vec = brute_force_topk(emb, F.col("vec_id") == 7, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rnk"
+    )
+    return rrf_fuse(text, vec, k=20)
 
 
 @query(

@@ -132,3 +132,23 @@ def test_bm25_top_k_and_ordering(spark):
     # (dl 3 vs 4) so its tf normalization — and thus its score — wins
     assert [r["doc_id"] for r in out] == [3, 1]
     assert out[0]["score_micros"] > out[1]["score_micros"]
+
+
+def test_rrf_fuse_semantics(spark):
+    from lakeflow.operators.index import rrf_fuse
+
+    a = spark.createDataFrame([Row(doc_id=1, rnk=1), Row(doc_id=2, rnk=2)])
+    b = spark.createDataFrame([Row(doc_id=2, rnk=1), Row(doc_id=9, rnk=2)])
+    got = {r["doc_id"]: r for r in rrf_fuse(a, b, k=10, c=60).collect()}
+    # doc 2: both lists -> 1e6//62 + 1e6//61 ; doc 1: 1e6//61 only;
+    # doc 9: 1e6//62 only — all pure integer floor divisions
+    assert got[2]["rrf_micros"] == 1_000_000 // 62 + 1_000_000 // 61
+    assert got[1]["rrf_micros"] == 1_000_000 // 61
+    assert got[9]["rrf_micros"] == 1_000_000 // 62
+    assert got[2]["rank_a"] == 2 and got[2]["rank_b"] == 1
+    assert got[1]["rank_b"] is None and got[9]["rank_a"] is None
+    # ordering: fused score desc, then id asc; 1 beats 9 (61 > 62 denom)
+    order = [r["doc_id"] for r in rrf_fuse(a, b, k=10, c=60).collect()]
+    assert order == [2, 1, 9]
+    # k truncates after ordering
+    assert [r["doc_id"] for r in rrf_fuse(a, b, k=1).collect()] == [2]
