@@ -25,6 +25,15 @@ def seeded_hash(c: Column | str, seed: str | int) -> Column:
 SQL_SEEDED_HASH = "(('0x' || substr(md5('{seed}|' || ({x})), 1, 15))::BIGINT)"
 
 
+def seeded_hash_py(s: str, seed: str | int) -> int:
+    """Driver/Python mirror of :func:`seeded_hash` — bit-identical, for
+    bounded collected samples that are processed driver-side (e.g.
+    k-means init ordering in ``operators.pq.ivf_pq_fit``)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:15], 16)
+
+
 def hash_slices(c: Column | str, seeds: tuple[str, ...] = ("a", "b"), width: int = 7):
     """n_seeds*4 independent hashes from n_seeds md5 calls: one digest is
     32 hex chars → four disjoint ``width``-char slices. MinHash needs

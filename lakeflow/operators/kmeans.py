@@ -48,6 +48,43 @@ def _trunc_div(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
+def lloyd_rounds_py(
+    vecs: "list[list[int]]", cents: list[list[int]], n_iter: int
+) -> list[list[int]]:
+    """Driver-side replay of the distributed Lloyd's rounds over a
+    BOUNDED, already-collected training set — bit-identical arithmetic
+    (exact micro-ints, truncating division, assignment ties to the
+    LARGER cell id, empty cells carry their previous centroid), so
+    ``lloyd_rounds_py(sample) == kmeans_centroids(sample_df)`` exactly
+    (property-tested in test_kmeans). Exists because at 100 TB the
+    training set is a bounded hash-sample anyway (FAISS practice:
+    codebooks train on ~10k-100k vectors, never the corpus), and the
+    distributed trainer's per-round folded-literal argmax pays seconds
+    of Catalyst analysis per iteration for data that fits in one numpy
+    array. int64 bounds: micro components |x| <~ 5e6, so scores
+    2*v.c - c.c <~ 2*dim*(5e6)^2 ~ 3e15 << 2^63."""
+    import numpy as np
+
+    V = np.asarray(vecs, dtype=np.int64)
+    C = np.asarray(cents, dtype=np.int64)
+    k = C.shape[0]
+    for _ in range(n_iter):
+        scores = 2 * (V @ C.T) - (C * C).sum(axis=1)
+        # np.argmax takes the FIRST max; the plan's array_max struct
+        # ordering takes the LARGER cell id on ties -> argmax reversed
+        best = (k - 1) - np.argmax(scores[:, ::-1], axis=1)
+        new = C.copy()
+        for i in range(k):
+            mask = best == i
+            n_i = int(mask.sum())
+            if n_i:
+                s = V[mask].sum(axis=0)
+                q = np.abs(s) // n_i
+                new[i] = np.where(s >= 0, q, -q)
+        C = new
+    return [[int(x) for x in row] for row in C]
+
+
 def _best_struct(v: Column, cents: list[list[int]]) -> Column:
     """Max over (score, cell) structs where score = 2*v.c - c.c (exact
     longs): the max score identifies the nearest centroid (argmin

@@ -396,6 +396,85 @@ def _ivf_search(
 # them into its plan.
 
 
+def _collect_train(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_sample: int | None,
+    seed: str,
+    n: int | None = None,
+) -> list[tuple]:
+    """Collect the (bounded) training set for the index fits as
+    (id, id_str, micro-int vector) tuples. With ``train_sample`` set
+    and a larger corpus, the set is a deterministic content-hash
+    Bernoulli sample (expected size ~= train_sample): the sampling
+    predicate is a narrow codegen'd filter at the scan — no sort, no
+    shuffle — so at 100 TB the training pass reads the corpus once and
+    collects only the sample. ``train_sample=None`` collects
+    everything (only sane for small relations)."""
+    from lakeflow.operators.sampling import PPM, hash_sample
+
+    train = emb
+    if train_sample is not None:
+        n = emb.count() if n is None else n
+        if n > train_sample:
+            rate_ppm = min(PPM, (train_sample * PPM + n - 1) // n)
+            train = hash_sample(emb, id_col, rate_ppm, seed=f"{seed}-train")
+    rows = (
+        _with_vectors(train, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(id_col).cast("string").alias("__ids"),
+            "__v",
+        )
+        .collect()
+    )
+    return [(r["__id"], r["__ids"], [int(x) for x in r["__v"]]) for r in rows]
+
+
+def _init_pick(rows: list[tuple], k: int, seed: str) -> list[list[int]]:
+    """First ``k`` training vectors by (seeded hash, id) — the same
+    deterministic init draw the distributed trainers use."""
+    from lakeflow.functions.hashing import seeded_hash_py
+
+    picked = sorted(rows, key=lambda t: (seeded_hash_py(t[1], seed), t[0]))[:k]
+    if len(picked) < k:
+        raise ValueError(f"training set has fewer than k={k} vectors")
+    return [list(t[2]) for t in picked]
+
+
+def pq_codebooks_driver(
+    rows: list[tuple], m: int, k_sub: int, n_iter: int, dim: int, seed: str = "pq"
+) -> list[list[list[int]]]:
+    """Driver-side twin of :func:`pq_codebooks` over a collected
+    training set: one init draw sliced into the m subspaces, then
+    ``n_iter`` exact-int Lloyd rounds per subspace
+    (``kmeans.lloyd_rounds_py``). Bit-identical to the distributed
+    trainer on the same rows (tested)."""
+    from lakeflow.operators.kmeans import lloyd_rounds_py
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    init = _init_pick(rows, k_sub, seed)
+    books = []
+    for s in range(m):
+        vecs = [t[2][s * sub : (s + 1) * sub] for t in rows]
+        cents = [c[s * sub : (s + 1) * sub] for c in init]
+        books.append(lloyd_rounds_py(vecs, cents, n_iter))
+    return books
+
+
+def coarse_centroids_driver(
+    rows: list[tuple], k: int, n_iter: int, seed: str
+) -> list[list[int]]:
+    """Driver-side twin of ``kmeans.kmeans_centroids`` over a collected
+    training set (same init, same exact-int Lloyd rounds)."""
+    from lakeflow.operators.kmeans import lloyd_rounds_py
+
+    return lloyd_rounds_py([t[2] for t in rows], _init_pick(rows, k, seed), n_iter)
+
+
 def ivf_pq_fit(
     spark,
     emb: DataFrame,
@@ -409,6 +488,7 @@ def ivf_pq_fit(
     vec_col: str = "embedding",
     seed: str = "ivf",
     target_cell_size: int | None = None,
+    train_sample: int | None = 16_384,
 ) -> None:
     """Build and persist an IVF-PQ index for ``emb``:
 
@@ -419,26 +499,46 @@ def ivf_pq_fit(
       actual index, one narrow row per corpus vector (the ~2-orders
       compression that makes exhaustive ADC affordable).
 
-    The only non-scan work is the bounded k-means collects; the codes
-    write is a narrow projection of the corpus scan."""
-    from lakeflow.operators.kmeans import _best_struct, derive_k, kmeans_centroids
+    Training runs DRIVER-SIDE on a bounded deterministic hash-sample
+    (``train_sample``, FAISS practice — codebook quality saturates at
+    ~10k-100k training vectors regardless of corpus size): one sampled
+    scan collects ~train_sample vectors, then the exact-int Lloyd
+    rounds replay in numpy, bit-identical to the distributed trainers
+    on the same rows (when the corpus is smaller than ``train_sample``
+    the fit equals the full distributed fit exactly — tested). This
+    bounds fit cost in corpus size: the corpus-proportional work is
+    exactly two scans (the sampling pass and the encode pass), both
+    narrow projections. The encode/codes write stays distributed."""
+    from lakeflow.operators.kmeans import _best_struct, derive_k
 
+    n = emb.count() if (target_cell_size is not None or train_sample is not None) else None
     if target_cell_size is not None:
-        n_cells = derive_k(emb.count(), target_cell_size, k_min=2)
-    books = pq_codebooks(
-        emb, m=m, k_sub=k_sub, n_iter=n_iter, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+        n_cells = derive_k(n, target_cell_size, k_min=2)
+    rows = _collect_train(emb, id_col, vec_col, train_sample, seed, n=n)
+    books = pq_codebooks_driver(rows, m=m, k_sub=k_sub, n_iter=n_iter, dim=dim)
+    coarse = coarse_centroids_driver(rows, k=n_cells, n_iter=n_iter, seed=seed)
+    # the two tiny constant tables are built as VALUES literals so the
+    # write is pure JVM — createDataFrame over local Python rows would
+    # route through a Python-RDD conversion (worker spin-up costs more
+    # than the whole fit)
+    def _values_df(rows_sql: str, names: str):
+        return spark.sql(f"SELECT * FROM VALUES {rows_sql} AS t({names})")
+
+    book_vals = ", ".join(
+        f"({s}, {j}, array({', '.join(f'{x}L' for x in c)}))"
+        for s, b in enumerate(books)
+        for j, c in enumerate(b)
     )
-    coarse = kmeans_centroids(
-        emb, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    _values_df(book_vals, "s, j, centroid").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/codebooks")
+    coarse_vals = ", ".join(
+        f"({i}, array({', '.join(f'{x}L' for x in c)}))"
+        for i, c in enumerate(coarse)
     )
-    spark.createDataFrame(
-        [(s, j, c) for s, b in enumerate(books) for j, c in enumerate(b)],
-        "s int, j int, centroid array<long>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
-    spark.createDataFrame(
-        list(enumerate(coarse)), "i int, centroid array<long>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/coarse")
+    _values_df(coarse_vals, "i, centroid").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/coarse")
     base = _with_vectors(emb, id_col, vec_col)
     cell = _best_struct(F.col("__v"), coarse).getField("i").cast("long")
     codes = pq_encode(emb, books, id_col, vec_col).join(

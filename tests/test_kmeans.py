@@ -348,3 +348,51 @@ def test_ivf_pq_fit_persists_bounded_tables(spark, tmp_path):
     # the index relation is one narrow row per corpus vector
     assert codes.count() == emb.count()
     assert set(codes.columns) == {"vec_id", "codes", "cell"}
+
+
+def test_driver_trainers_match_distributed(spark):
+    # the driver-side Lloyd replay (numpy exact ints) must equal the
+    # distributed trainers bit-for-bit on the same training set — this
+    # is what lets ivf_pq_fit train on a bounded collected sample
+    # without changing semantics
+    from lakeflow.operators.pq import (
+        _collect_train,
+        coarse_centroids_driver,
+        pq_codebooks,
+        pq_codebooks_driver,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = _collect_train(emb, "vec_id", "embedding", None, "ivf")
+    assert pq_codebooks_driver(rows, m=4, k_sub=8, n_iter=2, dim=64) == pq_codebooks(
+        emb, m=4, k_sub=8, n_iter=2
+    )
+    assert coarse_centroids_driver(rows, k=8, n_iter=2, seed="kmeans") == (
+        kmeans_centroids(emb, k=8, n_iter=2)
+    )
+    # negative-sum cells exercise the trunc-toward-zero branch
+    neg = _emb_df(spark, [[-1.5] * 64, [-1.1] * 64, [2.0] * 64, [2.2] * 64])
+    nrows = _collect_train(neg, "vec_id", "embedding", None, "ivf")
+    assert coarse_centroids_driver(nrows, k=2, n_iter=2, seed="kmeans") == (
+        kmeans_centroids(neg, k=2, n_iter=2)
+    )
+
+
+def test_ivf_pq_fit_sampled_training(spark, tmp_path):
+    # train_sample < corpus: training runs on the deterministic
+    # content-hash sample. The build must be reproducible (two builds
+    # byte-equal) and the index must still cover every corpus vector;
+    # answer quality is covered by q_ann_serving's recall contract.
+    from lakeflow.catalog import load_table as lt
+    from lakeflow.operators.pq import ivf_pq_fit, load_ivf_pq_index
+
+    emb = lt(spark, "/root/testdata/sf0.01", "embeddings")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for idx in (a, b):
+        ivf_pq_fit(spark, emb, idx, m=4, k_sub=8, n_cells=4, train_sample=100)
+    ba, ca, codes_a = load_ivf_pq_index(spark, a)
+    bb, cb, codes_b = load_ivf_pq_index(spark, b)
+    assert ba == bb and ca == cb
+    assert codes_a.count() == emb.count()  # encode pass is full-corpus
+    key = lambda r: (r["vec_id"], tuple(r["codes"]), r["cell"])  # noqa: E731
+    assert {key(r) for r in codes_a.collect()} == {key(r) for r in codes_b.collect()}
