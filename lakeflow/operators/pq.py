@@ -262,6 +262,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     seed: str = "ivf",
     target_cell_size: int | None = None,
+    coarse: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-PQ — the composed FAISS serving shape for billion-vector
     search: a coarse k-means partitions the corpus into ``n_cells``
@@ -296,9 +297,15 @@ def ivf_pq_topk(
         n_cells = derive_k(
             emb.count(), target_cell_size, k_min=max(2, n_probe)
         )
-    coarse = kmeans_centroids(
-        emb, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
-    )
+    if coarse is None:
+        coarse = kmeans_centroids(
+            emb, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            seed=seed,
+        )
+    elif len(coarse) != n_cells:
+        raise ValueError(
+            f"supplied coarse centroids: {len(coarse)} != n_cells={n_cells}"
+        )
     base = _with_vectors(emb, id_col, vec_col)
     cell = _best_struct(F.col("__v"), coarse).getField("i").cast("long")
     codes = pq_encode(emb, codebooks, id_col, vec_col).join(

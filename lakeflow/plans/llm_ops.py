@@ -2174,24 +2174,35 @@ def q_exact_k_sample(spark, sf_dir):
     """,
     description="Product-quantization ANN (operators/pq.py): one "
     "k-means per 8-dim subspace (m=8, 16 centroids, exact micro-int "
-    "Lloyd's), corpus encoded to 8 codes by a narrow constant-folded "
-    "argmax scan, ADC (CASE over folded centroids, codes only — no "
-    "raw vectors) shortlists 200 candidates/query, exact L2 re-ranks "
-    "the shortlist. The compressed-index scan + bounded-rerank shape "
-    "that makes billion-vector search a narrow scan; recall@5 >= 0.6 "
-    "contract vs exact truth (measured 0.94/0.92/0.78 at "
-    "sf0.001/0.01/0.1).",
+    "Lloyd's trained DRIVER-SIDE on a bounded deterministic "
+    "hash-sample — FAISS practice, codebook quality saturates far "
+    "below corpus size, so training cost is flat in corpus scale and "
+    "bit-identical to the distributed trainer whenever the corpus "
+    "fits the sample), corpus encoded to 8 codes by a narrow "
+    "constant-folded argmax scan, ADC (CASE over folded centroids, "
+    "codes only — no raw vectors) shortlists 200 candidates/query, "
+    "exact L2 re-ranks the shortlist. The compressed-index scan + "
+    "bounded-rerank shape that makes billion-vector search a narrow "
+    "scan; recall@5 >= 0.6 contract vs exact truth (measured "
+    "0.94/0.92/0.78 at sf0.001/0.01/0.1).",
     refs=("§2.12",),
 )
 def q_pq_ann(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    from lakeflow.operators.pq import pq_ann_topk, pq_codebooks
+    from lakeflow.operators.pq import (
+        _collect_train,
+        pq_ann_topk,
+        pq_codebooks_driver,
+    )
     from lakeflow.operators.similarity import _with_vectors, dot_long
 
     emb = load_table(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 10
-    books = pq_codebooks(emb, m=8, k_sub=16)
+    books = pq_codebooks_driver(
+        _collect_train(emb, "vec_id", "embedding", 16_384, "pq"),
+        m=8, k_sub=16, n_iter=2, dim=64,
+    )
     ann = pq_ann_topk(emb, pred, books, k=5, shortlist=200)
     # exact L2 truth (same broadcast brute-force shape as cosine topk)
     base = _with_vectors(emb, "vec_id", "embedding")
@@ -2443,14 +2454,29 @@ def q_dedup_survivors(spark, sf_dir):
 def q_ivf_pq_ann(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    from lakeflow.operators.pq import ivf_pq_topk, pq_codebooks
+    from lakeflow.operators.kmeans import derive_k
+    from lakeflow.operators.pq import (
+        _collect_train,
+        coarse_centroids_driver,
+        ivf_pq_topk,
+        pq_codebooks_driver,
+    )
     from lakeflow.operators.similarity import _with_vectors, dot_long
 
     emb = load_table(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 10
-    books = pq_codebooks(emb, m=8, k_sub=16)
+    # both fits train driver-side on one bounded hash-sample collect
+    # (identical to the distributed trainers while the corpus fits the
+    # sample — the ivf_pq_fit design); the corpus-sized passes are the
+    # count, the encode projection, and the probed-cell ADC scan
+    n = emb.count()
+    rows = _collect_train(emb, "vec_id", "embedding", 16_384, "ivf", n=n)
+    books = pq_codebooks_driver(rows, m=8, k_sub=16, n_iter=2, dim=64)
+    n_cells = derive_k(n, 128, k_min=max(2, 8))
+    coarse = coarse_centroids_driver(rows, k=n_cells, n_iter=2, seed="ivf")
     ann = ivf_pq_topk(
-        emb, pred, books, n_probe=8, k=5, shortlist=200, target_cell_size=128
+        emb, pred, books, n_cells=n_cells, n_probe=8, k=5, shortlist=200,
+        coarse=coarse,
     )
     base = _with_vectors(emb, "vec_id", "embedding")
     q = (
