@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "q_incremental_semantic",
     "q_bm25_search",
     "q_hybrid_search",
+    "q_temperature_mix",
 ]
 
 

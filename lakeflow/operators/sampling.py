@@ -259,3 +259,88 @@ def pps_systematic_sample(
         .filter(keep)
         .drop("__h", "__w", "__g", "__cum", "__W")
     )
+
+
+#: cross-row products ride decimal(38,0) (Spark) / HUGEINT (DuckDB) —
+#: the exact-integer idiom shared with operators/index.py and trend.py
+_DEC = "decimal(38,0)"
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    stratum_col: str,
+    target_rows: int,
+    n_sqrt: int = 1,
+) -> DataFrame:
+    """Temperature-weighted domain mixing rates (the XLM-R / mT5
+    up/down-sampling rule): sample domain ``d`` with probability
+    p_d ∝ n_d^alpha, alpha = (1/2)^n_sqrt — alpha < 1 flattens the
+    domain distribution so head domains are down-weighted and tail
+    domains (low-resource languages, rare sources) are up-weighted
+    relative to their natural frequency. Returns one row per stratum:
+    (stratum, n_rows, rate_ppm), where rate_ppm is the per-row keep
+    rate that makes the EXPECTED kept total ``target_rows`` with the
+    tempered mix: rate_d = target * n_d^(alpha-1) / sum_e n_e^alpha
+    (capped at 1e6 ppm — a domain smaller than its tempered share is
+    kept whole).
+
+    Exactness: alpha is restricted to 2^-n_sqrt so the weight is
+    computed by repeated IEEE-correctly-rounded sqrt (deterministic on
+    every engine), quantized to integer micros per domain; the
+    normalizer is then an ORDER-FREE integer sum, and the final ratio
+    is one double division of exact decimal(38) products (the BM25 /
+    trend idiom) — so the rates, and therefore the sampled set, are
+    bit-reproducible across engines and partitionings.
+
+    100 TB shape: one count aggregate over the corpus, a 1-row
+    normalizer, and a broadcast of #domains rows — the sampling filter
+    itself (see :func:`temperature_mix_sample`) is a narrow codegen'd
+    predicate at the scan, exactly :func:`stratified_hash_sample` with
+    computed rates."""
+    if n_sqrt < 1:
+        raise ValueError("n_sqrt must be >= 1 (alpha=1 is plain hash_sample)")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = F.col("n_rows").cast("double")
+    for _ in range(n_sqrt):
+        w = F.sqrt(w)
+    sized = counts.withColumn(
+        "__s", F.floor(w * F.lit(PPM) + F.lit(0.5)).cast("long")
+    )
+    z = sized.agg(F.sum("__s").alias("__z"))
+    num = (
+        F.lit(int(target_rows)).cast(_DEC)
+        * F.col("__s").cast(_DEC)
+        * F.lit(PPM).cast(_DEC)
+    )
+    den = F.col("n_rows").cast(_DEC) * F.col("__z").cast(_DEC)
+    rate = F.least(
+        F.lit(PPM).cast("long"),
+        F.floor(num.cast("double") / den.cast("double")).cast("long"),
+    )
+    return (
+        sized.crossJoin(F.broadcast(z))
+        .select(stratum_col, "n_rows", rate.alias("rate_ppm"))
+    )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    target_rows: int,
+    n_sqrt: int = 1,
+    seed: str = "tmix",
+    rates: DataFrame | None = None,
+) -> DataFrame:
+    """Keep a temperature-mixed sample: per-stratum rates from
+    :func:`temperature_mix_rates` (or supplied precomputed), applied
+    as the deterministic content-hash predicate — same nested-sample
+    and partitioning-invariance properties as :func:`hash_sample`."""
+    if rates is None:
+        rates = temperature_mix_rates(df, stratum_col, target_rows, n_sqrt)
+    h = seeded_hash(F.col(key_col).cast("string"), seed)
+    return (
+        df.join(F.broadcast(rates.select(stratum_col, "rate_ppm")), stratum_col)
+        .filter(h % PPM < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )

@@ -35,14 +35,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # local gate (scripts/driver_gate.py, 159/159), so no §2 row loses
     # its certification — prior-round rows remain the evidence of
     # record, and COVERAGE.md's ledger maps each §2 ref to its row.
-    # After this round the never-certified set drops from 55 to ~8
+    # After this round the never-certified set drops from 55 to ~12
     # (q_hash_sample, q_chunk_windows, q_equi_depth_hist,
     # q_flatten_collision, q_struct_json, q_empty_to_null, plus
     # q_resample_interp / q_winsorize — displaced below in favor of the
     # round-6-built incremental-linkage pair, whose driver rows certify
     # the incremental==batch star-edge algebra; both displaced queries
     # keep an in-window family sibling, q_resample_locf /
-    # q_stats_moments. All queued for round 7.)
+    # q_stats_moments — and q_wav_meta / q_oov_rate / q_try_casts /
+    # q_sanitize_names, displaced late round 6 for the four
+    # round-6-built flagships q_quality_classifier /
+    # q_incremental_semantic / q_bm25_search / q_hybrid_search; each
+    # displaced query keeps an in-window or prior-round family sibling
+    # (q_image_dims+q_multimodal_frames, q_tokenize_ids,
+    # q_scalar_funcs_wide r05, q_flatten_collision family locals).
+    # All queued for round 7.)
     #
     # --- round-5-final capability flagships (10) ---
     "q_setsim_join",
@@ -62,14 +69,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_incremental_entities",
     "q_hard_negatives",
     "q_quality_band_approx",
-    # --- round-5 text/corpus (8) ---
+    # --- round-5 text/corpus (7) ---
     "q_paragraph_dedup",
     "q_gopher_rules",
     "q_bigram_surprisal",
     "q_domain_percent_rank",
     "q_repetition_metrics",
     "q_corpus_prep",
-    "q_oov_rate",
     "q_tokenize_ids",
     # --- sampling / splits / sharding (5) ---
     "q_stratified_sample",
@@ -77,10 +83,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_cluster_safe_split",
     "q_token_budget_mix",
     "q_shard_assignment",
-    # --- multimodal metadata (3) ---
+    # --- multimodal metadata (2) ---
     "q_image_dims",
-    "q_wav_meta",
     "q_multimodal_frames",
+    # --- round-6-built retrieval + training flagships (4) ---
+    "q_quality_classifier",
+    "q_incremental_semantic",
+    "q_bm25_search",
+    "q_hybrid_search",
     # --- timeseries / profiling (4) ---
     "q_resample_locf",
     "q_profile_orders",
@@ -93,7 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_expectations",
     "q_cluster_purity",
     "q_interval_join",
-    # --- TPC-H stragglers + relational granulars (9) ---
+    # --- TPC-H stragglers + relational granulars (7) ---
     "q2_min_cost_supplier",
     "q9_profit_by_nation",
     "q11_important_stock",
@@ -101,8 +111,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q20_potential_promotion",
     "q_union_drifting",
     "q_full_outer_activity",
-    "q_try_casts",
-    "q_sanitize_names",
 )
 
 

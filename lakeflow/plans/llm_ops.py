@@ -1632,6 +1632,68 @@ def q_token_budget_mix(spark, sf_dir):
     )
 
 
+_TMIX_HASH = SQL_SEEDED_HASH.format(seed="tmix", x="CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+               FROM documents GROUP BY source),
+    s AS (SELECT source, n_rows,
+            CAST(FLOOR(sqrt(CAST(n_rows AS DOUBLE)) * 1000000e0 + 0.5e0)
+                 AS BIGINT) AS sm
+          FROM c),
+    z AS (SELECT CAST(SUM(sm) AS BIGINT) AS zz FROM s),
+    r AS (SELECT source, n_rows,
+            LEAST(CAST(1000000 AS BIGINT),
+                  CAST(FLOOR(CAST(CAST(300 AS HUGEINT) * CAST(sm AS HUGEINT)
+                                  * CAST(1000000 AS HUGEINT) AS DOUBLE)
+                             / CAST(CAST(n_rows AS HUGEINT)
+                                    * CAST(zz AS HUGEINT) AS DOUBLE))
+                       AS BIGINT)) AS rate_ppm
+          FROM s CROSS JOIN z),
+    k AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM documents d JOIN r USING (source)
+          WHERE ({_TMIX_HASH} % 1000000) < rate_ppm
+          GROUP BY d.source)
+    SELECT r.source, n_rows, rate_ppm,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k ON r.source = k.source
+    """,
+    description="Temperature-weighted domain mixing "
+    "(operators/sampling.temperature_mix_rates/_sample — the XLM-R / "
+    "mT5 rule p_d ∝ n_d^alpha, alpha=1/2): per-source keep rates that "
+    "hit an expected 300-row total with the tempered mix (head "
+    "sources down-weighted, tail sources kept whole via the 1e6-ppm "
+    "cap), then the deterministic content-hash sample at those rates. "
+    "Weights are repeated IEEE sqrt quantized to integer micros, the "
+    "normalizer an order-free integer sum, the rate one double "
+    "division of exact decimal(38)/HUGEINT products — bit-identical "
+    "on both engines. One count aggregate + a broadcast of #domains "
+    "rows + a narrow filter at the scan: the corpus is read once "
+    "(rates relation persisted across its two consumers).",
+    refs=("§2.12", "A5"),
+)
+def q_temperature_mix(spark, sf_dir):
+    from lakeflow.caching import maybe_persist
+    from lakeflow.operators.sampling import (
+        temperature_mix_rates,
+        temperature_mix_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = maybe_persist(temperature_mix_rates(d, "source", 300), None)
+    kept = temperature_mix_sample(d, "doc_id", "source", 300, rates=rates)
+    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return rates.join(kc, "source", "left").select(
+        "source",
+        "n_rows",
+        "rate_ppm",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 @query(
     "q_heavy_hitters",
     oracle=f"""

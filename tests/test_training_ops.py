@@ -976,3 +976,38 @@ def test_linear_filter_empty_training_set(spark):
     df = spark.createDataFrame([], "id long, y long, text string")
     w = fit_linear_filter(df, "y", text_feature_micros("text"), n_epochs=2)
     assert w == [0, 0, 0, 0, 0]
+
+
+def test_temperature_mix_rates_math(spark):
+    # planted strata: head 400 rows, tail 100 rows. alpha=1/2 weights
+    # sqrt(400)=20, sqrt(100)=10 -> micro-weights 20e6/10e6, Z=30e6.
+    # target 150: rate_head = 150*20e6*1e6 // (400*30e6) = 250_000 ppm,
+    # rate_tail = 150*10e6*1e6 // (100*30e6) = 500_000 ppm — the tail
+    # is sampled at 2x the head's rate (temperature flattening), and
+    # expected totals are 100 + 50 = the 150 target
+    from pyspark.sql import Row
+
+    from lakeflow.operators.sampling import (
+        temperature_mix_rates,
+        temperature_mix_sample,
+    )
+
+    rows = [Row(k=i, s="head") for i in range(400)]
+    rows += [Row(k=1000 + i, s="tail") for i in range(100)]
+    df = spark.createDataFrame(rows)
+    got = {r["s"]: r for r in temperature_mix_rates(df, "s", 150).collect()}
+    assert got["head"]["rate_ppm"] == 250_000
+    assert got["tail"]["rate_ppm"] == 500_000
+    assert got["head"]["n_rows"] == 400 and got["tail"]["n_rows"] == 100
+    # a stratum smaller than its tempered share is kept whole (cap)
+    tiny = df.union(spark.createDataFrame([Row(k=5000 + i, s="rare") for i in range(2)]))
+    rc = {r["s"]: r["rate_ppm"] for r in temperature_mix_rates(tiny, "s", 400).collect()}
+    assert rc["rare"] == 1_000_000
+    # the sample is the deterministic hash predicate at those rates:
+    # same membership under any partitioning
+    a = {r["k"] for r in temperature_mix_sample(df, "k", "s", 150).collect()}
+    b = {
+        r["k"]
+        for r in temperature_mix_sample(df.repartition(13, "k"), "k", "s", 150).collect()
+    }
+    assert a == b and len(a) > 0
