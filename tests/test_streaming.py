@@ -994,3 +994,58 @@ def test_stream_inverted_index_serves_search(spark, tmp_path):
     got_bm = [tuple(r) for r in bm25_search(
         served.select("token", "doc_id", "tf"), ["alpha", "delta"], k=4).collect()]
     assert got_bm == want_bm and len(got_bm) > 0
+
+
+def test_streamed_index_serves_hybrid_fusion(spark, tmp_path):
+    # the RAG combination: BM25 served from the CONTINUOUSLY MAINTAINED
+    # inverted index, fused (RRF) with a vector top-k list, equals the
+    # fusion over the batch-built index — i.e. the hybrid retrieval
+    # surface can sit directly on the streamed posting table
+    from pyspark.sql import Row, Window
+
+    from lakeflow.operators.index import bm25_search, build_inverted_index, rrf_fuse
+    from lakeflow.streaming.corpus_intake import stream_inverted_index
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "invidx")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+    docs = [
+        (1, "spark join merge spark"),
+        (2, "join merge"),
+        (3, "spark shuffle"),
+        (4, "merge compaction spark join"),
+    ]
+    _write_events(src, "w1.json", [
+        {"doc_id": i, "ts": "2024-01-01T00:00:00", "text": t} for i, t in docs[:2]
+    ])
+    q = stream_inverted_index(spark, src, schema, idx, ck)
+    q.awaitTermination(120)
+    _write_events(src, "w2.json", [
+        {"doc_id": i, "ts": "2024-01-01T00:01:00", "text": t} for i, t in docs[2:]
+    ])
+    q = stream_inverted_index(spark, src, schema, idx, ck)
+    q.awaitTermination(120)
+
+    def ranked_bm25(index):
+        w = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        return (
+            bm25_search(index, ["spark", "join"], k=4)
+            .withColumn("rnk", F.row_number().over(w))
+            .select("doc_id", "rnk")
+        )
+
+    vec = spark.createDataFrame(
+        [Row(doc_id=3, rnk=1), Row(doc_id=9, rnk=2), Row(doc_id=1, rnk=3)]
+    )
+    served = spark.read.parquet(idx).select("token", "doc_id", "tf")
+    batch = build_inverted_index(
+        spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    )
+    got = [tuple(r) for r in rrf_fuse(ranked_bm25(served), vec, k=10).collect()]
+    want = [tuple(r) for r in rrf_fuse(ranked_bm25(batch), vec, k=10).collect()]
+    assert got == want and len(got) >= 4
+    # doc 9 exists only in the vector list; doc 3 only weakly in BM25 —
+    # fusion must carry single-list docs through (missing side = 0)
+    ids = {r[0] for r in got}
+    assert 9 in ids and 3 in ids
