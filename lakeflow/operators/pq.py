@@ -291,7 +291,7 @@ def ivf_pq_topk(
     Determinism: coarse centroids and sub-codebooks are exact micro-int
     k-means (seeded init), the probe set is an exact integer argsort —
     bit-reproducible across partitionings and engines."""
-    from lakeflow.operators.kmeans import _best_struct, derive_k, kmeans_centroids
+    from lakeflow.operators.kmeans import _with_best, derive_k, kmeans_centroids
 
     if target_cell_size is not None:
         n_cells = derive_k(
@@ -306,11 +306,14 @@ def ivf_pq_topk(
         raise ValueError(
             f"supplied coarse centroids: {len(coarse)} != n_cells={n_cells}"
         )
+    # cell assignment via kmeans._with_best: folded literals for small
+    # n_cells, broadcast-centroid join beyond MAX_FOLDED_CENTROIDS
     base = _with_vectors(emb, id_col, vec_col)
-    cell = _best_struct(F.col("__v"), coarse).getField("i").cast("long")
-    codes = pq_encode(emb, codebooks, id_col, vec_col).join(
-        base.select(id_col, cell.alias("cell")), id_col
+    assigned = _with_best(base, coarse, id_col).select(
+        F.col(id_col),
+        F.col("__m").getField("i").cast("long").alias("cell"),
     )
+    codes = pq_encode(emb, codebooks, id_col, vec_col).join(assigned, id_col)
     return _ivf_search(
         emb, query_pred, codes, coarse, codebooks, n_probe, k, shortlist,
         id_col, vec_col,
@@ -328,43 +331,81 @@ def _ivf_search(
     shortlist: int,
     id_col: str,
     vec_col: str,
+    max_fold: int | None = None,
 ) -> DataFrame:
     """The serving half of IVF-PQ: cell probe × ADC within probed cells
     × exact rerank, over an ALREADY-BUILT index (``codes`` relation +
     folded ``coarse``/``codebooks``). Shared by the inline
-    :func:`ivf_pq_topk` and the persisted-index :func:`ivf_pq_search`."""
+    :func:`ivf_pq_topk` and the persisted-index :func:`ivf_pq_search`.
+
+    The query-side probe has the same two physically different,
+    semantically identical paths as ``kmeans._with_best``: folded
+    centroid literals while n_cells is small; beyond
+    MAX_FOLDED_CENTROIDS (corpus-derived n_cells reaches 10^5+ at
+    100 TB, far past what constant folding can carry), the centroid
+    TABLE scores against the broadcast query rows and the bounded
+    two-phase ``topk_per_key`` keeps the top n_probe per query.
+    Identical ordering on both paths (score desc, cell id asc on
+    exact-score ties; equality tested)."""
+    from lakeflow.operators.kmeans import MAX_FOLDED_CENTROIDS
+
+    if max_fold is None:
+        max_fold = MAX_FOLDED_CENTROIDS
     m = len(codebooks)
     base = _with_vectors(emb, id_col, vec_col)
-    # query side: n_probe nearest coarse cells via an exact integer
-    # argsort over the folded centroid scores (query rows are few —
-    # the probe relation broadcasts)
-    c2s = [sum(x * x for x in c) for c in coarse]
-    scores = F.array(
-        *[
-            F.struct(
-                (
-                    dot_long(F.col("__qv"), F.array([F.lit(x) for x in c]))
-                    * F.lit(2)
-                    - F.lit(c2s[i])
-                ).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(coarse)
-        ]
-    )
     q = (
         _with_vectors(emb.filter(query_pred), id_col, vec_col)
         .withColumnRenamed(id_col, "q_id")
         .withColumnRenamed("__v", "__qv")
         .drop("__n2")
     )
-    probes = q.select(
-        "q_id",
-        "__qv",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
-        ).alias("p"),
-    ).select("q_id", "__qv", F.col("p.i").cast("long").alias("cell"))
+    if len(coarse) <= max_fold:
+        # n_probe nearest coarse cells via an exact integer argsort
+        # over the folded centroid scores (query rows are few — the
+        # probe relation broadcasts). Structs carry the NEGATED score
+        # so ascending array_sort yields (score desc, cell id asc) —
+        # the same total order the large-n_cells path produces.
+        c2s = [sum(x * x for x in c) for c in coarse]
+        scores = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(c2s[i])
+                        - dot_long(F.col("__qv"), F.array([F.lit(x) for x in c]))
+                        * F.lit(2)
+                    ).alias("s"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(coarse)
+            ]
+        )
+        probes = q.select(
+            "q_id",
+            "__qv",
+            F.explode(F.slice(F.array_sort(scores), 1, n_probe)).alias("p"),
+        ).select("q_id", "__qv", F.col("p.i").cast("long").alias("cell"))
+    else:
+        spark = emb.sparkSession
+        cdf = spark.createDataFrame(
+            [
+                (i, [int(x) for x in c], int(sum(x * x for x in c)))
+                for i, c in enumerate(coarse)
+            ],
+            "i int, cv array<bigint>, c2 bigint",
+        )
+        scored_cells = cdf.crossJoin(F.broadcast(q)).select(
+            "q_id",
+            F.col("i").cast("long").alias("i"),
+            (
+                dot_long(F.col("__qv"), F.col("cv")) * F.lit(2) - F.col("c2")
+            ).alias("__s"),
+        )
+        probes = (
+            topk_per_key(scored_cells, "q_id", "__s", "i", n_probe, descending=True)
+            .select("q_id", F.col("i").alias("cell"))
+            .join(F.broadcast(q), "q_id")
+            .select("q_id", "__qv", "cell")
+        )
     # ADC only where the corpus row's cell is probed by the query
     joined = codes.join(F.broadcast(probes), "cell").filter(
         F.col(id_col) != F.col("q_id")
@@ -516,7 +557,7 @@ def ivf_pq_fit(
     bounds fit cost in corpus size: the corpus-proportional work is
     exactly two scans (the sampling pass and the encode pass), both
     narrow projections. The encode/codes write stays distributed."""
-    from lakeflow.operators.kmeans import _best_struct, derive_k
+    from lakeflow.operators.kmeans import derive_k
 
     n = emb.count() if (target_cell_size is not None or train_sample is not None) else None
     if target_cell_size is not None:
@@ -546,11 +587,19 @@ def ivf_pq_fit(
     _values_df(coarse_vals, "i, centroid").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/coarse")
+    # cell assignment rides kmeans._with_best: folded literals while
+    # n_cells is small, the broadcast-centroid-join + partial max-agg
+    # path beyond MAX_FOLDED_CENTROIDS (corpus-derived n_cells grows
+    # with the corpus — at 100 TB it is 10^5+, far past what constant
+    # folding can carry)
+    from lakeflow.operators.kmeans import _with_best
+
     base = _with_vectors(emb, id_col, vec_col)
-    cell = _best_struct(F.col("__v"), coarse).getField("i").cast("long")
-    codes = pq_encode(emb, books, id_col, vec_col).join(
-        base.select(id_col, cell.alias("cell")), id_col
+    assigned = _with_best(base, coarse, id_col).select(
+        F.col(id_col),
+        F.col("__m").getField("i").cast("long").alias("cell"),
     )
+    codes = pq_encode(emb, books, id_col, vec_col).join(assigned, id_col)
     codes.write.mode("overwrite").parquet(f"{index_path}/codes")
 
 

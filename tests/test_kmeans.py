@@ -396,3 +396,31 @@ def test_ivf_pq_fit_sampled_training(spark, tmp_path):
     assert codes_a.count() == emb.count()  # encode pass is full-corpus
     key = lambda r: (r["vec_id"], tuple(r["codes"]), r["cell"])  # noqa: E731
     assert {key(r) for r in codes_a.collect()} == {key(r) for r in codes_b.collect()}
+
+
+def test_ivf_search_probe_paths_identical(spark, tmp_path):
+    # the query-side cell probe has two physical forms (folded-literal
+    # argsort vs broadcast centroid-table join + per-query window, for
+    # n_cells past the folding threshold) — they must return identical
+    # rows including score ties (both order score desc, cell id desc)
+    from lakeflow.operators.pq import _ivf_search, ivf_pq_fit, load_ivf_pq_index
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivfpq3")
+    ivf_pq_fit(spark, emb, idx, m=4, k_sub=8, n_cells=4)
+    books, coarse, codes = load_ivf_pq_index(spark, idx)
+    pred = F.col("vec_id") < 3
+    folded = {
+        tuple(r)
+        for r in _ivf_search(
+            emb, pred, codes, coarse, books, 2, 5, 50, "vec_id", "embedding"
+        ).collect()
+    }
+    joined = {
+        tuple(r)
+        for r in _ivf_search(
+            emb, pred, codes, coarse, books, 2, 5, 50, "vec_id", "embedding",
+            max_fold=0,
+        ).collect()
+    }
+    assert folded == joined and len(folded) == 15
