@@ -424,3 +424,64 @@ def test_ivf_search_probe_paths_identical(spark, tmp_path):
         ).collect()
     }
     assert folded == joined and len(folded) == 15
+
+
+def test_two_level_assignment_semantics(spark):
+    # the two-level (group -> within-group argmax) assignment must
+    # agree with the exact argmax on well-separated data, stay in
+    # [0, k), and be partitioning-invariant
+    from lakeflow.operators.pq import _assign_cells
+    from lakeflow.operators.similarity import _with_vectors
+
+    # 3 tight blobs; centroids = the blob centers themselves
+    blobs = [[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]]
+    rows = [
+        Row(vec_id=b * 100 + i, embedding=[c + 0.01 * i for c in blob])
+        for b, blob in enumerate(blobs)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows)
+    cents = [[int(c * 1_000_000) for c in blob] for blob in blobs]
+    base = _with_vectors(df, "vec_id", "embedding")
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(spark, base, cents, "vec_id", two_level=False).collect()
+    }
+    two = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(
+            spark, base, cents, "vec_id", max_fold=0, two_level=True
+        ).collect()
+    }
+    assert exact == two  # separated blobs: the approximation is exact
+    assert all(v // 100 == cell for v, cell in two.items())  # blob == cell
+    # partitioning invariance of the two-level path
+    base13 = _with_vectors(df.repartition(13, "vec_id"), "vec_id", "embedding")
+    two13 = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(
+            spark, base13, cents, "vec_id", max_fold=0, two_level=True
+        ).collect()
+    }
+    assert two13 == two
+
+
+def test_ivf_pq_fit_two_level_serves_with_recall(spark, tmp_path):
+    # a two-level-assigned index still serves: every corpus vector is
+    # indexed exactly once, cells are in range, and a served query's
+    # exact rerank returns k rows (recall quality is asserted by the
+    # q_ann_serving contract; at gate scales the exact path runs, so
+    # force two_level here)
+    from lakeflow.operators.pq import ivf_pq_fit, ivf_pq_search, load_ivf_pq_index
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    idx = str(tmp_path / "ivfpq2l")
+    ivf_pq_fit(spark, emb, idx, m=4, k_sub=8, n_cells=9, two_level=True)
+    _, coarse, codes = load_ivf_pq_index(spark, idx)
+    assert codes.count() == emb.count()
+    cells = [r["cell"] for r in codes.select("cell").distinct().collect()]
+    assert all(0 <= c < 9 for c in cells)
+    out = ivf_pq_search(
+        spark, emb, F.col("vec_id") < 3, idx, n_probe=4, k=5, shortlist=100
+    )
+    assert out.count() == 15
