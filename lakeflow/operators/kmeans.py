@@ -119,25 +119,93 @@ def _argbest_cell(v: Column, cents: list[list[int]]) -> Column:
 MAX_FOLDED_CENTROIDS = 512
 
 
+def _group_centroids(
+    cents: list[list[int]], n_groups: int, n_iter: int = 2
+) -> tuple[list[list[int]], list[int]]:
+    """Driver-side: cluster the k centroids themselves into
+    ``n_groups`` group centroids (exact-int Lloyd over the centroid
+    list, evenly-spaced deterministic init) and map each centroid to
+    its nearest group. Bounded work: k vectors total."""
+    import numpy as np
+
+    k = len(cents)
+    step = max(1, k // n_groups)
+    init = [list(cents[i]) for i in range(0, k, step)][:n_groups]
+    gc = lloyd_rounds_py(cents, init, n_iter)
+    C = np.asarray(cents, dtype=np.int64)
+    G = np.asarray(gc, dtype=np.int64)
+    scores = 2 * (C @ G.T) - (G * G).sum(axis=1)
+    grp = (len(gc) - 1) - np.argmax(scores[:, ::-1], axis=1)
+    return gc, [int(x) for x in grp]
+
+
 def _with_best(
     base: DataFrame,
     cents: list[list[int]],
     id_col: str,
     max_fold: int = MAX_FOLDED_CENTROIDS,
+    two_level: bool = False,
 ) -> DataFrame:
     """Attach ``__m`` = the winning (score, cell) struct to every row
     of ``base`` (which must carry ``id_col``, ``__v``, ``__n2``).
 
-    Two physically different, semantically identical paths:
+    Three physically different paths; the first two are semantically
+    identical exact argmaxes, the third is the standard IVF
+    approximation for corpus-derived k:
     - k <= max_fold: centroids constant-folded as literals — a narrow
       map, zero shuffle (the default; used by every gate query).
     - k > max_fold: broadcast the k-row centroid table, crossJoin, and
-      reduce with max() per vector. The partial aggregate collapses the
-      k-way fanout map-side, so the shuffle carries one row per vector
-      — the regime for SemDeDup-scale k (10^4..10^6 cells)."""
+      reduce with max() per vector — N*k score rows. The partial
+      aggregate collapses the k-way fanout map-side, so the shuffle
+      carries one row per vector. EXACT, but with corpus-derived k
+      (= N/target) the N*k term is quadratic in corpus size.
+    - ``two_level=True`` (only engages past max_fold): cluster the k
+      centroids into ceil(sqrt(k)) groups driver-side (bounded work),
+      assign each vector to its nearest GROUP via folded literals,
+      then exact argmax among that group's centroids only (equi-join
+      on group id + the same partial max-agg) — ~N*2*sqrt(k) score
+      rows. APPROXIMATE in the standard IVF/SemDeDup sense (a vector
+      whose true nearest centroid sits across a group boundary lands
+      in the runner-up cell); deterministic and partitioning-invariant
+      like the exact paths. Valid for k up to ~max_fold^2 (the group
+      stage folds sqrt(k) literals)."""
     if len(cents) <= max_fold:
         return base.withColumn("__m", _best_struct(F.col("__v"), cents))
     spark = base.sparkSession
+    if two_level:
+        import math
+
+        k = len(cents)
+        n_groups = min(k, max(2, math.isqrt(max(0, k - 1)) + 1))
+        gc, grp = _group_centroids(cents, n_groups)
+        tagged = base.withColumn(
+            "__g", _best_struct(F.col("__v"), gc).getField("i")
+        )
+        cent_vals = ", ".join(
+            f"({grp[i]}, {i}, array({', '.join(f'{x}L' for x in c)}), "
+            f"{sum(x * x for x in c)}L)"
+            for i, c in enumerate(cents)
+        )
+        cdf = spark.sql(f"SELECT * FROM VALUES {cent_vals} AS t(g, i, cv, c2)")
+        return (
+            tagged.join(F.broadcast(cdf), tagged["__g"] == cdf["g"])
+            .withColumn(
+                "__mm",
+                F.struct(
+                    (
+                        dot_long(F.col("__v"), F.col("cv")) * F.lit(2)
+                        - F.col("c2")
+                    ).alias("s"),
+                    F.col("i").alias("i"),
+                ),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max("__mm").alias("__m"),
+                F.first("__v").alias("__v"),
+                F.first("__n2").alias("__n2"),
+            )
+        )
     cdf = spark.createDataFrame(
         [
             (i, [int(x) for x in c], int(sum(x * x for x in c)))
@@ -221,12 +289,17 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "kmeans",
+    two_level: bool = False,
 ) -> DataFrame:
     """Fit + predict: returns (id_col, cell) for every vector, cell in
-    [0, k). The predict pass is a single narrow map over the scan."""
+    [0, k). The predict pass is a single narrow map over the scan.
+    ``two_level=True`` opts the predict pass into the approximate
+    group->within-group assignment past the folding threshold (see
+    ``_with_best``) — EXACT stays the default because every gate
+    query's SQL oracle replays the exact argmax."""
     cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col, seed)
     base = _with_vectors(emb, id_col, vec_col)
-    return _with_best(base, cents, id_col).select(
+    return _with_best(base, cents, id_col, two_level=two_level).select(
         F.col(id_col), F.col("__m").getField("i").cast("long").alias("cell")
     )
 
@@ -299,6 +372,7 @@ def semantic_index(
     cents: list[list[int]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
 ) -> DataFrame:
     """Assignment relation ``(id, cell, v, n2)`` against FIXED
     centroids — the persisted-index side of incremental semantic dedup
@@ -306,9 +380,13 @@ def semantic_index(
     vector; assignment is the same literal-fold map (or broadcast join
     beyond ``MAX_FOLDED_CENTROIDS``) as the batch path, so an index
     built here and a batch assignment over the same centroids agree
-    bit-for-bit."""
+    bit-for-bit. ``two_level=True`` opts into the approximate
+    group->within-group assignment for corpus-derived cell counts
+    (10^4+ cells — where exact N*k assignment goes quadratic); near-dup
+    recall then depends on both members landing in the same cell, the
+    usual SemDeDup trade."""
     base = _with_vectors(emb, id_col, vec_col)
-    return _with_best(base, cents, id_col).select(
+    return _with_best(base, cents, id_col, two_level=two_level).select(
         F.col(id_col),
         F.col("__m").getField("i").cast("long").alias("cell"),
         F.col("__v").alias("v"),

@@ -523,28 +523,6 @@ def coarse_centroids_driver(
     return lloyd_rounds_py([t[2] for t in rows], _init_pick(rows, k, seed), n_iter)
 
 
-def _group_centroids(
-    coarse: list[list[int]], n_groups: int, n_iter: int = 2
-) -> tuple[list[list[int]], list[int]]:
-    """Driver-side: cluster the k coarse centroids themselves into
-    ``n_groups`` group centroids (exact-int Lloyd over the centroid
-    list, evenly-spaced deterministic init) and map each centroid to
-    its nearest group. Bounded work: k vectors total."""
-    import numpy as np
-
-    from lakeflow.operators.kmeans import lloyd_rounds_py
-
-    k = len(coarse)
-    step = max(1, k // n_groups)
-    init = [list(coarse[i]) for i in range(0, k, step)][:n_groups]
-    gc = lloyd_rounds_py(coarse, init, n_iter)
-    C = np.asarray(coarse, dtype=np.int64)
-    G = np.asarray(gc, dtype=np.int64)
-    scores = 2 * (C @ G.T) - (G * G).sum(axis=1)
-    grp = (len(gc) - 1) - np.argmax(scores[:, ::-1], axis=1)
-    return gc, [int(x) for x in grp]
-
-
 def _assign_cells(
     spark,
     base: DataFrame,
@@ -553,72 +531,26 @@ def _assign_cells(
     max_fold: int | None = None,
     two_level: bool | None = None,
 ) -> DataFrame:
-    """(id, cell) coarse-cell assignment for the index build, with the
-    scale ladder all billion-vector IVF builds climb:
-
-    - k <= MAX_FOLDED_CENTROIDS: exact argmax, centroids constant-
-      folded (narrow map, zero shuffle) — ``kmeans._with_best``.
-    - larger k, ``two_level=False``: exact argmax via the broadcast
-      centroid join + partial max-agg — N*k score rows. With
-      corpus-derived k (= N/target) this term is QUADRATIC in corpus
-      size; fine for mid-size k, the reason the next rung exists.
-    - ``two_level`` (default beyond the folding threshold): the
-      FAISS-IMI/coarse-HNSW move — cluster the k centroids into
-      ceil(sqrt(k)) groups driver-side (bounded: k rows), assign each
-      vector to its nearest GROUP (folded literals, narrow map), then
-      exact argmax only among that group's centroids (equi-join on
-      group id + partial max-agg) — ~N*2*sqrt(k) score rows instead
-      of N*k. APPROXIMATE in the standard IVF sense (a vector whose
-      true nearest centroid sits just across a group boundary lands in
-      the runner-up cell); the search-side shortlist + exact rerank
-      absorbs it, and the recall contract is the gate (asserted at the
-      100x probe). Deterministic and partitioning-invariant like the
-      exact paths (exact-int scores, ties to the larger id)."""
+    """(id, cell) coarse-cell assignment for the index build, riding
+    the ``kmeans._with_best`` scale ladder: exact folded literals for
+    small k, exact broadcast join in the mid range (N*k score rows —
+    QUADRATIC in corpus size when k is corpus-derived), and the
+    FAISS-IMI two-level group -> within-group argmax (~N*2*sqrt(k)
+    rows, the standard IVF approximation — the search-side shortlist +
+    exact rerank absorbs it, and the recall contract is the gate,
+    asserted at the 100x probe) beyond the folding threshold, which is
+    the default there."""
     from lakeflow.operators.kmeans import MAX_FOLDED_CENTROIDS, _with_best
 
-    k = len(coarse)
     if max_fold is None:
         max_fold = MAX_FOLDED_CENTROIDS
     if two_level is None:
-        two_level = k > max_fold
-    if k <= max_fold or not two_level:
-        return _with_best(base, coarse, id_col, max_fold=max_fold).select(
-            F.col(id_col),
-            F.col("__m").getField("i").cast("long").alias("cell"),
-        )
-    import math
-
-    n_groups = min(k, max(2, math.isqrt(max(0, k - 1)) + 1))
-    gc, grp = _group_centroids(coarse, n_groups)
-    from lakeflow.operators.kmeans import _best_struct
-
-    tagged = base.withColumn(
-        "__g", _best_struct(F.col("__v"), gc).getField("i")
-    )
-    cent_vals = ", ".join(
-        f"({grp[i]}, {i}, array({', '.join(f'{x}L' for x in c)}), "
-        f"{sum(x * x for x in c)}L)"
-        for i, c in enumerate(coarse)
-    )
-    cdf = spark.sql(
-        f"SELECT * FROM VALUES {cent_vals} AS t(g, i, cv, c2)"
-    )
-    best = (
-        tagged.join(F.broadcast(cdf), tagged["__g"] == cdf["g"])
-        .withColumn(
-            "__mm",
-            F.struct(
-                (
-                    dot_long(F.col("__v"), F.col("cv")) * F.lit(2) - F.col("c2")
-                ).alias("s"),
-                F.col("i").alias("i"),
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.max("__mm").alias("__m"))
-    )
-    return best.select(
-        F.col(id_col), F.col("__m").getField("i").cast("long").alias("cell")
+        two_level = len(coarse) > max_fold
+    return _with_best(
+        base, coarse, id_col, max_fold=max_fold, two_level=two_level
+    ).select(
+        F.col(id_col),
+        F.col("__m").getField("i").cast("long").alias("cell"),
     )
 
 
