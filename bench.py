@@ -64,6 +64,28 @@ def _calibrate(spark) -> float:
     return min(runs)
 
 
+def _calibration_shuffle_job(spark) -> None:
+    spark.range(0, 8_000_000, 1, 32).selectExpr(
+        "id", "id % 9973 as k"
+    ).repartition(32, "k").selectExpr("sum(id) as s").collect()
+
+
+def _calibrate_shuffle(spark) -> float:
+    """Fixed shuffle-bound probe: 8M rows hashed through a 32x32
+    exchange. The CPU probe above misses machine drift that lives in
+    the shuffle path (local-disk throttling, page-cache pressure) —
+    recording both lets a cross-round reader attribute a uniform
+    query-time shift to the right resource instead of to the code
+    (observed late round 6: CPU probe FASTER while every
+    shuffle-bearing query ran ~15-25% slower)."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration_shuffle_job(spark)
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
 # Headline set: the heavy scan/join/agg/window/dedup paths. Extended as the
 # registry grows; anything not listed still runs in the driver's t2 gate.
 BENCH_QUERIES = [
@@ -274,6 +296,9 @@ def main() -> None:
         if i == len(names) // 2:
             probes.append(_calibrate(spark))
     probes.append(_calibrate(spark))
+    for _ in range(2):
+        _calibration_shuffle_job(spark)  # warm untimed
+    shuffle_probe = _calibrate_shuffle(spark)
 
     # Separate BUILD benchmark (outside the headline sum): one IVF-PQ
     # index fit over the embeddings table into a throwaway dir — the
@@ -311,6 +336,7 @@ def main() -> None:
         "calibration_sec": round(calibration, 3),
         "calibration_probes": [round(p, 3) for p in probes],
         "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "calibration_shuffle_sec": round(shuffle_probe, 3),
         "value_normalized": round(sum(normalized.values()), 3),
         "queries_normalized": normalized,
         "build_ivf_pq_fit_sec": build_ivf_pq_fit_sec,
@@ -337,6 +363,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": _sf_from_dir(sf_dir),
                 "calibration_sec": round(calibration, 3),
+                "calibration_shuffle_sec": round(shuffle_probe, 3),
                 "value_normalized": round(sum(normalized.values()), 3),
                 "n_queries": len(timings),
                 "detail": "bench_detail.json",
