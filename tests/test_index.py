@@ -152,3 +152,29 @@ def test_rrf_fuse_semantics(spark):
     assert order == [2, 1, 9]
     # k truncates after ordering
     assert [r["doc_id"] for r in rrf_fuse(a, b, k=1).collect()] == [2]
+
+
+def test_rrf_fuse_degenerate_inputs(spark):
+    from lakeflow.operators.index import rrf_fuse
+
+    a = spark.createDataFrame([Row(doc_id=1, rnk=1)])
+    empty = spark.createDataFrame([], "doc_id long, rnk long")
+    # one side empty: full-outer keeps the other side, missing side = 0
+    got = rrf_fuse(a, empty, k=5).collect()
+    assert [(r["doc_id"], r["rrf_micros"]) for r in got] == [(1, 1_000_000 // 61)]
+    assert got[0]["rank_b"] is None
+    # both empty: empty result, stable schema
+    out = rrf_fuse(empty, empty, k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "rank_a", "rank_b", "rrf_micros"]
+
+
+def test_bm25_no_matching_terms(spark):
+    from lakeflow.operators.index import bm25_search, build_inverted_index
+
+    idx = build_inverted_index(
+        spark.createDataFrame([Row(doc_id=1, text="alpha beta")])
+    )
+    out = bm25_search(idx, ["zzz_not_present"], k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "score_micros", "n_terms"]

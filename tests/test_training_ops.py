@@ -1011,3 +1011,27 @@ def test_temperature_mix_rates_math(spark):
         for r in temperature_mix_sample(df.repartition(13, "k"), "k", "s", 150).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_temperature_mix_degenerate_inputs(spark):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.sampling import (
+        temperature_mix_rates,
+        temperature_mix_sample,
+    )
+
+    empty = spark.createDataFrame([], "k long, s string")
+    out = temperature_mix_rates(empty, "s", 100)
+    assert out.count() == 0
+    assert out.columns == ["s", "n_rows", "rate_ppm"]
+    assert temperature_mix_sample(empty, "k", "s", 100).count() == 0
+    # target 0: rates 0, sample empty (no division-by-zero paths)
+    df = spark.createDataFrame([Row(k=1, s="a"), Row(k=2, s="b")])
+    rates = {r["s"]: r["rate_ppm"] for r in temperature_mix_rates(df, "s", 0).collect()}
+    assert rates == {"a": 0, "b": 0}
+    assert temperature_mix_sample(df, "k", "s", 0).count() == 0
+    # single stratum: the whole target lands on it (capped at 1e6)
+    one = spark.createDataFrame([Row(k=i, s="only") for i in range(10)])
+    r = temperature_mix_rates(one, "s", 5).collect()[0]
+    assert r["rate_ppm"] == 500_000
