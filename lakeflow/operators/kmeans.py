@@ -206,13 +206,15 @@ def _with_best(
                 F.first("__n2").alias("__n2"),
             )
         )
-    cdf = spark.createDataFrame(
-        [
-            (i, [int(x) for x in c], int(sum(x * x for x in c)))
-            for i, c in enumerate(cents)
-        ],
-        "i int, cv array<bigint>, c2 bigint",
+    # VALUES literal, not createDataFrame over local rows: the latter
+    # routes through a Python-RDD conversion whose worker spin-up costs
+    # more than the broadcast itself (same fix as ivf_pq_fit's tables)
+    cent_vals = ", ".join(
+        f"({i}, array({', '.join(f'{int(x)}L' for x in c)}), "
+        f"{sum(int(x) * int(x) for x in c)}L)"
+        for i, c in enumerate(cents)
     )
+    cdf = spark.sql(f"SELECT * FROM VALUES {cent_vals} AS t(i, cv, c2)")
     return (
         base.crossJoin(F.broadcast(cdf))
         .withColumn(
