@@ -525,8 +525,14 @@ def semantic_index_fit(
     if target_cell_size is not None:
         k = derive_k(emb.count(), target_cell_size, k_min=k)
     cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col, seed)
-    spark.createDataFrame(
-        list(enumerate(cents)), "i int, centroid array<long>"
+    # VALUES literal (not createDataFrame over local rows — see
+    # _with_best) so the tiny centroid write stays pure JVM
+    cent_vals = ", ".join(
+        f"({i}, array({', '.join(f'{int(x)}L' for x in c)}))"
+        for i, c in enumerate(cents)
+    )
+    spark.sql(
+        f"SELECT * FROM VALUES {cent_vals} AS t(i, centroid)"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
     semantic_index(emb, cents, id_col, vec_col).write.mode("overwrite").parquet(
         f"{index_path}/assignments"

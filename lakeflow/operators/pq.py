@@ -386,13 +386,12 @@ def _ivf_search(
         ).select("q_id", "__qv", F.col("p.i").cast("long").alias("cell"))
     else:
         spark = emb.sparkSession
-        cdf = spark.createDataFrame(
-            [
-                (i, [int(x) for x in c], int(sum(x * x for x in c)))
-                for i, c in enumerate(coarse)
-            ],
-            "i int, cv array<bigint>, c2 bigint",
+        cent_vals = ", ".join(
+            f"({i}, array({', '.join(f'{int(x)}L' for x in c)}), "
+            f"{sum(int(x) * int(x) for x in c)}L)"
+            for i, c in enumerate(coarse)
         )
+        cdf = spark.sql(f"SELECT * FROM VALUES {cent_vals} AS t(i, cv, c2)")
         scored_cells = cdf.crossJoin(F.broadcast(q)).select(
             "q_id",
             F.col("i").cast("long").alias("i"),
