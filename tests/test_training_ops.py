@@ -1035,3 +1035,20 @@ def test_temperature_mix_degenerate_inputs(spark):
     one = spark.createDataFrame([Row(k=i, s="only") for i in range(10)])
     r = temperature_mix_rates(one, "s", 5).collect()[0]
     assert r["rate_ppm"] == 500_000
+
+
+def test_temperature_mix_nested_samples(spark):
+    # rate_d is monotone in the target and membership is hash < rate,
+    # so a smaller target's kept set is a SUBSET of a larger target's —
+    # the same nested-sample property as hash_sample (scaling-law runs
+    # can grow a mix without resampling from scratch)
+    from pyspark.sql import Row
+
+    from lakeflow.operators.sampling import temperature_mix_sample
+
+    rows = [Row(k=i, s="head") for i in range(400)]
+    rows += [Row(k=1000 + i, s="tail") for i in range(100)]
+    df = spark.createDataFrame(rows)
+    small = {r["k"] for r in temperature_mix_sample(df, "k", "s", 60).collect()}
+    big = {r["k"] for r in temperature_mix_sample(df, "k", "s", 240).collect()}
+    assert small and small <= big and len(big) > len(small)
