@@ -308,7 +308,7 @@ def main() -> None:
     import shutil
     import tempfile
 
-    from lakeflow.operators.pq import ivf_pq_fit
+    from lakeflow.operators.pq import ivf_pq_fit, pq_fit
 
     build_dir = tempfile.mkdtemp(prefix="lakeflow_bench_ivfpq_")
     shutil.rmtree(build_dir)
@@ -319,6 +319,17 @@ def main() -> None:
         t0 = time.perf_counter()
         ivf_pq_fit(spark, emb, build_dir, m=8, k_sub=16, target_cell_size=128)
         build_ivf_pq_fit_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(build_dir, ignore_errors=True)
+
+    # Flat-PQ fit as its own line too (round 7: q_pq_ann's headline row
+    # now serves against a prebuilt index, same split as IVF-PQ).
+    build_dir = tempfile.mkdtemp(prefix="lakeflow_bench_pq_")
+    shutil.rmtree(build_dir)
+    try:
+        t0 = time.perf_counter()
+        pq_fit(spark, emb, build_dir, m=8, k_sub=16)
+        build_pq_fit_sec = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(build_dir, ignore_errors=True)
 
@@ -340,6 +351,7 @@ def main() -> None:
         "value_normalized": round(sum(normalized.values()), 3),
         "queries_normalized": normalized,
         "build_ivf_pq_fit_sec": build_ivf_pq_fit_sec,
+        "build_pq_fit_sec": build_pq_fit_sec,
     }
     # The per-query map (now ~80 entries, twice) outgrew the driver's
     # stdout tail capture in round 4 — the captured tail began mid-map

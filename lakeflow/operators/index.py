@@ -102,16 +102,19 @@ def bm25_search(index: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
     queried posting lists; the final top-k is a TakeOrdered, never a
     global sort. Returns (doc_id, score_micros, n_terms), ties broken
     by doc_id."""
-    from lakeflow.caching import maybe_persist
+    from lakeflow.caching import active_scope, maybe_persist
 
     terms = sorted({t.lower() for t in terms})
     # three consumers (doc lengths -> corpus totals, the term filter,
     # the per-doc join): without a persist an in-query-derived index
     # re-tokenizes the corpus for each — at 100 TB the index is a
     # persisted token-bucketed table and this is a no-op-cheap cache of
-    # that scan. Rides the ambient CacheScope (bench/tests wrap each
-    # query in one), so nothing leaks past the query.
-    index = maybe_persist(index, None)
+    # that scan. ONLY rides an ambient CacheScope (bench/tests wrap
+    # each query in one): a bare library call must not leak a
+    # session-lifetime persist it can never release (r6 advice) — the
+    # recompute is the correct default there.
+    if active_scope() is not None:
+        index = maybe_persist(index, None)
     dl = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")

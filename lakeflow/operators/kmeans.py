@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakeflow.functions.hashing import seeded_hash
+from lakeflow.functions.localrel import local_table
 from lakeflow.operators.similarity import (
     _with_vectors,
     cosine_micros,
@@ -125,7 +126,15 @@ def _group_centroids(
     """Driver-side: cluster the k centroids themselves into
     ``n_groups`` group centroids (exact-int Lloyd over the centroid
     list, evenly-spaced deterministic init) and map each centroid to
-    its nearest group. Bounded work: k vectors total."""
+    its nearest group. Bounded work: k vectors total.
+
+    INVARIANT: every returned group centroid wins >= 1 member
+    centroid. Lloyd over the centroid list can leave a group empty
+    (no centroid nearest to it); a vector whose nearest group were
+    such an empty group would match no rows in ``_with_best``'s inner
+    join and silently vanish — row LOSS, not the documented IVF
+    misassignment. Empty groups are therefore dropped and the group
+    ids remapped densely before returning."""
     import numpy as np
 
     k = len(cents)
@@ -136,7 +145,10 @@ def _group_centroids(
     G = np.asarray(gc, dtype=np.int64)
     scores = 2 * (C @ G.T) - (G * G).sum(axis=1)
     grp = (len(gc) - 1) - np.argmax(scores[:, ::-1], axis=1)
-    return gc, [int(x) for x in grp]
+    used = sorted({int(x) for x in grp})
+    remap = {g: j for j, g in enumerate(used)}
+    gc = [gc[g] for g in used]
+    return gc, [remap[int(x)] for x in grp]
 
 
 def _with_best(
@@ -181,12 +193,14 @@ def _with_best(
         tagged = base.withColumn(
             "__g", _best_struct(F.col("__v"), gc).getField("i")
         )
-        cent_vals = ", ".join(
-            f"({grp[i]}, {i}, array({', '.join(f'{x}L' for x in c)}), "
-            f"{sum(x * x for x in c)}L)"
-            for i, c in enumerate(cents)
+        cdf = local_table(
+            spark,
+            [
+                (grp[i], i, list(c), sum(x * x for x in c))
+                for i, c in enumerate(cents)
+            ],
+            ["g", "i", "cv", "c2"],
         )
-        cdf = spark.sql(f"SELECT * FROM VALUES {cent_vals} AS t(g, i, cv, c2)")
         return (
             tagged.join(F.broadcast(cdf), tagged["__g"] == cdf["g"])
             .withColumn(
@@ -206,15 +220,18 @@ def _with_best(
                 F.first("__n2").alias("__n2"),
             )
         )
-    # VALUES literal, not createDataFrame over local rows: the latter
-    # routes through a Python-RDD conversion whose worker spin-up costs
-    # more than the broadcast itself (same fix as ivf_pq_fit's tables)
-    cent_vals = ", ".join(
-        f"({i}, array({', '.join(f'{int(x)}L' for x in c)}), "
-        f"{sum(int(x) * int(x) for x in c)}L)"
-        for i, c in enumerate(cents)
+    # local_table: VALUES literal while small (pure JVM — a Python-RDD
+    # conversion's worker spin-up costs more than the broadcast), Arrow
+    # batches past the literal-cell threshold (corpus-derived k would
+    # otherwise inline tens of MB of SQL text)
+    cdf = local_table(
+        spark,
+        [
+            (i, [int(x) for x in c], sum(int(x) * int(x) for x in c))
+            for i, c in enumerate(cents)
+        ],
+        ["i", "cv", "c2"],
     )
-    cdf = spark.sql(f"SELECT * FROM VALUES {cent_vals} AS t(i, cv, c2)")
     return (
         base.crossJoin(F.broadcast(cdf))
         .withColumn(
@@ -248,10 +265,15 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "kmeans",
+    two_level: bool = False,
 ) -> list[list[int]]:
     """Fit k centroids (exact micro-int components) via ``n_iter``
     Lloyd's rounds. Empty cells keep their previous centroid. The
-    returned list is bounded (k*dim ints) — safe to fold into plans."""
+    returned list is bounded (k*dim ints) — safe to fold into plans.
+    ``two_level=True`` runs each round's assignment through the
+    approximate group->within-group argmax past the folding threshold
+    (see ``_with_best``) — the large-k fit path, where the exact
+    broadcast join's N*k score rows dominate the round."""
     base = _with_vectors(emb, id_col, vec_col)
     picked = (
         base.select(
@@ -267,7 +289,7 @@ def kmeans_centroids(
     if len(cents) < k:
         raise ValueError(f"corpus has fewer than k={k} vectors")
     for _ in range(n_iter):
-        assigned = _with_best(base, cents, id_col).select(
+        assigned = _with_best(base, cents, id_col, two_level=two_level).select(
             F.col("__m").getField("i").cast("long").alias("cell"), "__v"
         )
         # partial hash-agg: each partition pre-combines to <= k*dim rows
@@ -525,14 +547,12 @@ def semantic_index_fit(
     if target_cell_size is not None:
         k = derive_k(emb.count(), target_cell_size, k_min=k)
     cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col, seed)
-    # VALUES literal (not createDataFrame over local rows — see
-    # _with_best) so the tiny centroid write stays pure JVM
-    cent_vals = ", ".join(
-        f"({i}, array({', '.join(f'{int(x)}L' for x in c)}))"
-        for i, c in enumerate(cents)
-    )
-    spark.sql(
-        f"SELECT * FROM VALUES {cent_vals} AS t(i, centroid)"
+    # local_table: VALUES literal while small (pure JVM), Arrow past
+    # the literal-cell threshold — see functions.localrel
+    local_table(
+        spark,
+        [(i, list(c)) for i, c in enumerate(cents)],
+        ["i", "centroid"],
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
     semantic_index(emb, cents, id_col, vec_col).write.mode("overwrite").parquet(
         f"{index_path}/assignments"

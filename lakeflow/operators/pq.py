@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakeflow.functions.localrel import local_table
 from lakeflow.operators.kmeans import _argbest_cell
 from lakeflow.operators.similarity import _with_vectors, dot_long
 from lakeflow.operators.topk import topk_per_key
@@ -189,14 +190,17 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors by asymmetric distance: corpus codes
-    (narrow encode scan) x broadcast query rows; distance touches the
+    (narrow encode scan, or a PREBUILT ``codes`` relation from
+    :func:`pq_fit`) x broadcast query rows; distance touches the
     m stored codes plus the query's own subvectors — the corpus'
     vectors are read once to encode and never again. Returns
     (q_id, vec_id, adc_d2, rnk)."""
     m = len(codebooks)
-    codes = pq_encode(emb, codebooks, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
     q = (
         _with_vectors(emb.filter(query_pred), id_col, vec_col)
         .withColumnRenamed(id_col, "q_id")
@@ -220,6 +224,7 @@ def pq_ann_topk(
     shortlist: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ search as actually deployed (FAISS IVF-PQ serving shape):
     ADC over the compressed codes SHORTLISTS ``shortlist`` candidates
@@ -230,9 +235,10 @@ def pq_ann_topk(
     the expensive exact arithmetic O(queries * shortlist). Measured
     recall@5 vs exact truth: 0.94 / 0.92 / 0.78 at sf0.001/0.01/0.1
     with m=8, k_sub=16, shortlist=200 (contract-tested >= 0.6).
-    Returns (q_id, vec_id, d2, rnk)."""
+    Pass a prebuilt ``codes`` relation (from :func:`pq_fit`) to skip
+    the in-query encode scan. Returns (q_id, vec_id, d2, rnk)."""
     short = pq_adc_topk(
-        emb, query_pred, codebooks, shortlist, id_col, vec_col
+        emb, query_pred, codebooks, shortlist, id_col, vec_col, codes=codes
     ).select("q_id", id_col)
     base = _with_vectors(emb, id_col, vec_col)
     q = (
@@ -386,12 +392,14 @@ def _ivf_search(
         ).select("q_id", "__qv", F.col("p.i").cast("long").alias("cell"))
     else:
         spark = emb.sparkSession
-        cent_vals = ", ".join(
-            f"({i}, array({', '.join(f'{int(x)}L' for x in c)}), "
-            f"{sum(int(x) * int(x) for x in c)}L)"
-            for i, c in enumerate(coarse)
+        cdf = local_table(
+            spark,
+            [
+                (i, [int(x) for x in c], sum(int(x) * int(x) for x in c))
+                for i, c in enumerate(coarse)
+            ],
+            ["i", "cv", "c2"],
         )
-        cdf = spark.sql(f"SELECT * FROM VALUES {cent_vals} AS t(i, cv, c2)")
         scored_cells = cdf.crossJoin(F.broadcast(q)).select(
             "q_id",
             F.col("i").cast("long").alias("i"),
@@ -553,6 +561,17 @@ def _assign_cells(
     )
 
 
+#: Training vectors per coarse cell when the sample must scale with a
+#: corpus-derived n_cells (FAISS warns below ~39 points/centroid; 8
+#: keeps the driver collect bounded while never starving _init_pick).
+TRAIN_PER_CELL = 8
+
+#: Hard cap on the driver-side training collect (vectors). At dim=64
+#: int64 this is ~128 MB of sample; past it the coarse fit falls back
+#: to the distributed trainer over a (still bounded) hash-sample.
+DRIVER_TRAIN_CAP = 1 << 18
+
+
 def ivf_pq_fit(
     spark,
     emb: DataFrame,
@@ -587,37 +606,62 @@ def ivf_pq_fit(
     the fit equals the full distributed fit exactly — tested). This
     bounds fit cost in corpus size: the corpus-proportional work is
     exactly two scans (the sampling pass and the encode pass), both
-    narrow projections. The encode/codes write stays distributed."""
+    narrow projections. The encode/codes write stays distributed.
+
+    CONSTRAINT (r6 advice): with a corpus-derived ``n_cells``
+    (``target_cell_size``), k can exceed the default sample — Lloyd
+    needs >= k training vectors. The sample therefore scales with k
+    (``TRAIN_PER_CELL`` vectors per cell) up to ``DRIVER_TRAIN_CAP``;
+    past the cap — or if the Bernoulli draw still undershoots k — the
+    COARSE fit falls back to the distributed ``kmeans_centroids``
+    trainer over a (never collected) hash-sample, so the default
+    configuration works at any corpus size. PQ codebooks always fit on
+    the driver sample: k_sub is small and fixed."""
     from lakeflow.operators.kmeans import derive_k
 
     n = emb.count() if (target_cell_size is not None or train_sample is not None) else None
     if target_cell_size is not None:
         n_cells = derive_k(n, target_cell_size, k_min=2)
+    coarse_need = n_cells * TRAIN_PER_CELL
+    if train_sample is not None and coarse_need > train_sample:
+        train_sample = min(coarse_need, DRIVER_TRAIN_CAP)
     rows = _collect_train(emb, id_col, vec_col, train_sample, seed, n=n)
     books = pq_codebooks_driver(rows, m=m, k_sub=k_sub, n_iter=n_iter, dim=dim)
-    coarse = coarse_centroids_driver(rows, k=n_cells, n_iter=n_iter, seed=seed)
-    # the two tiny constant tables are built as VALUES literals so the
-    # write is pure JVM — createDataFrame over local Python rows would
-    # route through a Python-RDD conversion (worker spin-up costs more
-    # than the whole fit)
-    def _values_df(rows_sql: str, names: str):
-        return spark.sql(f"SELECT * FROM VALUES {rows_sql} AS t({names})")
+    if n_cells <= len(rows):
+        coarse = coarse_centroids_driver(rows, k=n_cells, n_iter=n_iter, seed=seed)
+    else:
+        # distributed fallback: train on a hash-sample of ~coarse_need
+        # vectors that never leaves the executors (only the k centroids
+        # are collected, exactly what MLlib's KMeans holds driver-side)
+        from lakeflow.operators.kmeans import kmeans_centroids
+        from lakeflow.operators.sampling import PPM, hash_sample
 
-    book_vals = ", ".join(
-        f"({s}, {j}, array({', '.join(f'{x}L' for x in c)}))"
-        for s, b in enumerate(books)
-        for j, c in enumerate(b)
-    )
-    _values_df(book_vals, "s, j, centroid").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/codebooks")
-    coarse_vals = ", ".join(
-        f"({i}, array({', '.join(f'{x}L' for x in c)}))"
-        for i, c in enumerate(coarse)
-    )
-    _values_df(coarse_vals, "i, centroid").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/coarse")
+        train = emb
+        if n is not None and n > coarse_need:
+            rate_ppm = min(PPM, (coarse_need * PPM + n - 1) // n)
+            train = hash_sample(emb, id_col, rate_ppm, seed=f"{seed}-coarse")
+        coarse = kmeans_centroids(
+            train, k=n_cells, n_iter=n_iter, id_col=id_col,
+            vec_col=vec_col, seed=seed, two_level=True,
+        )
+    # the two constant tables route through local_table: VALUES literal
+    # while small (pure JVM — a Python-RDD conversion's worker spin-up
+    # costs more than the whole fit), Arrow batches past the
+    # literal-cell threshold (corpus-derived n_cells)
+    local_table(
+        spark,
+        [
+            (s, j, list(c))
+            for s, b in enumerate(books)
+            for j, c in enumerate(b)
+        ],
+        ["s", "j", "centroid"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    local_table(
+        spark,
+        [(i, list(c)) for i, c in enumerate(coarse)],
+        ["i", "centroid"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/coarse")
     # cell assignment climbs the _assign_cells scale ladder: exact
     # folded literals for small n_cells, exact broadcast join in the
     # mid range, two-level (group -> within-group argmax) beyond the
@@ -628,6 +672,80 @@ def ivf_pq_fit(
     assigned = _assign_cells(spark, base, coarse, id_col, two_level=two_level)
     codes = pq_encode(emb, books, id_col, vec_col).join(assigned, id_col)
     codes.write.mode("overwrite").parquet(f"{index_path}/codes")
+
+
+def pq_fit(
+    spark,
+    emb: DataFrame,
+    index_path: str,
+    m: int = 8,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "pq",
+    train_sample: int | None = 16_384,
+) -> None:
+    """Build and persist a flat (exhaustive-ADC) PQ index — the
+    coarse-cell-free sibling of :func:`ivf_pq_fit`:
+
+    - ``{index_path}/codebooks``: (s, j, centroid array<long>) —
+      m*k_sub rows, the PQ sub-codebooks;
+    - ``{index_path}/codes``: (id, codes array<long>) — one narrow row
+      per corpus vector.
+
+    Same bounded driver-side training as ``ivf_pq_fit`` (k_sub is
+    small and fixed, so no sample scaling is ever needed). Serving
+    (:func:`pq_search`) then touches only the codes relation + the
+    shortlist's full vectors — the fit is the one corpus pass."""
+    rows = _collect_train(emb, id_col, vec_col, train_sample, seed)
+    books = pq_codebooks_driver(rows, m=m, k_sub=k_sub, n_iter=n_iter, dim=dim)
+    local_table(
+        spark,
+        [
+            (s, j, list(c))
+            for s, b in enumerate(books)
+            for j, c in enumerate(b)
+        ],
+        ["s", "j", "centroid"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    pq_encode(emb, books, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{index_path}/codes"
+    )
+
+
+def load_pq_index(spark, index_path: str) -> tuple[list[list[list[int]]], DataFrame]:
+    """(codebooks, codes): the codebook collect is bounded (m*k_sub
+    rows); codes stays a lazy relation over the persisted parquet."""
+    cb = spark.read.parquet(f"{index_path}/codebooks").collect()
+    m = 1 + max(r["s"] for r in cb)
+    k_sub = 1 + max(r["j"] for r in cb)
+    books: list[list[list[int]]] = [[None] * k_sub for _ in range(m)]
+    for r in cb:
+        books[r["s"]][r["j"]] = [int(x) for x in r["centroid"]]
+    return books, spark.read.parquet(f"{index_path}/codes")
+
+
+def pq_search(
+    spark,
+    emb: DataFrame,
+    query_pred: Column,
+    index_path: str,
+    k: int = 5,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The serving half of the flat-PQ split: ADC shortlist over the
+    PREBUILT codes + exact rerank — no training, no encode scan.
+    Equivalent to :func:`pq_ann_topk` with the same codebooks
+    (fit/search ≡ inline, tested)."""
+    books, codes = load_pq_index(spark, index_path)
+    return pq_ann_topk(
+        emb, query_pred, books, k=k, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col, codes=codes,
+    )
 
 
 def load_ivf_pq_index(

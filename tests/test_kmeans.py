@@ -466,6 +466,138 @@ def test_two_level_assignment_semantics(spark):
     assert two13 == two
 
 
+def test_pq_fit_search_equals_inline(spark, tmp_path):
+    # flat-PQ build/serve split (round 7, the q_pq_ann twin of the
+    # IVF-PQ split): searching a persisted index must equal the inline
+    # train+encode+search composition row-for-row
+    from lakeflow.operators.pq import (
+        _collect_train,
+        pq_ann_topk,
+        pq_codebooks_driver,
+        pq_fit,
+        pq_search,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "pqflat")
+    pq_fit(spark, emb, idx, m=4, k_sub=8)
+    pred = F.col("vec_id") < 3
+    served = {
+        tuple(r) for r in pq_search(spark, emb, pred, idx, k=5, shortlist=50).collect()
+    }
+    books = pq_codebooks_driver(
+        _collect_train(emb, "vec_id", "embedding", 16_384, "pq"),
+        m=4, k_sub=8, n_iter=2, dim=64,
+    )
+    inline = {
+        tuple(r) for r in pq_ann_topk(emb, pred, books, k=5, shortlist=50).collect()
+    }
+    assert served == inline and len(served) == 15
+
+
+def test_ivf_pq_fit_scales_sample_with_derived_cells(spark, tmp_path):
+    # REGRESSION (r6 advice, pq.py): corpus-derived n_cells can exceed
+    # the default training sample — the fit must scale the sample with
+    # k (and fall back to the distributed trainer past the cap) instead
+    # of raising "training set has fewer than k vectors". Forced here
+    # with a tiny train_sample so n_cells > sample at gate scale.
+    from lakeflow.operators.pq import ivf_pq_fit, load_ivf_pq_index
+
+    from lakeflow.operators.kmeans import derive_k
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    idx = str(tmp_path / "ivfpq_scaled")
+    # target 8 -> n_cells = ceil(n/8), far beyond train_sample = 16
+    ivf_pq_fit(
+        spark, emb, idx, m=4, k_sub=8, target_cell_size=8, train_sample=16
+    )
+    _, coarse, codes = load_ivf_pq_index(spark, idx)
+    assert len(coarse) == derive_k(n, 8, k_min=2) > 16
+    assert codes.count() == n  # every vector indexed once
+
+
+def test_ivf_pq_fit_distributed_fallback_past_cap(spark, tmp_path, monkeypatch):
+    # when the scaled sample hits DRIVER_TRAIN_CAP and n_cells still
+    # exceeds what was collected, the coarse fit must fall back to the
+    # distributed trainer instead of raising — forced here by shrinking
+    # the cap below n_cells
+    import lakeflow.operators.pq as pqmod
+    from lakeflow.operators.kmeans import derive_k
+
+    monkeypatch.setattr(pqmod, "DRIVER_TRAIN_CAP", 32)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    idx = str(tmp_path / "ivfpq_fallback")
+    pqmod.ivf_pq_fit(
+        spark, emb, idx, m=4, k_sub=8, target_cell_size=8, train_sample=16
+    )
+    _, coarse, codes = pqmod.load_ivf_pq_index(spark, idx)
+    assert len(coarse) == derive_k(n, 8, k_min=2) > 32
+    assert codes.count() == n
+
+
+def test_local_table_paths_agree(spark):
+    # the VALUES-literal and Arrow createDataFrame routes must produce
+    # identical relations (schema + values); the Arrow route engages
+    # past the literal-cell threshold (r6 advice: a corpus-derived-k
+    # centroid table as SQL text is tens of MB to parse)
+    from lakeflow.functions.localrel import local_table
+
+    rows = [(i, [i * 10, -i], i * i) for i in range(50)]
+    lit = local_table(spark, rows, ["i", "cv", "c2"])
+    arrow = local_table(spark, rows, ["i", "cv", "c2"], max_literal_cells=0)
+    assert [f.dataType.simpleString() for f in lit.schema.fields] == [
+        f.dataType.simpleString() for f in arrow.schema.fields
+    ]
+    assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_two_level_empty_group_loses_no_rows(spark):
+    # REGRESSION (r6 advice, kmeans.py): grouping the k centroids can
+    # leave a group with ZERO member centroids while its stale group
+    # centroid still strictly wins some vectors — under the old code a
+    # vector tagged with that group matched no rows in the inner
+    # centroid join and silently VANISHED (row loss, not the documented
+    # IVF misassignment). _group_centroids now drops empty groups and
+    # remaps ids densely, so every tagged vector joins >= 1 centroid.
+    # This centroid set (found by search) empties group 0 with stale
+    # group centroid [-2000, 8500] micros, which strictly wins a vector
+    # placed exactly there.
+    from lakeflow.operators.kmeans import _group_centroids
+    from lakeflow.operators.pq import _assign_cells
+    from lakeflow.operators.similarity import _with_vectors
+
+    cents = [
+        [-13000, 56000],
+        [45000, -69000],
+        [-12000, 98000],
+        [9000, -39000],
+        [-73000, -99000],
+        [18000, -70000],
+    ]
+    gc, grp = _group_centroids(cents, 3)
+    assert set(grp) == set(range(len(gc)))  # the invariant itself
+    rows = [Row(vec_id=0, embedding=[-0.002, 0.0085])] + [
+        Row(vec_id=i + 1, embedding=[c / 1_000_000 for c in cent])
+        for i, cent in enumerate(cents)
+    ]
+    base = _with_vectors(spark.createDataFrame(rows), "vec_id", "embedding")
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(spark, base, cents, "vec_id", two_level=False).collect()
+    }
+    two = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(
+            spark, base, cents, "vec_id", max_fold=0, two_level=True
+        ).collect()
+    }
+    assert len(exact) == len(rows)
+    assert len(two) == len(rows)  # was len(rows) - 1 before the fix
+    assert all(0 <= c < len(cents) for c in two.values())
+
+
 def test_ivf_pq_fit_two_level_serves_with_recall(spark, tmp_path):
     # a two-level-assigned index still serves: every corpus vector is
     # indexed exactly once, cells are in range, and a served query's
