@@ -3556,7 +3556,10 @@ def q_oov_rate(spark, sf_dir):
              CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS tid
       FROM (SELECT * FROM cnt ORDER BY n DESC, token ASC LIMIT 100))
     SELECT t.doc_id,
-           list(CAST(COALESCE(v.tid, 0) AS BIGINT) ORDER BY t.ord) AS token_ids
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           array_to_string(
+             list(CAST(COALESCE(v.tid, 0) AS BIGINT) ORDER BY t.ord),
+             ' ') AS token_ids_str
     FROM tok2 t LEFT JOIN vocab v USING (token)
     GROUP BY t.doc_id
     """,
@@ -3568,11 +3571,58 @@ def q_oov_rate(spark, sf_dir):
     "join. Vocab is a TakeOrdered k-row relation (deterministic "
     "count-desc/token-asc ids) broadcast onto the posexploded tokens; "
     "sequences reassemble via array_sort(collect_list(struct(pos, "
-    "id))) — one shuffle on doc id, the id arrays hash-compared "
-    "element-for-element against the oracle's ordered list aggregate.",
+    "id))) — one shuffle on doc id. The driver-compared surface "
+    "serializes each id sequence to its canonical space-joined string "
+    "(plus the sequence length) because the driver's pandas "
+    "canonicalizer cannot sort raw list cells (CORRECTNESS_r06 err: "
+    "unhashable type 'list'); the string compare is "
+    "position-sensitive, so it certifies the same element-for-element "
+    "equality. q_tokenize_ids_arrays keeps the native array<long> "
+    "form registered for the local gate.",
     refs=("§2.12", "N7", "F8"),
 )
 def q_tokenize_ids(spark, sf_dir):
+    from lakeflow.operators.corpus import tokenize_to_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tokenize_to_ids(d, "doc_id", "text", 100)
+    ids = F.col("token_ids").cast("array<long>")
+    return out.select(
+        "doc_id",
+        F.size(ids).cast("long").alias("n_tokens"),
+        F.array_join(ids.cast("array<string>"), " ").alias("token_ids_str"),
+    )
+
+
+@query(
+    "q_tokenize_ids_arrays",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(arr) AS token,
+             unnest(generate_series(1, len(arr))) AS ord
+      FROM base),
+    tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    cnt AS (SELECT token, COUNT(*) AS n FROM tok2 GROUP BY token),
+    vocab AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS tid
+      FROM (SELECT * FROM cnt ORDER BY n DESC, token ASC LIMIT 100))
+    SELECT t.doc_id,
+           list(CAST(COALESCE(v.tid, 0) AS BIGINT) ORDER BY t.ord) AS token_ids
+    FROM tok2 t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+    description="The native array<long> form of q_tokenize_ids — what "
+    "a training loader actually consumes. Registered for the local "
+    "gate (lakeflow/testing.py stringifies cells before sorting, so "
+    "list cells canonicalize fine there); the driver window carries "
+    "the string-serialized q_tokenize_ids instead.",
+    refs=("§2.12", "N7", "F8"),
+)
+def q_tokenize_ids_arrays(spark, sf_dir):
     from lakeflow.operators.corpus import tokenize_to_ids
 
     d = load_table(spark, sf_dir, "documents")

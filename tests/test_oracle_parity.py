@@ -42,6 +42,47 @@ def test_registry_invariants():
     assert undocumented == [], undocumented
 
 
+#: Registered local-only twins of a windowed query: same operator,
+#: alternate output representation kept for the local gate. These are
+#: the ONLY queries allowed to be neither windowed nor driver-certified
+#: (their windowed sibling carries the certification).
+NEVER_WINDOWED_TWINS = {
+    "q_tokenize_ids_arrays": "q_tokenize_ids",  # native array<long> form
+}
+
+
+def test_every_query_windowed_or_certified():
+    # VERDICT r6 task #10: the rotation ledger is machine-checkable.
+    # CERTIFIED.json (scripts/certified_ledger.py, rebuilt from the
+    # driver's CORRECTNESS_r*.json each round) records each query's
+    # first green driver row; every registered query must either be in
+    # the CURRENT window (certification lands this round) or already
+    # hold a recorded round — so rotation can never silently orphan a
+    # query. Twins in NEVER_WINDOWED_TWINS must name a sibling that
+    # itself satisfies the rule.
+    import json
+
+    from lakeflow.plans import DRIVER_WINDOW
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CERTIFIED.json")) as fh:
+        certified = json.load(fh)
+    orphans = [
+        n
+        for n in QUERIES
+        if n not in DRIVER_WINDOW
+        and n not in certified
+        and n not in NEVER_WINDOWED_TWINS
+    ]
+    assert orphans == [], (
+        f"queries neither windowed nor driver-certified: {orphans}; "
+        "rotate them into DRIVER_WINDOW or regenerate CERTIFIED.json"
+    )
+    for twin, sibling in NEVER_WINDOWED_TWINS.items():
+        assert twin in QUERIES
+        assert sibling in DRIVER_WINDOW or sibling in certified
+
+
 def test_docs_counts_match_registry():
     # README/COVERAGE quote the registry and window sizes; derive them
     # from the code here so the docs cannot rot when queries are added
