@@ -43,8 +43,142 @@ def has_real_decode() -> bool:
     ``fake=False`` instead of raising. Detection happens on the
     EXECUTORS too (the import is module-level, shipped with the
     function closure), so a cluster must install the library on every
-    node or pin ``fake=True``."""
+    node or pin ``fake=True``. Even without PIL, PNG payloads decode
+    for real through the stdlib baseline (:func:`png_decode_rgb`)."""
     return _PILImage is not None
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python PNG baseline decoder (stdlib zlib only).
+#
+# Exists so the REAL decode branch is exercisable in environments that
+# ship no media library (r6 verdict task #4): PNG is an honest format —
+# zlib-compressed scanlines with five per-row predictor filters — and
+# decoding it needs nothing beyond the stdlib. The baseline handles the
+# overwhelmingly common shape (8-bit depth, gray/gray+alpha/RGB/RGBA,
+# non-interlaced); anything else still raises and PIL remains the prod
+# path. Per-pixel unfiltering is Python-loop sequential BY SPEC (each
+# byte's predictor reads the just-decoded left/up bytes), so this is a
+# correctness baseline, not the throughput path — at scale install PIL
+# on the executors.
+
+
+def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a PNG payload to (width, height, rgb_rows) where each row
+    is ``3*width`` bytes of R,G,B. Grayscale/alpha inputs expand to RGB
+    (alpha dropped — metadata extraction wants pixels, not compositing).
+    Raises ValueError on a non-PNG and NotImplementedError on shapes
+    outside the baseline (bit depth != 8, interlaced, palette)."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype == 3:
+        raise NotImplementedError(
+            f"PNG shape outside the stdlib baseline (depth={depth}, "
+            f"color_type={ctype}, interlace={interlace}); install PIL"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    rows: list[bytes] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:  # Sub: predictor = left
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif f == 2:  # Up: predictor = above
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average of left and above
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                up = prev[x]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid PNG filter type {f}")
+        prev = line
+        # expand to RGB (drop alpha; replicate gray)
+        if channels == 3:
+            rows.append(bytes(line))
+        elif channels == 1:
+            rows.append(bytes(v for px in line for v in (px, px, px)))
+        elif channels == 2:
+            rows.append(
+                bytes(v for x in range(0, stride, 2) for v in (line[x],) * 3)
+            )
+        else:  # RGBA
+            rows.append(
+                bytes(
+                    v
+                    for x in range(0, stride, 4)
+                    for v in (line[x], line[x + 1], line[x + 2])
+                )
+            )
+    return w, h, rows
+
+
+def _rgb_luma(r: int, g: int, b: int) -> int:
+    """ITU-R 601-2 integer luminance — the same L = (299R + 587G +
+    114B) / 1000 rule PIL's ``convert('L')`` uses, truncating."""
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _nearest_grid(n_src: int, n_dst: int) -> list[int]:
+    """Nearest-neighbor source index per destination cell (the
+    deterministic affine rule src = floor((dst + 0.5) * n_src / n_dst),
+    computed in exact integers)."""
+    return [min(n_src - 1, (2 * d + 1) * n_src // (2 * n_dst)) for d in range(n_dst)]
+
+
+def _png_thumb_rgb(
+    b: bytes, tw: int, th: int
+) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """(width, height, tw*th RGB pixel tuples) — decode + deterministic
+    nearest-neighbor thumbnail, the baseline's stand-in for PIL's
+    resample (documented: NEAREST, exact-integer grid, so results are
+    engine- and platform-independent)."""
+    w, h, rows = png_decode_rgb(b)
+    xs = _nearest_grid(w, tw)
+    ys = _nearest_grid(h, th)
+    px = []
+    for y in ys:
+        row = rows[y]
+        for x in xs:
+            px.append((row[3 * x], row[3 * x + 1], row[3 * x + 2]))
+    return w, h, px
 
 META_SCHEMA = (
     "id long, n_bytes long, content_md5 string, media_type string"
@@ -85,19 +219,16 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
     ``mapInPandas``. With ``fake=False`` the REAL branch runs when PIL
     is importable (:func:`has_real_decode`): true width/height plus a
     deterministic 4-dim feature (mean R/G/B of an 8x8 thumbnail + mean
-    gray, each in [0,1]). Without PIL it raises ``NotImplementedError``
-    (this sandbox ships no media libraries); ``fake=True`` substitutes
-    a deterministic md5-derived extractor through the identical
-    plumbing so schema/batching/partitioning stay exercised in CI."""
+    gray, each in [0,1]). Without PIL, PNG payloads still decode FOR
+    REAL through the stdlib baseline (:func:`png_decode_rgb`; the
+    thumbnail is deterministic nearest-neighbor instead of PIL's
+    resample); non-PNG payloads then raise ``NotImplementedError``.
+    ``fake=True`` substitutes a deterministic md5-derived extractor
+    through the identical plumbing so schema/batching/partitioning
+    stay exercised everywhere."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake and _PILImage is None:
-                raise NotImplementedError(
-                    "media decode requires a PIL-class library on every "
-                    "executor; run with fake=True for the deterministic "
-                    "stub"
-                )
             feats, widths, heights = [], [], []
             for b in pdf["payload"]:
                 if fake:
@@ -106,9 +237,22 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     widths.append(digest[4] + 1)
                     heights.append(digest[5] + 1)
                 else:
-                    with _PILImage.open(io.BytesIO(bytes(b))) as im:
-                        w, h = im.size
-                        px = list(im.convert("RGB").resize((8, 8)).getdata())
+                    if _PILImage is not None:
+                        with _PILImage.open(io.BytesIO(bytes(b))) as im:
+                            w, h = im.size
+                            px = list(
+                                im.convert("RGB").resize((8, 8)).getdata()
+                            )
+                    else:
+                        try:
+                            w, h, px = _png_thumb_rgb(bytes(b), 8, 8)
+                        except ValueError:
+                            raise NotImplementedError(
+                                "payload is not a PNG and no PIL-class "
+                                "library is installed on the executors; "
+                                "run with fake=True for the "
+                                "deterministic stub"
+                            ) from None
                     n = 255.0 * len(px)
                     mr = sum(p[0] for p in px) / n
                     mg = sum(p[1] for p in px) / n
@@ -131,24 +275,22 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
 def resize_images(
     df: DataFrame, width: int, height: int, fake: bool = False
 ) -> DataFrame:
-    """Image resize over binary payloads. The real branch (PIL present,
-    ``fake=False``) emits the row-major grayscale bitmap of the resized
-    image — exactly ``width*height`` bytes; ``fake=True`` emits a
-    deterministic pseudo-bitmap of the same size derived from the
-    payload md5, so the 1:1 mapInPandas plumbing (schema, Arrow
-    batching, output size ∝ target dims not input size) is exercised
-    even where no decoder ships. At scale the win is that resize
-    happens WHERE the bytes are scanned — payloads never shuffle;
-    output partitions shrink to thumbnail size."""
+    """Image resize over binary payloads. The real branch emits the
+    row-major grayscale bitmap of the resized image — exactly
+    ``width*height`` bytes — via PIL when present; without PIL, PNG
+    payloads resize FOR REAL through the stdlib baseline
+    (:func:`png_decode_rgb` + deterministic nearest-neighbor grid +
+    the same ITU-R 601-2 luminance rule PIL's ``convert('L')`` uses),
+    and non-PNG payloads raise. ``fake=True`` emits a deterministic
+    pseudo-bitmap of the same size derived from the payload md5, so
+    the 1:1 mapInPandas plumbing (schema, Arrow batching, output size
+    ∝ target dims not input size) is exercised even where no decoder
+    ships. At scale the win is that resize happens WHERE the bytes are
+    scanned — payloads never shuffle; output partitions shrink to
+    thumbnail size."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake and _PILImage is None:
-                raise NotImplementedError(
-                    "image resize requires a PIL-class library on every "
-                    "executor; run with fake=True for the deterministic "
-                    "stub"
-                )
             out = []
             for b in pdf["payload"]:
                 if fake:
@@ -156,7 +298,7 @@ def resize_images(
                     # deterministic pseudo-bitmap: digest tiled to w*h
                     n = width * height
                     out.append((digest * (n // 16 + 1))[:n])
-                else:
+                elif _PILImage is not None:
                     # real branch: grayscale bitmap, width*height bytes
                     # (row-major L mode) — same output contract as the
                     # stub, so downstream schema/size math is identical
@@ -164,6 +306,16 @@ def resize_images(
                         out.append(
                             im.convert("L").resize((width, height)).tobytes()
                         )
+                else:
+                    try:
+                        _, _, px = _png_thumb_rgb(bytes(b), width, height)
+                    except ValueError:
+                        raise NotImplementedError(
+                            "payload is not a PNG and no PIL-class "
+                            "library is installed on the executors; run "
+                            "with fake=True for the deterministic stub"
+                        ) from None
+                    out.append(bytes(_rgb_luma(r, g, bl) for r, g, bl in px))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -185,24 +337,34 @@ def sample_frames(
     pandas_udf does not). Real branch (PIL present, ``fake=False``):
     multi-frame formats PIL can open (animated GIF/WebP/TIFF) are
     stepped at ``every_ms`` using each frame's declared duration, up to
-    ``max_frames``, emitting 16x16 grayscale frame thumbnails; true
-    video containers still need an ffmpeg-class decoder and raise.
-    ``fake=True`` derives a deterministic frame count (1..max_frames
-    from the payload md5) and per-frame bytes so
+    ``max_frames``, emitting 16x16 grayscale frame thumbnails; without
+    PIL, a PNG payload yields its single frame through the stdlib
+    baseline; true video containers still need an ffmpeg-class decoder
+    and raise. ``fake=True`` derives a deterministic frame count
+    (1..max_frames from the payload md5) and per-frame bytes so
     partitioning/row-expansion is exercised everywhere. At scale:
     frames inherit the scan's partitioning, no shuffle; a downstream
     repartition only if frame-level grouping follows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake and _PILImage is None:
-                raise NotImplementedError(
-                    "frame sampling requires a PIL-class library (or an "
-                    "ffmpeg-class one for true video) on every executor; "
-                    "run with fake=True for the deterministic stub"
-                )
             ids, idxs, tss, frames = [], [], [], []
             for i, b in zip(pdf["id"], pdf["payload"]):
+                if not fake and _PILImage is None:
+                    try:
+                        _, _, px = _png_thumb_rgb(bytes(b), 16, 16)
+                    except ValueError:
+                        raise NotImplementedError(
+                            "payload is not a PNG and no PIL-class "
+                            "library (or ffmpeg-class one for true "
+                            "video) is installed on the executors; run "
+                            "with fake=True for the deterministic stub"
+                        ) from None
+                    ids.append(i)
+                    idxs.append(0)
+                    tss.append(0)
+                    frames.append(bytes(_rgb_luma(r, g, bl) for r, g, bl in px))
+                    continue
                 if not fake:
                     with _PILImage.open(io.BytesIO(bytes(b))) as im:
                         n_avail = int(getattr(im, "n_frames", 1))

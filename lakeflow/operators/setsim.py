@@ -48,17 +48,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakeflow.caching import CacheScope, maybe_persist
-from lakeflow.operators.text import explode_shingles
 
 MICRO = 1_000_000
+
+
+def _element_arrays(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, __arr) per-doc DISTINCT element arrays straight from the
+    text — tokenize, shingle, ``array_distinct``, all in one narrow
+    codegen projection, ZERO shuffle. This single relation serves both
+    halves of the join: exploding it yields the (id, s) element rows
+    the prefix stage ranks, and it IS the verification array relation
+    (``explode(...).distinct()`` + ``collect_set`` would pay two full
+    shuffles to arrive at the same two shapes)."""
+    from lakeflow.operators.text import shingles_from_tokens, tokens
+
+    pre = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return pre.select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_tokens("__toks", shingle_n)).alias("__arr"),
+    )
 
 
 def _distinct_elements(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
     """(id, s) distinct set elements per document: word ``shingle_n``-gram
-    shingles (n=1 degrades to the distinct-token set)."""
-    return explode_shingles(df, id_col, text_col, shingle_n).distinct()
+    shingles (n=1 degrades to the distinct-token set). Narrow map +
+    explode — per-doc dedup never leaves the row (see
+    :func:`_element_arrays`)."""
+    return _element_arrays(df, id_col, text_col, shingle_n).select(
+        F.col(id_col), F.explode("__arr").alias("s")
+    )
 
 
 def prefix_filter_candidates(
@@ -78,7 +100,7 @@ def prefix_filter_candidates(
         .withColumn("__rnk", F.row_number().over(w))
         .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
-    # prefix length |S| - ceil(t*|S|) + 1, all-integer ceil
+    # PROBE prefix length |S| - ceil(t*|S|) + 1, all-integer ceil
     need = F.floor(
         (F.lit(threshold_micros) * F.col("__sz") + F.lit(MICRO - 1)) / F.lit(MICRO)
     )
@@ -92,29 +114,54 @@ def prefix_filter_candidates(
     # heavy-tailed element distribution most prefix elements are df=1,
     # so this halves-or-better the self-join's shuffle for free.
     pair_src = pref.filter(F.col("__df") >= 2)
+    # ASYMMETRIC INDEX PREFIX (PPJoin indexing optimization): orient
+    # each pair so the SMALLER set (ties: smaller id) is the indexed
+    # side b — for a qualifying pair its overlap is at least
+    # ceil(2t/(1+t) * |B|) (since |A| >= |B|), so B's first
+    # |B| - ceil(2t/(1+t)*|B|) + 1 elements must already contain the
+    # pair's rarest common element, which the probe side A finds in its
+    # own (longer) probe prefix. The index prefix is ~(1-t)/(1+t) of
+    # the set vs (1-t) for the probe prefix — at t=0.3 a 23% shorter
+    # join side, and candidate rows shrink by the product.
+    need_idx = F.floor(
+        (
+            F.lit(2 * threshold_micros) * F.col("__sz")
+            + F.lit(MICRO + threshold_micros - 1)
+        )
+        / F.lit(MICRO + threshold_micros)
+    )
+    idx_src = pair_src.filter(
+        F.col("__rnk") <= F.col("__sz") - need_idx + 1
+    )
     a = pair_src.select(
         F.col(id_col).alias("ia"),
         F.col("s"),
         F.col("__sz").alias("sza"),
         F.col("__rnk").alias("pa"),
     )
-    b = pair_src.select(
+    b = idx_src.select(
         F.col(id_col).alias("ib"),
         F.col("s"),
         F.col("__sz").alias("szb"),
         F.col("__rnk").alias("pb"),
     )
-    # PPJoin positional filter: J >= t forces an absolute overlap of
-    # alpha = ceil(t/(1+t) * (|A|+|B|)) shared elements; for a match at
-    # (rarest-first) positions (pa, pb) the overlap can be at most
-    # 1 + min(|A|-pa, |B|-pb). The pair's FIRST common element always
-    # satisfies the bound when the pair truly qualifies (all alpha
-    # common elements sit at positions >= that occurrence in both
-    # docs), so dropping failing OCCURRENCES before the distinct loses
-    # no qualifying pair while cutting the verify stage's input
-    # (measured 1.8x fewer candidates on the near-uniform-size sf0.1
-    # corpus; the filter bites hardest when sizes vary, where the
-    # length filter alone is loosest).
+    # ACCUMULATED PPJoin positional filter: J >= t forces an absolute
+    # overlap of alpha = ceil(t/(1+t) * (|A|+|B|)). The join emits one
+    # row per shared (probe-prefix x index-prefix) element; grouping
+    # them per pair gives cp = |matched prefix elements| and the pair's
+    # LAST matched (rarest-first) positions (max_pa, max_pb). Every
+    # common element NOT matched must be globally rarer-ordered AFTER
+    # that last match (if it ordered before, it would sit inside both
+    # prefixes and be matched), so
+    #     overlap <= cp + min(|A| - max_pa, |B| - max_pb)
+    # — strictly tighter than the single-occurrence bound
+    # 1 + min(|A|-pa1, |B|-pb1) (positions of matched elements strictly
+    # increase, so max_pa >= pa1 + cp - 1). The groupBy replaces the
+    # former .distinct() — same shuffle volume, tighter filter. On the
+    # near-uniform-size sf0.1 gate corpus the rarest-first order makes
+    # most matches EARLY, so the bound bites little there (~2%); it is
+    # the size- and position-varying corpora — where the length filter
+    # is loosest — that it protects, at zero added shuffle cost.
     alpha = F.floor(
         (
             F.lit(threshold_micros) * (F.col("sza") + F.col("szb"))
@@ -122,21 +169,40 @@ def prefix_filter_candidates(
         )
         / F.lit(MICRO + threshold_micros)
     )
+    # the indexed side must be the smaller set (ties: smaller id) —
+    # exactly one orientation generates each pair, so no double count
+    smaller = (F.col("szb") < F.col("sza")) | (
+        (F.col("szb") == F.col("sza")) & (F.col("ib") < F.col("ia"))
+    )
+    out_swap = F.col("ia") > F.col("ib")
     return (
         a.join(b, "s")
-        .filter(F.col("ia") < F.col("ib"))
+        .filter(smaller)
         # length filter, integer cross-multiply (t*|A| <= |B| <= |A|/t)
         .filter(
             F.least("sza", "szb") * F.lit(MICRO)
             >= F.lit(threshold_micros) * F.greatest("sza", "szb")
         )
+        .groupBy("ia", "ib", "sza", "szb")
+        .agg(
+            F.count(F.lit(1)).alias("__cp"),
+            F.max("pa").alias("__mpa"),
+            F.max("pb").alias("__mpb"),
+        )
         .filter(
-            F.lit(1)
-            + F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb"))
+            F.col("__cp")
+            + F.least(
+                F.col("sza") - F.col("__mpa"), F.col("szb") - F.col("__mpb")
+            )
             >= alpha
         )
-        .select("ia", "ib", "sza", "szb")
-        .distinct()
+        # normalize to id_a < id_b, sizes following their ids
+        .select(
+            F.when(out_swap, F.col("ib")).otherwise(F.col("ia")).alias("ia"),
+            F.when(out_swap, F.col("ia")).otherwise(F.col("ib")).alias("ib"),
+            F.when(out_swap, F.col("szb")).otherwise(F.col("sza")).alias("sza"),
+            F.when(out_swap, F.col("sza")).otherwise(F.col("szb")).alias("szb"),
+        )
     )
 
 
@@ -214,13 +280,17 @@ def setsim_join(
     (prefix filtering loses no qualifying pair), candidate generation
     via the rarest-first prefix equi-join above.
 
-    The element relation is consumed twice (doc frequency + prefix
-    join) and the per-doc ARRAY relation twice (both verify sides of
-    the self-join), so both are persisted; pass ``cache=CacheScope()``
-    (or run under ``scoped_cache``) to bound the persists' lifetime."""
-    el = maybe_persist(_distinct_elements(df, id_col, text_col, shingle_n), cache)
+    ONE relation is persisted — the per-doc distinct-element arrays
+    (:func:`_element_arrays`, built shuffle-free) — and every consumer
+    derives from it: the prefix stage explodes it (narrow), both verify
+    sides of the self-join read it directly. Pass
+    ``cache=CacheScope()`` (or run under ``scoped_cache``) to bound the
+    persist's lifetime."""
+    arrs = maybe_persist(
+        _element_arrays(df, id_col, text_col, shingle_n), cache
+    )
+    el = arrs.select(F.col(id_col), F.explode("__arr").alias("s"))
     cand = prefix_filter_candidates(el, id_col, threshold_micros)
-    arrs = maybe_persist(_set_arrays(el, id_col), cache)
     return _verify_pairs(cand, arrs, arrs, id_col, threshold_micros)
 
 

@@ -320,6 +320,176 @@ def test_jpeg_dims_fill_bytes_and_eoi(spark):
     assert out[2] == (None, None)
 
 
+def _encode_png(rows, w, h, ctype, filters):
+    """Reference PNG encoder for the baseline-decoder tests: raw pixel
+    rows + an explicit per-row filter-type cycle -> a well-formed PNG
+    (IHDR/IDAT/IEND with CRCs). Encoding applies the exact inverse of
+    each filter, so a decode that reproduces the input pixels proves
+    every unfilter path (None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    stride = w * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, row in enumerate(rows):
+        line = bytearray(row)
+        assert len(line) == stride
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = bytearray(
+                (line[x] - (line[x - channels] if x >= channels else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif f == 2:
+            enc = bytearray((line[x] - prev[x]) & 0xFF for x in range(stride))
+        elif f == 3:
+            enc = bytearray(
+                (
+                    line[x]
+                    - (((line[x - channels] if x >= channels else 0) + prev[x]) >> 1)
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            enc = bytearray()
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                up = prev[x]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc.append((line[x] - pr) & 0xFF)
+        raw += enc
+        prev = line
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gradient_rows(w, h, channels):
+    """Deterministic full-range pixel rows (position-derived bytes)."""
+    return [
+        bytes((x * 7 + y * 13 + c * 29) % 256 for x in range(w) for c in range(channels))
+        for y in range(h)
+    ]
+
+
+def test_png_baseline_decoder_all_filters_roundtrip():
+    # pure-Python stdlib decoder (VERDICT r6 task #4): encode with every
+    # filter type cycling across rows, decode, get the exact pixels back
+    from lakeflow.operators.multimodal import png_decode_rgb
+
+    w, h = 9, 10  # odd width so Sub/Average/Paeth cross channel strides
+    for ctype, channels in ((2, 3), (0, 1), (6, 4), (4, 2)):
+        rows = _gradient_rows(w, h, channels)
+        payload = _encode_png(rows, w, h, ctype, filters=[0, 1, 2, 3, 4])
+        dw, dh, rgb = png_decode_rgb(payload)
+        assert (dw, dh) == (w, h)
+        for y in range(h):
+            got = rgb[y]
+            for x in range(w):
+                px = rows[y][x * channels : (x + 1) * channels]
+                if channels >= 3:
+                    expect = (px[0], px[1], px[2])
+                else:
+                    expect = (px[0], px[0], px[0])  # gray replicated
+                assert tuple(got[3 * x : 3 * x + 3]) == expect, (ctype, x, y)
+
+
+def test_png_baseline_rejects_out_of_scope():
+    import pytest as _pytest
+
+    from lakeflow.operators.multimodal import png_decode_rgb
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        png_decode_rgb(b"GIF89a______")
+    # 16-bit depth is outside the baseline: honest NotImplementedError
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    c = b"IHDR" + ihdr
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + c + struct.pack(">I", zlib.crc32(c))
+    )
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        png_decode_rgb(payload)
+
+
+def test_multimodal_real_png_decode_without_pil(spark):
+    # the REAL (non-fake) branch now runs in this sandbox for PNG
+    # payloads via the stdlib baseline — decode_features reports true
+    # dims + mean-color features, resize_images emits the exact
+    # luminance bitmap, sample_frames yields the single still frame
+    import pytest as _pytest
+
+    from lakeflow.operators.multimodal import (
+        _nearest_grid,
+        has_real_decode,
+        resize_images,
+        sample_frames,
+    )
+
+    if has_real_decode():
+        _pytest.skip("PIL installed; this exercises the stdlib baseline")
+
+    w, h = 32, 16
+    red = [bytes([255, 0, 0] * w) for _ in range(h)]
+    grad = _gradient_rows(w, h, 3)
+    rows_data = [
+        (1, _encode_png(red, w, h, 2, filters=[0])),
+        (2, _encode_png(grad, w, h, 2, filters=[4, 2, 1, 3, 0])),
+    ]
+    d = spark.createDataFrame(rows_data, "id long, payload binary").withColumn(
+        "media_type", F.lit("image/png")
+    )
+    feats = {r["id"]: r for r in decode_features(d, fake=False).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (w, h)
+    assert feats[1]["feature"][0] == 1.0 and feats[1]["feature"][1] == 0.0
+    rs = {r["id"]: r for r in resize_images(d, 4, 4, fake=False).collect()}
+    assert all(b == 76 for b in rs[1]["resized"])  # luma(255,0,0) = 76
+    # independent expectation for the gradient: nearest-neighbor grid +
+    # ITU-R 601-2 luma, computed here from the raw rows
+    xs, ys = _nearest_grid(w, 4), _nearest_grid(h, 4)
+    expect = bytes(
+        (
+            299 * grad[y][3 * x]
+            + 587 * grad[y][3 * x + 1]
+            + 114 * grad[y][3 * x + 2]
+        )
+        // 1000
+        for y in ys
+        for x in xs
+    )
+    assert bytes(rs[2]["resized"]) == expect
+    fr = sample_frames(d, every_ms=1000, max_frames=2, fake=False).collect()
+    assert sorted((r["id"], r["frame_idx"]) for r in fr) == [(1, 0), (2, 0)]
+    assert all(len(r["frame"]) == 256 for r in fr)
+    # non-PNG payloads still declare themselves unimplemented
+    t = with_binary_payload(
+        load_table(spark, SF, "documents").limit(2), "text", "doc_id"
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|not a PNG"):
+        decode_features(t, fake=False).collect()
+
+
 def test_multimodal_real_decode_when_pil_present(spark):
     # the real-decode escape hatch (VERDICT r5 task #4): when a
     # PIL-class library is importable, fake=False runs true decode;
