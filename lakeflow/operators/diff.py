@@ -24,13 +24,18 @@ from pyspark.sql import functions as F
 
 
 def snapshot_diff(
-    old: DataFrame, new: DataFrame, keys: list[str]
+    old: DataFrame, new: DataFrame, keys: list[str], emit_old: bool = False
 ) -> DataFrame:
     """Change feed from ``old`` → ``new`` keyed by ``keys``: one row per
     inserted ('I'), deleted ('D'), or value-changed ('U') key, carrying
     the NEW values for I/U and the OLD values for D. Unchanged keys emit
     nothing. Both snapshots must share a schema; comparisons are
-    null-safe (NULL → NULL is unchanged)."""
+    null-safe (NULL → NULL is unchanged).
+
+    ``emit_old=True`` additionally carries every value column's
+    PRE-image as ``__old_<col>`` (null for I) — what an incremental
+    aggregate consumer needs to RETRACT a U/D row's old contribution
+    (``streaming/cdf.py``); plain CDC consumers skip the wide form."""
     val_cols = [c for c in new.columns if c not in keys]
     # explicit presence markers, NOT key-isNotNull probes: the join is
     # deliberately null-safe on the keys, so a row whose key columns
@@ -73,7 +78,15 @@ def snapshot_diff(
         F.when(~in_new, j[f"__o_{c}"]).otherwise(j[f"__n_{c}"]).alias(c)
         for c in val_cols
     ]
+    old_vals = (
+        [
+            F.when(in_old, j[f"__o_{c}"]).alias(f"__old_{c}")
+            for c in val_cols
+        ]
+        if emit_old
+        else []
+    )
     return (
-        j.select(op.alias("op"), *out_keys, *out_vals)
+        j.select(op.alias("op"), *out_keys, *out_vals, *old_vals)
         .where(F.col("op").isNotNull())
     )

@@ -498,6 +498,7 @@ def table_changes(
     v_from: int,
     v_to: int,
     keys: list[str],
+    emit_old: bool = False,
 ) -> DataFrame:
     """Delta-CDF-style change feed between two committed versions:
     one row per inserted ('I'), deleted ('D'), or value-changed ('U')
@@ -514,6 +515,7 @@ def table_changes(
         read_table(spark, path, v_from),
         read_table(spark, path, v_to),
         keys,
+        emit_old=emit_old,
     )
 
 

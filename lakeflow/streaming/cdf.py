@@ -1,0 +1,129 @@
+"""Incremental change-feed consumer over manifest-committed tables
+(VERDICT r6 task #8): tail ``txtable.table_changes`` version-to-version
+into a persisted downstream aggregate — the change-feed analogue of
+``corpus_intake.stream_bitmap_rollup``.
+
+Shape: a source table commits versions (appends, upserts, deletes);
+each :func:`advance_cdf_aggregate` call reads ONLY the change rows
+between the last consumed version and the current one, folds them into
+a per-group additive aggregate (row count + SUM per measure), and
+commits atomically. Downstream state equals a batch recompute of the
+aggregate over the CURRENT snapshot at every version (tested), while
+processing |changes| rows per advance, never the snapshot.
+
+Retraction algebra: each change row contributes up to two signed rows —
+a ``-old`` retraction grouped by the row's OLD group value (ops D/U)
+and a ``+new`` addition grouped by its NEW group value (ops I/U). This
+is what makes group-column changes correct: a U row that moved from
+group g1 to g2 subtracts from g1 and adds to g2; same-group U rows
+net to (new - old). Requires the feed's ``emit_old`` pre-images.
+
+Crash/replay safety without a separate cursor file: the consumed
+version IS the merge commit token (``cdfv{N}``), swapped in atomically
+with the data by ``merge_aggregate``'s fenced overwrite — so the
+cursor and the fold can never disagree. A consumer that crashed after
+committing simply re-derives its cursor from the token it finds; a
+replayed advance whose token already sits on the target is a no-op.
+
+At 100 TB: the change feed is one co-located full outer join of two
+snapshots (see ``operators/diff.py``); the retraction union is a
+narrow projection; the delta aggregate is |changes|-bounded; and the
+stored aggregate is keys-bounded. Nothing here scales with table
+history length.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow.sinks.merge import merge_aggregate, read_target_if_exists
+from lakeflow.sinks.txtable import current_version, read_table, table_changes
+
+_TOKEN_RE = re.compile(r"^_token_cdfv(\d+)$")
+
+
+def cdf_cursor(agg_path: str) -> int:
+    """Last source-table version folded into ``agg_path`` — recovered
+    from the merge commit token itself (exactly one survives each
+    fenced overwrite), so the cursor is atomic with the data. 0 = the
+    aggregate has consumed nothing yet."""
+    if not os.path.isdir(agg_path):
+        return 0
+    best = 0
+    for f in os.listdir(agg_path):
+        m = _TOKEN_RE.match(f)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def advance_cdf_aggregate(
+    spark: SparkSession,
+    table_path: str,
+    agg_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    measure_cols: list[str],
+) -> int | None:
+    """Advance the downstream aggregate to the source table's current
+    version. Returns the newly consumed version, or None when already
+    current. Maintains, per ``group_cols`` value: ``n`` (live row
+    count) and ``sum_<m>`` for each measure column — exactly
+    ``read_table(...).groupBy(group).agg(count, sums)`` at every
+    version, maintained from |changes| rows."""
+    v_now = current_version(table_path)
+    v_from = cdf_cursor(agg_path)
+    if v_now <= v_from:
+        return None
+    if v_from == 0:
+        # first consumption: the whole snapshot is one big insert
+        snap = read_table(spark, table_path, v_now)
+        contrib = snap.select(
+            *group_cols,
+            F.lit(1).alias("__dn"),
+            *[F.col(m).alias(f"__dm_{m}") for m in measure_cols],
+        )
+    else:
+        ch = table_changes(spark, table_path, v_from, v_now, keys, emit_old=True)
+        add = ch.filter(F.col("op") != "D").select(
+            *group_cols,
+            F.lit(1).alias("__dn"),
+            *[F.col(m).alias(f"__dm_{m}") for m in measure_cols],
+        )
+        # retraction: the OLD group value and OLD measures, negated
+        retract = ch.filter(F.col("op") != "I").select(
+            *[F.col(f"__old_{g}").alias(g) for g in group_cols],
+            F.lit(-1).alias("__dn"),
+            *[(-F.col(f"__old_{m}")).alias(f"__dm_{m}") for m in measure_cols],
+        )
+        contrib = add.unionByName(retract)
+    delta = contrib.groupBy(*group_cols).agg(
+        F.sum("__dn").cast("long").alias("n"),
+        *[F.sum(f"__dm_{m}").alias(f"sum_{m}") for m in measure_cols],
+    )
+    merge_aggregate(
+        spark,
+        agg_path,
+        delta,
+        group_cols,
+        [
+            F.sum("n").cast("long").alias("n"),
+            *[F.sum(f"sum_{m}").alias(f"sum_{m}") for m in measure_cols],
+        ],
+        commit_token=f"cdfv{v_now}",
+    )
+    return v_now
+
+
+def read_cdf_aggregate(spark: SparkSession, agg_path: str) -> DataFrame:
+    """The maintained aggregate, with fully-retracted groups (n == 0)
+    dropped — a batch ``groupBy`` over the snapshot has no row for a
+    group whose members were all deleted, and neither does this."""
+    df = read_target_if_exists(spark, agg_path)
+    if df is None:
+        raise FileNotFoundError(f"no CDF aggregate at {agg_path!r}")
+    return df.filter(F.col("n") != 0)

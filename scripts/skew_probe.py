@@ -87,6 +87,62 @@ def main() -> None:
         ),
     )
 
+    # --- BM25 hot-token stress (VERDICT r6 task #7) ------------------
+    # plant one token in 90% of docs, replicate the corpus 10x, and
+    # compare bm25_search wall time: the hot posting list dominates the
+    # queried postings, so the 10x/1x ratio measures whether the
+    # dl/totals joins and the TakeOrdered top-k stay posting-volume
+    # bound (AQE splits any skewed join partition at runtime). Gate:
+    # ratio <= 2x of the 10x data growth (i.e. <= 20x of the 1x time
+    # would be linear-in-postings; we assert the much stronger
+    # <= 2x-of-linear by comparing against the 10x no-hot baseline).
+    from lakeflow.caching import scoped_cache
+    from lakeflow.operators.index import bm25_search, build_inverted_index
+
+    def with_hot(df):
+        return df.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 != 0,
+                F.concat(F.col("text"), F.lit(" hottoken")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+
+    def replicate(df, times):
+        return (
+            spark.range(times)
+            .crossJoin(df)
+            .select(
+                (F.col("doc_id") + F.col("id") * 10_000_000).alias("doc_id"),
+                "text",
+            )
+        )
+
+    def bm25_wall(corpus, terms) -> float:
+        best = float("inf")
+        for _ in range(2):
+            with scoped_cache():
+                t0 = time.perf_counter()
+                bm25_search(build_inverted_index(corpus), terms, k=10).collect()
+                best = min(best, time.perf_counter() - t0)
+        return best
+
+    base1 = docs.localCheckpoint(eager=True)
+    hot10 = replicate(with_hot(docs), 10).localCheckpoint(eager=True)
+    base10 = replicate(docs, 10).localCheckpoint(eager=True)
+    t_1x = bm25_wall(with_hot(base1), ["hottoken", "batch"])
+    t_10x_hot = bm25_wall(hot10, ["hottoken", "batch"])
+    t_10x_cold = bm25_wall(base10, ["batch", "merge"])
+    print(f"bm25 hot-token 1x                            {t_1x:7.2f}s")
+    print(f"bm25 hot-token 10x                           {t_10x_hot:7.2f}s")
+    print(f"bm25 NO-hot    10x (baseline)                {t_10x_cold:7.2f}s")
+    print(
+        f"bm25 hot/no-hot ratio at 10x:                {t_10x_hot / t_10x_cold:7.2f}x"
+        f"   (gate <= 2x)"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from lakeflow.operators.index import (
     build_inverted_index,
@@ -178,3 +179,38 @@ def test_bm25_no_matching_terms(spark):
     out = bm25_search(idx, ["zzz_not_present"], k=5)
     assert out.count() == 0
     assert out.columns == ["doc_id", "score_micros", "n_terms"]
+
+
+def test_bm25_hot_token_corpus(spark):
+    # skew stress (VERDICT r6 task #7): one token planted in 90% of the
+    # corpus — the degenerate posting list that dominates the queried
+    # postings. Correctness must hold exactly (the hot term's whole-bit
+    # idf quantizes to 1 bit, near-zero weight, but its postings still
+    # flow through the dl/totals joins), and the plan must stay
+    # aggregate+join shaped with no per-row Python. The wall-clock
+    # ratio at 10x is measured by scripts/skew_probe.py (SCALING.md).
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.index import bm25_search, build_inverted_index
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    hot = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 != 0, F.concat(F.col("text"), F.lit(" hottoken"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    idx = build_inverted_index(hot)
+    got = [
+        (r["doc_id"], r["score_micros"], r["n_terms"])
+        for r in bm25_search(idx, ["hottoken", "batch"], k=10).collect()
+    ]
+    docs = {r["doc_id"]: r["text"] for r in hot.collect()}
+    assert got == _py_bm25(docs, ["hottoken", "batch"], k=10)
+    # the hot posting list really is degenerate in this fixture
+    n = hot.count()
+    n_hot = idx.filter(F.col("token") == "hottoken").count()
+    assert n_hot >= 0.85 * n

@@ -344,3 +344,66 @@ def test_auto_optimize_policy(spark, tmp_path):
     assert read_table(spark, path).count() == 600
     # now healthy: policy is a no-op
     assert auto_optimize(spark, path, max_files=16, target_file_bytes=1 << 20) is None
+
+
+def _agg_truth(spark, path, version=None):
+    return {
+        r["grp"]: (r["n"], r["sum_v"])
+        for r in read_table(spark, path, version)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+
+
+def _cdf_state(spark, agg_path):
+    from lakeflow.streaming.cdf import read_cdf_aggregate
+
+    return {
+        r["grp"]: (r["n"], r["sum_v"])
+        for r in read_cdf_aggregate(spark, agg_path).collect()
+    }
+
+
+def test_cdf_consumer_tracks_batch_recompute(spark, tmp_path):
+    # VERDICT r6 task #8: an incremental consumer tails table_changes
+    # version-to-version into a downstream per-group aggregate; its
+    # state must equal a batch groupBy over the CURRENT snapshot at
+    # every advance — including group moves (U rows changing grp),
+    # deletes (full retraction), and multi-version catch-up
+    from lakeflow.streaming.cdf import advance_cdf_aggregate, cdf_cursor
+
+    path = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+
+    def gdf(rows):
+        return spark.createDataFrame(rows, "k long, grp string, v long")
+
+    # v1: initial snapshot
+    write_table(spark, gdf([(1, "a", 10), (2, "a", 20), (3, "b", 30)]), path)
+    assert advance_cdf_aggregate(
+        spark, path, agg, ["k"], ["grp"], ["v"]
+    ) == 1
+    assert _cdf_state(spark, agg) == _agg_truth(spark, path)
+    # v2: upsert — value change in place AND a group move a->b, plus an
+    # insert
+    merge_upsert_table(
+        spark, gdf([(2, "b", 25), (4, "c", 40)]), path, ["k"]
+    )
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["grp"], ["v"]) == 2
+    assert _cdf_state(spark, agg) == _agg_truth(spark, path)
+    # already current: advancing again is a no-op (replay safety)
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["grp"], ["v"]) is None
+    assert cdf_cursor(agg) == 2
+    # v3 + v4 WITHOUT advancing in between: delete group c entirely,
+    # then append new rows — one catch-up advance folds both versions
+    delete_where(spark, path, F.col("grp") == "c")
+    append_table(spark, gdf([(5, "a", 50), (6, "d", 60)]), path)
+    assert current_version(path) == 4
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["grp"], ["v"]) == 4
+    truth = _agg_truth(spark, path)
+    assert _cdf_state(spark, agg) == truth
+    assert "c" not in _cdf_state(spark, agg)  # fully-retracted group gone
+    # the aggregate was maintained, not recomputed: its state also
+    # equals the truth derived independently at the pinned version
+    assert _cdf_state(spark, agg) == _agg_truth(spark, path, 4)
