@@ -587,6 +587,7 @@ def ivf_pq_fit(
     target_cell_size: int | None = None,
     train_sample: int | None = 16_384,
     two_level: bool | None = None,
+    n: int | None = None,
 ) -> None:
     """Build and persist an IVF-PQ index for ``emb``:
 
@@ -619,7 +620,10 @@ def ivf_pq_fit(
     the driver sample: k_sub is small and fixed."""
     from lakeflow.operators.kmeans import derive_k
 
-    n = emb.count() if (target_cell_size is not None or train_sample is not None) else None
+    # thread a caller-known corpus count (manifest/zonemap row counts)
+    # so the fit skips its own counting pass (r6 verdict minor #4)
+    if n is None and (target_cell_size is not None or train_sample is not None):
+        n = emb.count()
     if target_cell_size is not None:
         n_cells = derive_k(n, target_cell_size, k_min=2)
     coarse_need = n_cells * TRAIN_PER_CELL
@@ -686,6 +690,7 @@ def pq_fit(
     vec_col: str = "embedding",
     seed: str = "pq",
     train_sample: int | None = 16_384,
+    n: int | None = None,
 ) -> None:
     """Build and persist a flat (exhaustive-ADC) PQ index — the
     coarse-cell-free sibling of :func:`ivf_pq_fit`:
@@ -699,7 +704,7 @@ def pq_fit(
     small and fixed, so no sample scaling is ever needed). Serving
     (:func:`pq_search`) then touches only the codes relation + the
     shortlist's full vectors — the fit is the one corpus pass."""
-    rows = _collect_train(emb, id_col, vec_col, train_sample, seed)
+    rows = _collect_train(emb, id_col, vec_col, train_sample, seed, n=n)
     books = pq_codebooks_driver(rows, m=m, k_sub=k_sub, n_iter=n_iter, dim=dim)
     local_table(
         spark,

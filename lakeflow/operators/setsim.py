@@ -373,3 +373,95 @@ def incremental_setsim_pairs(
         )
         .distinct()
     )
+
+
+def containment_join(
+    needles: DataFrame,
+    haystack: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_micros: int = 800_000,
+    shingle_n: int = 3,
+    cache: CacheScope | None = None,
+) -> DataFrame:
+    """Exact set-CONTAINMENT join: every (needle, doc) pair where
+    ``|N ∩ D| / |N| >= threshold`` over distinct word ``shingle_n``-gram
+    sets — the decontamination/quote-detection asymmetry Jaccard can't
+    express (a 50-shingle benchmark prompt embedded verbatim in a
+    5,000-shingle web page has Jaccard ~0.01 but containment 1.0).
+    Complements ``corpus.contamination_profile`` (which broadcasts a
+    SMALL benchmark set); this is the general two-corpus join — both
+    sides distributed, zero false negatives.
+
+    Candidate generation is the containment prefix filter: with
+    ``C(N,D) >= t`` the overlap is at least ``ceil(t * |N|)``, so under
+    ANY common total order the needle's first ``|N| - ceil(t|N|) + 1``
+    elements must contain a shared element. Only the NEEDLE side is
+    prefix-pruned (containment imposes no length bound on the
+    haystack, so every haystack element indexes); the shared order is
+    global doc-frequency over the UNION (rarest first) — join keys are
+    the low-frequency shingles, which is what bounds bucket fan-out.
+    Verification is one ``array_intersect`` per candidate against the
+    two shuffle-free per-doc array relations. Returns
+    (needle_id, doc_id, containment_micros)."""
+    n_arr = maybe_persist(
+        _element_arrays(needles, id_col, text_col, shingle_n), cache
+    )
+    h_arr = maybe_persist(
+        _element_arrays(haystack, id_col, text_col, shingle_n), cache
+    )
+    n_el = n_arr.select(F.col(id_col), F.explode("__arr").alias("s"))
+    h_el = h_arr.select(F.col(id_col), F.explode("__arr").alias("s"))
+    # rarest-first order from the union's doc frequency: an order must
+    # be COMMON to both sides for the prefix argument to hold
+    dfreq = (
+        n_el.select("s")
+        .unionAll(h_el.select("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__df", "s")
+    ranked = (
+        n_el.join(dfreq, "s")
+        .withColumn("__rnk", F.row_number().over(w))
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    need = F.floor(
+        (F.lit(threshold_micros) * F.col("__sz") + F.lit(MICRO - 1)) / F.lit(MICRO)
+    )
+    pref = ranked.filter(F.col("__rnk") <= F.col("__sz") - need + 1).select(
+        F.col(id_col).alias("__nid"), "s", F.col("__sz").alias("__nsz")
+    )
+    cand = (
+        pref.join(h_el.select(F.col(id_col).alias("__hid"), "s"), "s")
+        .select("__nid", "__hid", "__nsz")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            n_arr.select(F.col(id_col).alias("__nid"), F.col("__arr").alias("__vn")),
+            "__nid",
+        )
+        .join(
+            h_arr.select(F.col(id_col).alias("__hid"), F.col("__arr").alias("__vh")),
+            "__hid",
+        )
+        .select(
+            "__nid",
+            "__hid",
+            "__nsz",
+            F.size(F.array_intersect("__vn", "__vh")).cast("long").alias("__inter"),
+        )
+    )
+    cm = F.floor(
+        F.col("__inter").cast("double") / F.col("__nsz").cast("double")
+        * F.lit(MICRO)
+        + F.lit(0.5)
+    ).cast("long")
+    return inter.filter(
+        F.col("__inter") * F.lit(MICRO) >= F.lit(threshold_micros) * F.col("__nsz")
+    ).select(
+        F.col("__nid").alias(f"needle_{id_col}"),
+        F.col("__hid").alias(f"doc_{id_col}"),
+        cm.alias("containment_micros"),
+    )

@@ -72,10 +72,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ann_serving",
     "q_pq_ann",
     "q_hard_negatives",
-    # --- retrieval (3) ---
+    # --- retrieval (2; q_keyword_search certified r5, displaced for
+    # the round-7-built q_containment_join) ---
     "q_bm25_search",
     "q_hybrid_search",
-    "q_keyword_search",
     # --- text quality / curation (5) ---
     "q_gopher_rules",
     "q_clean_lines",
@@ -97,11 +97,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- monitoring / drift (2) ---
     "q_drift_tvd",
     "q_trend_slope",
-    # --- scan layout / rollups / graph (4) ---
+    # --- scan layout / rollups / graph (3; q1_pricing_summary
+    # certified r1, displaced for the round-7-built q_cdf_aggregate) ---
     "q_bloom_prune_join",
     "q_bitmap_rollup",
     "q_pagerank",
-    "q1_pricing_summary",
+    # --- round-7-built capabilities (2) ---
+    "q_containment_join",
+    "q_cdf_aggregate",
 )
 
 

@@ -4656,3 +4656,115 @@ def q_quality_classifier(spark, sf_dir):
         F.col("score").cast("long").alias("score"),
         F.when(F.col("keep"), 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+@query(
+    "q_containment_join",
+    oracle=f"""
+    WITH {_shingle_cte('documents')},
+    dt AS (SELECT DISTINCT doc_id, s FROM ex),
+    nd AS (SELECT * FROM dt WHERE doc_id % 50 = 0),
+    nsz AS (SELECT doc_id, COUNT(*) AS nsz FROM nd GROUP BY doc_id),
+    inter AS (
+      SELECT n.doc_id AS nid, h.doc_id AS hid, COUNT(*) AS inter
+      FROM nd n JOIN dt h ON n.s = h.s AND n.doc_id <> h.doc_id
+      GROUP BY 1, 2)
+    SELECT nid AS needle_doc_id, hid AS doc_doc_id,
+           CAST(FLOOR(CAST(inter AS DOUBLE) / CAST(z.nsz AS DOUBLE)
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS containment_micros
+    FROM inter JOIN nsz z ON z.doc_id = nid
+    WHERE inter * 1000000 >= 600000 * z.nsz
+    """,
+    description="Exact set-CONTAINMENT join "
+    "(operators/setsim.containment_join): every (needle, doc) pair "
+    "where |N∩D|/|N| >= 0.6 over distinct 3-gram shingle sets — the "
+    "decontamination/quote-detection asymmetry Jaccard cannot express "
+    "(a benchmark prompt embedded verbatim in a long web page has "
+    "near-zero Jaccard but containment 1.0). Needles = every 50th "
+    "document, haystack = the whole corpus, both sides distributed. "
+    "Candidates via the containment prefix filter (overlap >= "
+    "ceil(t*|N|) forces a shared element in the needle's first "
+    "|N|-ceil(t|N|)+1 rarest-first elements; only the needle side "
+    "prefix-prunes — containment puts no length bound on the doc), "
+    "rarest-first order from the union's doc frequency, verification "
+    "one array_intersect per candidate against the two shuffle-free "
+    "per-doc array relations. The oracle is the GROUND-TRUTH all-pairs "
+    "scan, so a green row certifies the zero-false-negative guarantee.",
+    refs=("§2.12",),
+)
+def q_containment_join(spark, sf_dir):
+    from lakeflow.operators.setsim import containment_join
+
+    d = load_table(spark, sf_dir, "documents")
+    needles = d.filter(F.col("doc_id") % 50 == 0)
+    out = containment_join(needles, d, "doc_id", "text", 600_000)
+    return out.filter(F.col("needle_doc_id") != F.col("doc_doc_id"))
+
+
+@query(
+    "q_cdf_aggregate",
+    oracle="""
+    WITH final AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS grp,
+             CAST(FLOOR(o_totalprice * 100e0 + 0.5e0) AS BIGINT)
+               + CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY grp
+    """,
+    description="Change-feed-maintained aggregate "
+    "(streaming/cdf.advance_cdf_aggregate over sinks/txtable): a "
+    "manifest-committed table goes through three versions — the orders "
+    "snapshot, an upsert that both changes values AND moves rows "
+    "across groups (every 7th order re-statused to 'X' with +1000 "
+    "cents), and a delete of every 13th order — while an incremental "
+    "consumer tails table_changes version-to-version, folding each "
+    "delta's +new/-old retraction rows into a persisted per-group "
+    "aggregate whose commit token IS the version cursor (atomic, "
+    "replay-safe). The returned aggregate was never recomputed from a "
+    "snapshot; the oracle computes the final state directly, so a "
+    "green row certifies the retraction algebra (I/D/U, group moves, "
+    "full-group retraction) end to end. At scale each advance "
+    "processes |changes| rows — one co-located full outer join of two "
+    "snapshots — never table history.",
+    refs=("§2.12", "§2.10"),
+)
+def q_cdf_aggregate(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from lakeflow.functions.exact import cents
+    from lakeflow.sinks.txtable import delete_where, merge_upsert_table, write_table
+    from lakeflow.streaming.cdf import advance_cdf_aggregate, read_cdf_aggregate
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("grp"),
+        cents("o_totalprice").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="lakeflow_cdf_q_")
+    shutil.rmtree(work)
+    src = f"{work}/src"
+    agg = f"{work}/agg"
+    try:
+        write_table(spark, o, src)  # v1
+        advance_cdf_aggregate(spark, src, agg, ["k"], ["grp"], ["cents"])
+        moved = o.filter(F.col("k") % 7 == 0).select(
+            "k", F.lit("X").alias("grp"), (F.col("cents") + 1000).alias("cents")
+        )
+        merge_upsert_table(spark, moved, src, ["k"])  # v2: value + group moves
+        advance_cdf_aggregate(spark, src, agg, ["k"], ["grp"], ["cents"])
+        delete_where(spark, src, F.col("k") % 13 == 0)  # v3: retraction
+        advance_cdf_aggregate(spark, src, agg, ["k"], ["grp"], ["cents"])
+        out = read_cdf_aggregate(spark, agg).select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        # materialize before the temp dir goes away
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "grp string, n long, sum_cents long")

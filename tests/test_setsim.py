@@ -203,3 +203,55 @@ def test_incremental_verification_is_duplicate_insensitive(spark):
     }
     assert want == {(1, 2): 333_333}
     assert got == want, "duplicated index rows must not inflate overlap"
+
+
+def test_containment_join_brute_parity(spark):
+    # exact recall for the asymmetric containment join: every
+    # (needle, doc) with |N∩D|/|N| >= t must surface, including
+    # needles fully embedded in much larger docs (the Jaccard-blind
+    # decontamination case) and boundary containments exactly at t
+    from lakeflow.operators.setsim import containment_join
+
+    needles = [
+        (1, "a b c d e"),            # 3 shingles: abc bcd cde
+        (2, "p q r s"),              # 2 shingles
+        (3, "zz1 zz2 zz3 zz4 zz5"),  # absent from every doc
+    ]
+    haystack = [
+        # needle 1 verbatim inside a much larger doc (containment 1.0)
+        (10, "x1 x2 a b c d e x3 x4 x5 x6 x7 x8 x9 y1 y2 y3 y4"),
+        # partial overlap with needle 1: shares shingles abc bcd only
+        # (containment 2/3)
+        (11, "a b c d q9 q8 q7"),
+        # needle 2 verbatim (containment 1.0)
+        (12, "m1 m2 p q r s m3"),
+        # nothing in common
+        (13, "k1 k2 k3 k4 k5 k6"),
+    ]
+    ndf = spark.createDataFrame(needles, "doc_id long, text string")
+    hdf = spark.createDataFrame(haystack, "doc_id long, text string")
+
+    def sh(text, n=3):
+        t = text.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    def brute(threshold):
+        out = set()
+        for nid, ntxt in needles:
+            ns = sh(ntxt)
+            for hid, htxt in haystack:
+                inter = len(ns & sh(htxt))
+                if inter * 1_000_000 >= threshold * len(ns):
+                    out.add((nid, hid, round(inter / len(ns) * 1e6)))
+        return out
+
+    for t in (1_000_000, 800_000, 666_667, 500_000):
+        got = {
+            (r["needle_doc_id"], r["doc_doc_id"], r["containment_micros"])
+            for r in containment_join(ndf, hdf, "doc_id", "text", t).collect()
+        }
+        assert got == brute(t), f"threshold {t}"
+    # the fully-embedded needle is found even though its Jaccard vs the
+    # big doc is far below any usable threshold
+    full = containment_join(ndf, hdf, "doc_id", "text", 1_000_000).collect()
+    assert (1, 10) in {(r["needle_doc_id"], r["doc_doc_id"]) for r in full}
