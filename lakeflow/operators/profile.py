@@ -164,3 +164,77 @@ def mad_outlier_profile(
             ).otherwise(0)
         ).alias("n_outliers"),
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col,
+    a_pred,
+    out_col: str = "ks_micros",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the rows
+    where ``a_pred`` holds and the rest, over integer ``value_col`` —
+    the distribution-drift test with an actual decision theory behind
+    it (critical value c(alpha)*sqrt((n_a+n_b)/(n_a*n_b))), sharper
+    than the fixed-bin TVD (``q_drift_tvd``) when the drift is a shift
+    or tail change that bin edges straddle. Returns one row
+    (n_a, n_b, ``out_col``) with D quantized to micros.
+
+    Exactness and scale, in one shape:
+    - per-distinct-value counts for both sides come from ONE hash
+      aggregate (map-side combined);
+    - the two empirical CDFs are inclusive running sums over the value
+      order via the distributed prefix sum
+      (``prefix.bucketed_running_sum`` — never a whole-corpus window
+      task; the sup of |F_a - F_b| over the real line is attained at
+      observed step points, so evaluating at distinct values is the
+      EXACT supremum, not an approximation);
+    - the comparison is the integer cross-multiply
+      |cum_a * n_b - cum_b * n_a| (no per-row division), max'd in one
+      aggregate; the single final division runs in decimal(38)
+      integers — bit-identical on any engine, any partitioning."""
+    from lakeflow.operators.prefix import bucketed_running_sum
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_v = (
+        df.select(
+            v.cast("long").alias("__ksv"),
+            F.when(a_pred, 1).otherwise(0).cast("long").alias("__ksia"),
+        )
+        .groupBy("__ksv")
+        .agg(
+            F.sum("__ksia").alias("__ksca"),
+            (F.count(F.lit(1)) - F.sum("__ksia")).alias("__kscb"),
+        )
+        .withColumn("__ksg", F.lit(0))
+    )
+    cum = bucketed_running_sum(per_v, "__ksg", "__ksv", [], "__ksca", out_col="__kscuma")
+    cum = bucketed_running_sum(cum, "__ksg", "__ksv", [], "__kscb", out_col="__kscumb")
+    totals = per_v.groupBy().agg(
+        F.sum("__ksca").cast("long").alias("__ksna"),
+        F.sum("__kscb").cast("long").alias("__ksnb"),
+    )
+    dec = "decimal(38,0)"
+    cross = F.abs(
+        F.col("__kscuma").cast(dec) * F.col("__ksnb").cast(dec)
+        - F.col("__kscumb").cast(dec) * F.col("__ksna").cast(dec)
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select("__ksna", "__ksnb", cross.alias("__ksd"))
+        .groupBy("__ksna", "__ksnb")
+        .agg(F.max("__ksd").alias("__ksmaxd"))
+        .select(
+            F.col("__ksna").alias("n_a"),
+            F.col("__ksnb").alias("n_b"),
+            # integral `div` (not decimal `/`): Spark's decimal divide
+            # rounds the quotient to the result scale BEFORE any cast,
+            # which can differ from DuckDB's floored `//` by one ULP at
+            # the boundary; `div` truncates like `//` does on positives
+            F.expr(
+                "CAST((CAST(__ksmaxd AS DECIMAL(38,0)) * 1000000) div "
+                "(CAST(__ksna AS DECIMAL(38,0)) * CAST(__ksnb AS DECIMAL(38,0))) "
+                "AS BIGINT)"
+            ).alias(out_col),
+        )
+    )

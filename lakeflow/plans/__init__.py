@@ -94,8 +94,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_record_linkage",
     "q_fs_linkage",
     "q_incremental_semantic",
-    # --- monitoring / drift (2) ---
-    "q_drift_tvd",
+    # --- monitoring / drift (2; q_drift_tvd certified r5, displaced
+    # for its round-7-built sharper sibling q_ks_drift) ---
+    "q_ks_drift",
     "q_trend_slope",
     # --- scan layout / rollups / graph (3; q1_pricing_summary
     # certified r1, displaced for the round-7-built q_cdf_aggregate) ---

@@ -4768,3 +4768,52 @@ def q_cdf_aggregate(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, "grp string, n long, sum_cents long")
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(FLOOR(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS ia
+      FROM orders),
+    c AS (
+      SELECT v, SUM(ia) AS ca, COUNT(*) - SUM(ia) AS cb
+      FROM src GROUP BY v),
+    cum AS (
+      SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+             SUM(cb) OVER (ORDER BY v) AS cumb
+      FROM c),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+    SELECT na AS n_a, nb AS n_b,
+           CAST((MAX(ABS(cuma * nb - cumb * na)) * 1000000) // (na * nb)
+                AS BIGINT) AS ks_micros
+    FROM cum, t
+    GROUP BY na, nb
+    """,
+    description="Exact two-sample Kolmogorov-Smirnov drift statistic "
+    "(operators/profile.ks_statistic): sup |F_a - F_b| between the "
+    "urgent-priority orders' price distribution and the rest — the "
+    "drift test with a decision theory (critical value "
+    "c(alpha)*sqrt((na+nb)/(na*nb))), sharper than fixed-bin TVD when "
+    "the drift is a shift bin edges straddle. One hash agg for "
+    "per-distinct-value counts, CDFs via the DISTRIBUTED prefix sum "
+    "(never a whole-corpus window task; the sup over the real line is "
+    "attained at observed step points, so this is the exact supremum), "
+    "integer cross-multiply comparison |cum_a*n_b - cum_b*n_a|, one "
+    "decimal(38) integral division at the end — bit-identical across "
+    "engines and partitionings.",
+    refs=("§2.12", "A5"),
+)
+def q_ks_drift(spark, sf_dir):
+    from lakeflow.functions.exact import cents
+    from lakeflow.operators.profile import ks_statistic
+
+    o = load_table(spark, sf_dir, "orders")
+    return ks_statistic(
+        o.select(cents("o_totalprice").alias("v"), "o_orderpriority"),
+        "v",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+    )

@@ -162,3 +162,45 @@ def test_mad_outlier_profile_approx_close_to_exact(spark):
     # the sketch's rank error moves the median < 2% of the value range
     assert abs(approx.median_micros - exact.median_micros) <= 20
     assert approx.n_outliers >= 1  # the wild point is flagged either way
+
+
+def test_ks_statistic_hand_computed(spark):
+    # two tiny samples with a known exact KS: a = {1,2,3,4}, b = {3,4,5,6}
+    # F_a steps 0.25 at each; sup|F_a-F_b| = |F_a(2)-F_b(2)| = 0.5
+    from lakeflow.operators.profile import ks_statistic
+    from pyspark.sql import functions as F
+
+    rows = [(v, "a") for v in (1, 2, 3, 4)] + [(v, "b") for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "v long, side string")
+    out = ks_statistic(df, "v", F.col("side") == "a").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["ks_micros"] == 500_000
+    # identical distributions -> D = 0
+    same = spark.createDataFrame(
+        [(v, s) for v in (1, 2, 3) for s in ("a", "b")], "v long, side string"
+    )
+    assert ks_statistic(same, "v", F.col("side") == "a").collect()[0][
+        "ks_micros"
+    ] == 0
+    # disjoint supports -> D = 1
+    disj = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (10, "b"), (11, "b")], "v long, side string"
+    )
+    assert ks_statistic(disj, "v", F.col("side") == "a").collect()[0][
+        "ks_micros"
+    ] == 1_000_000
+
+
+def test_ks_statistic_partitioning_invariant(spark):
+    from lakeflow.operators.profile import ks_statistic
+    from pyspark.sql import functions as F
+
+    rows = [(i * 37 % 101, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "v long, side string")
+    base = ks_statistic(df, "v", F.col("side") == "a").collect()
+    re13 = ks_statistic(
+        df.repartition(13, "side"), "v", F.col("side") == "a"
+    ).collect()
+    assert base == re13
