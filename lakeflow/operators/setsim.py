@@ -64,10 +64,21 @@ def _element_arrays(
     shuffles to arrive at the same two shapes)."""
     from lakeflow.operators.text import shingles_from_tokens, tokens
 
+    sh = _shingle_arrays(df, id_col, text_col, shingle_n)
+    return sh.select(F.col(id_col), F.array_distinct("__sh").alias("__arr"))
+
+
+def _shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, __sh) raw shingle arrays — tokenize in one projection,
+    shingle in the next (the alias boundary keeps the regex split
+    evaluated once, not once per element access)."""
+    from lakeflow.operators.text import shingles_from_tokens, tokens
+
     pre = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     return pre.select(
-        F.col(id_col),
-        F.array_distinct(shingles_from_tokens("__toks", shingle_n)).alias("__arr"),
+        F.col(id_col), shingles_from_tokens("__toks", shingle_n).alias("__sh")
     )
 
 
@@ -76,10 +87,20 @@ def _distinct_elements(
 ) -> DataFrame:
     """(id, s) distinct set elements per document: word ``shingle_n``-gram
     shingles (n=1 degrades to the distinct-token set). Narrow map +
-    explode — per-doc dedup never leaves the row (see
-    :func:`_element_arrays`)."""
-    return _element_arrays(df, id_col, text_col, shingle_n).select(
-        F.col(id_col), F.explode("__arr").alias("s")
+    explode — per-doc dedup never leaves the row.
+
+    The explode child is the array EXPRESSION, never a projected
+    attribute: exploding a bare column makes Spark infer
+    ``size(col) > 0`` from the Generate and push it below the
+    projections, where the filter re-derives the whole
+    tokenize+shingle+dedup pipeline per row OUTSIDE codegen with the
+    regex split inlined once per element access — measured 17x slower
+    at sf0.1 (8.5s vs 0.5s). With the expression child the inferred
+    filter never forms. (Exploding a PERSISTED array relation is fine —
+    the inferred filter lands on the cached scan.)"""
+    sh = _shingle_arrays(df, id_col, text_col, shingle_n)
+    return sh.select(
+        F.col(id_col), F.explode(F.array_distinct("__sh")).alias("s")
     )
 
 
@@ -300,10 +321,24 @@ def element_index(
     """(id, s, sz) element-index relation for a corpus — persist this
     beside the corpus to serve :func:`incremental_setsim_pairs` without
     re-shingling history (append each ingest batch's index rows, the
-    same maintenance pattern as the streaming LSH band index)."""
-    el = _distinct_elements(df, id_col, text_col, shingle_n)
-    sz = el.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    return el.join(sz, id_col)
+    same maintenance pattern as the streaming LSH band index).
+
+    ONE narrow projection, ZERO shuffle: the set size is
+    ``size(array_distinct(...))`` computed beside the explode in the
+    same row — the former ``groupBy(sz) + join`` shape shuffled twice
+    and re-shingled the corpus once per consumer (its only saving
+    grace was exchange reuse, which the shuffle-free form obsoletes).
+    Both the size and the explode take the array EXPRESSION (see
+    ``_distinct_elements`` for why an attribute child is a trap); the
+    per-row double evaluation of array_distinct is noise next to a
+    shuffle."""
+    sh = _shingle_arrays(df, id_col, text_col, shingle_n)
+    dedup = F.array_distinct("__sh")
+    return sh.select(
+        F.col(id_col),
+        F.explode(dedup).alias("s"),
+        F.size(dedup).cast("long").alias("sz"),
+    )
 
 
 def incremental_setsim_pairs(
@@ -324,17 +359,24 @@ def incremental_setsim_pairs(
     affordability property as the LSH ``incremental_candidate_pairs``,
     with zero false negatives instead of banding recall).
 
-    new×stored candidates come from the full shared-element equi-join
-    (complete for J >= t > 0) + the integer length filter; new×new
-    pairs reuse the batch-local prefix filter. Same-id matches are
-    dropped and verification counts DISTINCT shared elements, so a
-    crashed-and-replayed batch whose rows were already appended to the
-    stored index degrades to pure duplicate pairs — duplicated index
-    rows can neither self-pair nor inflate an overlap count. Callers
-    that already built the batch's index (the streaming maintainer
-    persists it for the index append) pass it via ``new_index`` to
-    avoid re-shingling the batch. Returns ({id}_a, {id}_b,
-    jaccard_micros) with id_a < id_b."""
+    new×stored pairs need NO separate verification pass: the
+    shared-element equi-join is complete for J >= t > 0 AND enumerates
+    every common element of a pair (the stored side is the FULL index,
+    not a prefix), so one ``count_distinct(s)`` aggregate per pair IS
+    the exact intersection — where the former shape paid a distinct
+    over the join output plus two array joins plus array_intersect,
+    this pays the one aggregate the join output was being distinct'd
+    through anyway (measured 2.3x on the incremental tier at sf0.1).
+    new×new pairs reuse the batch-local prefix filter (a prefix join
+    only sees prefix elements, so it cannot count full intersections)
+    + the array verify. Same-id matches are dropped and both tiers
+    count DISTINCT shared elements, so a crashed-and-replayed batch
+    whose rows were already appended to the stored index degrades to
+    pure duplicate pairs — duplicated index rows can neither self-pair
+    nor inflate an overlap count. Callers that already built the
+    batch's index (the streaming maintainer persists it for the index
+    append) pass it via ``new_index`` to avoid re-shingling the batch.
+    Returns ({id}_a, {id}_b, jaccard_micros) with id_a < id_b."""
     if new_index is None:
         new_index = maybe_persist(
             element_index(new_docs, id_col, text_col, shingle_n), cache
@@ -345,30 +387,38 @@ def incremental_setsim_pairs(
     b = stored_index.select(
         F.col(id_col).alias("ib"), "s", F.col("sz").alias("szb")
     )
-    cand_ns = (
+    inter_ns = (
         a.join(b, "s")
         .filter(F.col("ia") != F.col("ib"))
         .filter(
             F.least("sza", "szb") * F.lit(MICRO)
             >= F.lit(threshold_micros) * F.greatest("sza", "szb")
         )
-        .select("ia", "ib", "sza", "szb")
-        .distinct()
+        .groupBy("ia", "ib", "sza", "szb")
+        .agg(F.count_distinct("s").cast("long").alias("inter"))
+    )
+    union_ns = F.col("sza") + F.col("szb") - F.col("inter")
+    jm_ns = F.floor(
+        F.col("inter").cast("double") / union_ns.cast("double") * F.lit(MICRO)
+        + F.lit(0.5)
+    ).cast("long")
+    pairs_ns = inter_ns.filter(
+        F.col("inter") * F.lit(MICRO) >= F.lit(threshold_micros) * union_ns
+    ).select(
+        F.least("ia", "ib").alias(f"{id_col}_a"),
+        F.greatest("ia", "ib").alias(f"{id_col}_b"),
+        jm_ns.alias("jaccard_micros"),
     )
     cand_nn = prefix_filter_candidates(
         new_index.select(id_col, "s"), id_col, threshold_micros
     )
-    # the batch's array relation serves THREE verify sides (new side of
-    # new x stored, both sides of new x new) — build once, persist
-    # scope-aware; the stored side's arrays are consumed once and stay
-    # a lazy aggregate over the persisted index
+    # the batch's array relation serves both verify sides of new x new
+    # — build once, persist scope-aware
     new_arr = maybe_persist(
         _set_arrays(new_index.select(id_col, "s"), id_col), cache
     )
-    stored_arr = _set_arrays(stored_index.select(id_col, "s"), id_col)
     return (
-        _verify_pairs(cand_ns, new_arr, stored_arr, id_col, threshold_micros)
-        .unionByName(
+        pairs_ns.unionByName(
             _verify_pairs(cand_nn, new_arr, new_arr, id_col, threshold_micros)
         )
         .distinct()
