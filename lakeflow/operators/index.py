@@ -212,3 +212,73 @@ def keyword_search_any(
         )
         .where(F.col("n_terms") >= min_terms)
     )
+
+
+def build_positional_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional posting lists: one row per (token, doc) carrying the
+    term frequency AND the sorted 0-based token positions — the index
+    shape phrase/proximity queries need (:func:`phrase_search`). Same
+    build cost class as :func:`build_inverted_index` (one posexplode +
+    one hash aggregate; positions bounded by document length); persist
+    bucketed by token like the plain index."""
+    tok = F.posexplode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("pos", "token")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tok)
+        .where(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                "positions"
+            ),
+        )
+    )
+
+
+def phrase_search(index: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase occurrences over a positional index: docs where the
+    tokens of ``phrase`` appear CONSECUTIVELY, with the occurrence
+    count (overlapping starts counted — each valid start position is
+    one occurrence). Returns (doc_id, n_occurrences).
+
+    Shape: each phrase token filters the index to ITS posting rows
+    (pushed-down scan on a persisted token-bucketed index), the k
+    postings equi-join on doc_id (only docs containing every token
+    survive — the same intersection keyword AND pays), and adjacency
+    is ONE codegen higher-order expression: start positions of the
+    first token filtered by `exists(positions_i, q == p + i)` for every
+    later token. Cost is the queried posting lists, never the corpus;
+    no per-row Python, no re-tokenization."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase_search requires at least one token")
+    if len(set(terms)) != len(terms):
+        # repeated tokens join the same posting relation twice — allowed,
+        # but each occurrence still needs its own alias below
+        pass
+    joined = None
+    for i, t in enumerate(terms):
+        side = index.filter(F.col("token") == t).select(
+            "doc_id", F.col("positions").alias(f"__p{i}")
+        )
+        joined = side if joined is None else joined.join(side, "doc_id")
+    # factory, not loop-var defaults: pyspark infers lambda ARITY from
+    # the signature, so `lambda p, i=i:` would become the 2-arg
+    # (element, index) form and shadow i with the index Column
+    def _adjacent(arr, pos_col: str, offset: int):
+        return F.filter(
+            arr,
+            lambda p: F.exists(F.col(pos_col), lambda q: q == p + offset),
+        )
+
+    starts = F.col("__p0")
+    for i in range(1, len(terms)):
+        starts = _adjacent(starts, f"__p{i}", i)
+    out = joined.select(
+        "doc_id", F.size(starts).cast("long").alias("n_occurrences")
+    )
+    return out.filter(F.col("n_occurrences") > 0)

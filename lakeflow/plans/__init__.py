@@ -56,8 +56,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_try_casts",
     "q_sanitize_names",
     "q_temperature_mix",
-    # --- dedup tiers (7) ---
-    "q_exact_dedup_docs",
+    # --- dedup tiers (6; q_exact_dedup_docs certified r1) ---
     "q_minhash_lsh_pairs",
     "q_near_dup_pipeline",
     "q_incremental_near_dup",
@@ -72,10 +71,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ann_serving",
     "q_pq_ann",
     "q_hard_negatives",
-    # --- retrieval (2; q_keyword_search certified r5, displaced for
-    # the round-7-built q_containment_join) ---
+    # --- retrieval (3; q_keyword_search certified r5, displaced for
+    # the round-7-built q_containment_join; q_exact_dedup_docs
+    # certified r1, displaced for the round-7-built q_phrase_search) ---
     "q_bm25_search",
     "q_hybrid_search",
+    "q_phrase_search",
     # --- text quality / curation (5) ---
     "q_gopher_rules",
     "q_clean_lines",

@@ -4817,3 +4817,41 @@ def q_ks_drift(spark, sf_dir):
         "v",
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
     )
+
+
+@query(
+    "q_phrase_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(generate_series(1, len(t))) AS ord
+      FROM toks)
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tok a
+    JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+    WHERE a.token = 'row' AND b.token = 'column' AND c.token = 'sort'
+    GROUP BY a.doc_id
+    """,
+    description="Exact phrase search over a positional inverted index "
+    "(operators/index.build_positional_index + phrase_search): every "
+    "document where the tokens 'row column sort' appear CONSECUTIVELY, "
+    "with the occurrence count (overlapping starts counted). Each "
+    "phrase token filters the index to its own posting rows (pushed to "
+    "a persisted token-bucketed scan at scale), the k postings "
+    "equi-join on doc_id, and adjacency is ONE codegen higher-order "
+    "expression — start positions of the first token filtered by "
+    "exists(positions_i, q == p + i) — so cost is the queried posting "
+    "lists, never a corpus re-scan. The oracle replays the semantics "
+    "as a k-way positional self-join on token order.",
+    refs=("§2.12",),
+)
+def q_phrase_search(spark, sf_dir):
+    from lakeflow.operators.index import build_positional_index, phrase_search
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_positional_index(d)
+    return phrase_search(idx, ["row", "column", "sort"])

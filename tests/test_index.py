@@ -214,3 +214,38 @@ def test_bm25_hot_token_corpus(spark):
     n = hot.count()
     n_hot = idx.filter(F.col("token") == "hottoken").count()
     assert n_hot >= 0.85 * n
+
+
+def test_phrase_search_positions(spark):
+    from lakeflow.operators.index import build_positional_index, phrase_search
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the quick brown dog"),
+        Row(doc_id=2, text="quick brown quick brown quick brown"),
+        Row(doc_id=3, text="the brown quick fox"),  # tokens present, wrong order
+        Row(doc_id=4, text="a a a a"),              # overlapping starts
+    ]
+    idx = build_positional_index(spark.createDataFrame(rows))
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(idx, ["quick", "brown"]).collect()
+    }
+    assert got == {1: 2, 2: 3}  # doc 3 has no adjacent pair
+    # single-token phrase = tf
+    one = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(idx, ["brown"]).collect()
+    }
+    assert one == {1: 2, 2: 3, 3: 1}
+    # repeated-token phrase counts overlapping starts
+    rep = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(idx, ["a", "a"]).collect()
+    }
+    assert rep == {4: 3}
+    # 3-token phrase
+    tri = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(idx, ["quick", "brown", "fox"]).collect()
+    }
+    assert tri == {1: 1}
