@@ -185,7 +185,15 @@ def scored_candidates(
             bsz = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__n"))
             a = a.join(asz.filter(F.col("__n") <= cap).select("__bk"), "__bk")
             b = b.join(bsz.filter(F.col("__n") <= cap).select("__bk"), "__bk")
-        pairs = a.join(b, "__bk").select(left_id, right_id)
+        # PIN the pairing join to sort-merge: at corpus scale BOTH
+        # sides of a blocking join are data-proportional, so SMJ on the
+        # block key is the only shape that survives — and without the
+        # hint the plan is BISTABLE at gate scale (Catalyst broadcasts
+        # when the upstream cache happens to be materialized, falls
+        # back to SMJ on size estimates otherwise; the plan-snapshot
+        # gate flaked exactly on that flip). AQE still handles skewed
+        # block keys by splitting SMJ partitions at runtime.
+        pairs = a.hint("merge").join(b, "__bk").select(left_id, right_id)
         cands = pairs if cands is None else cands.unionByName(pairs)
     cand = cands.distinct()
 

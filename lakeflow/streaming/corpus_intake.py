@@ -594,3 +594,54 @@ def stream_inverted_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_contamination_guard(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    needles: DataFrame,
+    flags_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micros: int = 800_000,
+    shingle_n: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Continuous eval-set decontamination: every micro-batch of
+    incoming documents is containment-joined (``setsim.
+    containment_join`` — |N∩D|/|N|, the asymmetry that catches a
+    benchmark prompt embedded verbatim in a long page) against the
+    FIXED benchmark ``needles`` corpus, and flagged
+    (needle_id, doc_id, containment_micros) rows append to
+    ``flags_path`` — the ingest-time guard that keeps contaminated
+    documents from ever reaching a training shard unnoticed.
+
+    Per-batch cost is batch-proportional: the needle side is small and
+    fixed (its prefix relation rebuilds per batch from the broadcastable
+    benchmark table; the batch side is shingled once, shuffle-free).
+    Replay: a crashed-and-replayed batch re-appends identical flag rows
+    — flags are a pure function of (needle, doc) content, so consumers
+    ``distinct()`` replays away, the same contract as the near-dup pair
+    streams. Batch twin: ``q_containment_join``'s oracle certifies the
+    join's zero-false-negative guarantee."""
+    from lakeflow.caching import scoped_cache
+    from lakeflow.operators.setsim import containment_join
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        with scoped_cache():
+            flags = containment_join(
+                needles, batch, id_col, text_col, threshold_micros, shingle_n
+            )
+            flags.write.mode("append").parquet(flags_path)
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

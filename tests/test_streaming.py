@@ -1049,3 +1049,68 @@ def test_streamed_index_serves_hybrid_fusion(spark, tmp_path):
     # fusion must carry single-list docs through (missing side = 0)
     ids = {r[0] for r in got}
     assert 9 in ids and 3 in ids
+
+
+def test_stream_contamination_guard(spark, tmp_path):
+    # ingest-time decontamination: each wave's documents are
+    # containment-joined against the fixed benchmark needles; flags
+    # accumulate across waves (restart path) and equal the batch
+    # containment_join over everything ever streamed
+    from lakeflow.operators.setsim import containment_join
+    from lakeflow.streaming.corpus_intake import stream_contamination_guard
+
+    src = str(tmp_path / "docs")
+    flg = str(tmp_path / "flags")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+    bench_prompt = "what is the capital of france paris obviously"
+    needles = spark.createDataFrame(
+        [(9001, bench_prompt), (9002, "unseen benchmark question here never quoted")],
+        "doc_id long, text string",
+    )
+    clean = "totally ordinary web page text about cooking pasta at home"
+    contaminated = (
+        "intro filler words then what is the capital of france paris "
+        "obviously plus trailing commentary text"
+    )
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": clean},
+            {"doc_id": 2, "ts": "2024-01-01T00:01:00", "text": contaminated},
+        ],
+    )
+    q = stream_contamination_guard(spark, src, schema, needles, flg, ck)
+    q.awaitTermination(120)
+    flags1 = {
+        (r["needle_doc_id"], r["doc_doc_id"])
+        for r in spark.read.parquet(flg).distinct().collect()
+    }
+    assert flags1 == {(9001, 2)}
+    # wave 2 (fresh start = restart path): another contaminated doc
+    _write_events(
+        src,
+        "w2.json",
+        [
+            {"doc_id": 10, "ts": "2024-01-01T01:00:00", "text": contaminated + " again"},
+            {"doc_id": 11, "ts": "2024-01-01T01:01:00", "text": clean + " more"},
+        ],
+    )
+    q = stream_contamination_guard(spark, src, schema, needles, flg, ck)
+    q.awaitTermination(120)
+    flags2 = {
+        (r["needle_doc_id"], r["doc_doc_id"])
+        for r in spark.read.parquet(flg).distinct().collect()
+    }
+    assert flags2 == {(9001, 2), (9001, 10)}
+    # streamed state == batch containment_join over everything streamed
+    alldocs = spark.createDataFrame(
+        [(1, clean), (2, contaminated), (10, contaminated + " again"), (11, clean + " more")],
+        "doc_id long, text string",
+    )
+    batch = {
+        (r["needle_doc_id"], r["doc_doc_id"])
+        for r in containment_join(needles, alldocs, "doc_id", "text", 800_000).collect()
+    }
+    assert flags2 == batch
