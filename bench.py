@@ -234,6 +234,12 @@ BENCH_QUERIES = [
     "q_bm25_search",
     "q_hybrid_search",
     "q_temperature_mix",
+    # round 7: containment decontamination, KS drift, phrase search
+    # (q_cdf_aggregate stays out of the headline: it is an end-to-end
+    # multi-version WRITE pipeline — a build metric, not a query shape)
+    "q_containment_join",
+    "q_ks_drift",
+    "q_phrase_search",
 ]
 
 
