@@ -267,41 +267,60 @@ def main() -> None:
     # steady-state timing: min of 3 runs per query — the first run pays
     # one-time whole-stage-codegen JIT compilation (~1s/query), which at
     # sf0.1 would swamp the actual execution being measured
-    timings: dict[str, float] = {}
     from lakeflow.caching import scoped_cache
 
-    for i, name in enumerate(names):
-        spec = QUERIES[name]
-        # Operators that persist intermediates (near-dup pipeline, LSH
-        # band index, embedding near-dup, corpus prep) register with the
-        # ambient scoped_cache: exiting the block releases EXACTLY the
-        # relations this query persisted, so they can't pressure later
-        # measurements — precise lifetime instead of the old blanket
-        # clearCache() (which also nuked anything else a session held).
-        # The scope spans all 3 runs, so runs 2-3 stay plan-cache-warm,
-        # matching rounds 1-4 methodology for round-over-round ratios.
-        #
-        # Timed region = the noop write only (plan execution), matching
-        # rounds 1-2 methodology so round-over-round comparisons hold.
-        # Caveat: queries built on iterative driver-side loops with
-        # eager localCheckpoints (q_dup_clusters, q_entity_resolution,
-        # q_incremental_entities, q_pagerank's unrolled rounds run
-        # lazily and ARE timed; the components family is not) execute
-        # most of their work during fn(), so their rows here reflect
-        # only the final projection — their true cost is the component
-        # breakdown in SCALING.md, not this number.
-        runs = []
-        with scoped_cache():
-            for _ in range(3):
-                df = spec.fn(spark, sf_dir)
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        if i == len(names) // 2:
-            probes.append(_calibrate(spark))
-    probes.append(_calibrate(spark))
+    def _run_pass(pass_no: int) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for i, name in enumerate(names):
+            spec = QUERIES[name]
+            # Operators that persist intermediates (near-dup pipeline,
+            # LSH band index, embedding near-dup, corpus prep) register
+            # with the ambient scoped_cache: exiting the block releases
+            # EXACTLY the relations this query persisted, so they can't
+            # pressure later measurements — precise lifetime instead of
+            # the old blanket clearCache() (which also nuked anything
+            # else a session held). The scope spans all 3 runs, so runs
+            # 2-3 stay plan-cache-warm, matching rounds 1-4 methodology
+            # for round-over-round ratios.
+            #
+            # Timed region = the noop write only (plan execution),
+            # matching rounds 1-2 methodology so round-over-round
+            # comparisons hold. Caveat: queries built on iterative
+            # driver-side loops with eager localCheckpoints
+            # (q_dup_clusters, q_entity_resolution,
+            # q_incremental_entities; q_pagerank's unrolled rounds run
+            # lazily and ARE timed; the components family is not)
+            # execute most of their work during fn(), so their rows
+            # here reflect only the final projection — their true cost
+            # is the component breakdown in SCALING.md, not this number.
+            runs = []
+            with scoped_cache():
+                for _ in range(3):
+                    df = spec.fn(spark, sf_dir)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+            print(f"# p{pass_no} {name}: {timings[name]:.3f}s", file=sys.stderr)
+            if i == len(names) // 2:
+                probes.append(_calibrate(spark))
+        probes.append(_calibrate(spark))
+        return timings
+
+    # The RECORDED artifact is the SESSION MIN (VERDICT r7 task #2):
+    # the full query set runs N passes (>= 2) and each query's recorded
+    # time is its minimum across passes — same-session history showed
+    # identical code swinging 13% pass-to-pass (r7's recorded run was
+    # the session's worst), so a single-pass artifact degrades
+    # round-over-round comparison into noise-reading. Every pass is
+    # appended to bench_history.jsonl; the session-min goes to
+    # bench_detail.json + stdout as the round's number.
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    pass_timings = [_run_pass(p + 1) for p in range(n_passes)]
+    timings = {
+        n: min(t[n] for t in pass_timings) for n in pass_timings[0]
+    }
+    pass_totals = [round(sum(t.values()), 3) for t in pass_timings]
     for _ in range(2):
         _calibration_shuffle_job(spark)  # warm untimed
     shuffle_probe = _calibrate_shuffle(spark)
@@ -358,6 +377,8 @@ def main() -> None:
         "queries_normalized": normalized,
         "build_ivf_pq_fit_sec": build_ivf_pq_fit_sec,
         "build_pq_fit_sec": build_pq_fit_sec,
+        "session_passes": n_passes,
+        "session_pass_totals": pass_totals,
     }
     # The per-query map (now ~80 entries, twice) outgrew the driver's
     # stdout tail capture in round 4 — the captured tail began mid-map
@@ -369,8 +390,24 @@ def main() -> None:
     with open(os.path.join(repo_dir, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
     # append-only in-repo history so round-over-round diffs never depend
-    # on the driver's (truncating) stdout capture — one line per run
+    # on the driver's (truncating) stdout capture — one line per PASS
+    # (raw per-pass timings, so noise bands stay reconstructable) plus
+    # one line for the recorded session-min artifact
     with open(os.path.join(repo_dir, "bench_history.jsonl"), "a") as f:
+        for p, t in enumerate(pass_timings):
+            f.write(
+                json.dumps(
+                    {
+                        "ts": time.time(),
+                        "pass": p + 1,
+                        "of_passes": n_passes,
+                        "value": round(sum(t.values()), 3),
+                        "queries": t,
+                        "sf": _sf_from_dir(sf_dir),
+                    }
+                )
+                + "\n"
+            )
         f.write(json.dumps({"ts": time.time(), **detail}) + "\n")
     print(json.dumps(detail))
     print(

@@ -256,10 +256,8 @@ def phrase_search(index: DataFrame, phrase: list[str]) -> DataFrame:
     terms = [t.lower() for t in phrase]
     if not terms:
         raise ValueError("phrase_search requires at least one token")
-    if len(set(terms)) != len(terms):
-        # repeated tokens join the same posting relation twice — allowed,
-        # but each occurrence still needs its own alias below
-        pass
+    # repeated tokens join the same posting relation twice — allowed,
+    # each occurrence gets its own __p{i} alias below
     joined = None
     for i, t in enumerate(terms):
         side = index.filter(F.col("token") == t).select(

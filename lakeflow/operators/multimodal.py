@@ -82,7 +82,13 @@ def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]]:
         typ = b[i + 4 : i + 8]
         data = b[i + 8 : i + 8 + ln]
         if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            try:
+                ihdr = struct.unpack(">IIBBBBB", data)
+            except struct.error as e:
+                # truncated header: surface as the same ValueError the
+                # consumers already translate, not an opaque
+                # struct.error from one bad row killing the whole job
+                raise ValueError("corrupt PNG payload (truncated IHDR)") from e
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -91,13 +97,18 @@ def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]]:
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
+    if ctype not in (0, 2, 4, 6) and ctype != 3:
+        raise ValueError(f"corrupt PNG payload (invalid color type {ctype})")
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype == 3:
         raise NotImplementedError(
             f"PNG shape outside the stdlib baseline (depth={depth}, "
             f"color_type={ctype}, interlace={interlace}); install PIL"
         )
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError("corrupt PNG payload (bad IDAT stream)") from e
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload has the wrong size")
@@ -246,11 +257,11 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     else:
                         try:
                             w, h, px = _png_thumb_rgb(bytes(b), 8, 8)
-                        except ValueError:
+                        except ValueError as e:
                             raise NotImplementedError(
-                                "payload is not a PNG and no PIL-class "
-                                "library is installed on the executors; "
-                                "run with fake=True for the "
+                                f"cannot decode payload ({e}) and no "
+                                "PIL-class library is installed on the "
+                                "executors; run with fake=True for the "
                                 "deterministic stub"
                             ) from None
                     n = 255.0 * len(px)
@@ -309,11 +320,12 @@ def resize_images(
                 else:
                     try:
                         _, _, px = _png_thumb_rgb(bytes(b), width, height)
-                    except ValueError:
+                    except ValueError as e:
                         raise NotImplementedError(
-                            "payload is not a PNG and no PIL-class "
-                            "library is installed on the executors; run "
-                            "with fake=True for the deterministic stub"
+                            f"cannot decode payload ({e}) and no "
+                            "PIL-class library is installed on the "
+                            "executors; run with fake=True for the "
+                            "deterministic stub"
                         ) from None
                     out.append(bytes(_rgb_luma(r, g, bl) for r, g, bl in px))
             yield pd.DataFrame(
@@ -353,12 +365,12 @@ def sample_frames(
                 if not fake and _PILImage is None:
                     try:
                         _, _, px = _png_thumb_rgb(bytes(b), 16, 16)
-                    except ValueError:
+                    except ValueError as e:
                         raise NotImplementedError(
-                            "payload is not a PNG and no PIL-class "
-                            "library (or ffmpeg-class one for true "
-                            "video) is installed on the executors; run "
-                            "with fake=True for the deterministic stub"
+                            f"cannot decode payload ({e}) and no "
+                            "PIL-class library (or ffmpeg-class one for "
+                            "true video) is installed on the executors; "
+                            "run with fake=True for the deterministic stub"
                         ) from None
                     ids.append(i)
                     idxs.append(0)

@@ -227,14 +227,28 @@ def ks_statistic(
         .select(
             F.col("__ksna").alias("n_a"),
             F.col("__ksnb").alias("n_b"),
-            # integral `div` (not decimal `/`): Spark's decimal divide
-            # rounds the quotient to the result scale BEFORE any cast,
-            # which can differ from DuckDB's floored `//` by one ULP at
-            # the boundary; `div` truncates like `//` does on positives
-            F.expr(
-                "CAST((CAST(__ksmaxd AS DECIMAL(38,0)) * 1000000) div "
-                "(CAST(__ksna AS DECIMAL(38,0)) * CAST(__ksnb AS DECIMAL(38,0))) "
-                "AS BIGINT)"
+            # KS is undefined when either sample is empty — the `div`
+            # denominator would be 0 and Spark would emit a silent NULL
+            # that leaks into drift dashboards; fail the job instead
+            # (mirrors kmeans' explicit ValueError on undersized input)
+            F.when(
+                F.assert_true(
+                    (F.col("__ksna") > 0) & (F.col("__ksnb") > 0),
+                    F.lit(
+                        "ks_statistic: one sample is empty (n_a or n_b "
+                        "== 0); the two-sample KS statistic is undefined"
+                    ),
+                ).isNull(),
+                # integral `div` (not decimal `/`): Spark's decimal
+                # divide rounds the quotient to the result scale BEFORE
+                # any cast, which can differ from DuckDB's floored `//`
+                # by one ULP at the boundary; `div` truncates like `//`
+                # does on positives
+                F.expr(
+                    "CAST((CAST(__ksmaxd AS DECIMAL(38,0)) * 1000000) div "
+                    "(CAST(__ksna AS DECIMAL(38,0)) * CAST(__ksnb AS DECIMAL(38,0))) "
+                    "AS BIGINT)"
+                ),
             ).alias(out_col),
         )
     )

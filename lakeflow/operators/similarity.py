@@ -234,6 +234,33 @@ def lsh_ann_topk(
     return topk_per_key(scored, "q_id", "cos_micros", id_col, k, descending=True)
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """The build half of the IVF split (VERDICT r7 task #3): pick the
+    ``n_cells`` deterministic seed centroids (corpus vectors in
+    seeded-hash order — a k-means++-style seeding without iterative
+    refinement, so results are reproducible across runs). Bounded
+    collect (``n_cells`` rows). Persist the returned list beside the
+    corpus and pass it to :func:`ivf_ann_topk` as ``centroids=`` so
+    serving never pays the corpus-wide pick scan."""
+    base = _with_vectors(emb, id_col, vec_col)
+    picked = (
+        base.select(
+            id_col,
+            "__v",
+            seeded_hash(F.col(id_col).cast("string"), "ivf").alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    return [[int(x) for x in r["__v"]] for r in picked]
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -242,6 +269,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate NN: partition the corpus into ``n_cells``
     Voronoi cells around deterministic centroids, probe the ``n_probe``
@@ -256,19 +284,18 @@ def ivf_ann_topk(
     plan as literals — cell assignment is then a narrow map over the
     scan (no shuffle), and the probe join is an equi-join on cell id
     against a broadcast query side: the 100 TB shape where the corpus
-    never moves. Returns (q_id, vec_id, cos_micros, rnk)."""
+    never moves. Pass prebuilt ``centroids`` (from
+    :func:`ivf_centroids`, persisted beside the corpus) to skip the
+    pick scan entirely — the serving path then runs ZERO build jobs.
+    Returns (q_id, vec_id, cos_micros, rnk)."""
     base = _with_vectors(emb, id_col, vec_col)
-    picked = (
-        base.select(
-            id_col,
-            "__v",
-            seeded_hash(F.col(id_col).cast("string"), "ivf").alias("__h"),
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_cells, id_col, vec_col)
+    if len(centroids) != n_cells:
+        raise ValueError(
+            f"centroids holds {len(centroids)} vectors, expected n_cells={n_cells}"
         )
-        .orderBy("__h", id_col)
-        .limit(n_cells)
-        .collect()
-    )
-    cents = [[int(x) for x in r["__v"]] for r in picked]
+    cents = centroids
     c2s = [sum(x * x for x in c) for c in cents]
 
     def cell_scores(v: Column) -> Column:

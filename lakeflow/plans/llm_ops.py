@@ -454,7 +454,10 @@ def q_ivf_ann(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 10
-    ann = ivf_ann_topk(emb, pred, k=5, n_cells=16, n_probe=8)
+    ann = ivf_ann_topk(
+        emb, pred, k=5, n_cells=16, n_probe=8,
+        centroids=_ivf_centroids(spark, sf_dir, n_cells=16),
+    )
     exact = brute_force_topk(emb, pred, k=5)
     hits = ann.join(
         exact.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
@@ -2297,20 +2300,76 @@ def q_pq_ann(spark, sf_dir):
     )
 
 
+def _corpus_cache_key(sf_dir: str, table: str = "embeddings") -> str:
+    """Cache key for per-corpus prebuilt artifacts: md5 over the
+    corpus path PLUS a content fingerprint (size + mtime of every file
+    under the table's parquet path — the same signals Spark's own file
+    index caches invalidate on). ADVICE r7: a path-only key silently
+    serves a stale index when the corpus at that path is regenerated
+    with different contents; stat-ing a handful of files per build is
+    free next to the build."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    t = os.path.join(sf_dir, f"{table}.parquet")
+    paths = [t]
+    if os.path.isdir(t):
+        paths = [os.path.join(t, f) for f in sorted(os.listdir(t))]
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"|{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(f"|{os.path.basename(p)}:absent".encode())
+    return h.hexdigest()[:16]
+
+
+def _ivf_centroids(spark, sf_dir: str, n_cells: int = 16) -> list[list[int]]:
+    """Build-once-per-corpus IVF seed centroids for q_ivf_ann (VERDICT
+    r7 task #3 — the same fit/serve split as PQ and IVF-PQ, at
+    centroid-list scale): the pick scan (a corpus-wide TakeOrdered
+    carrying the vector payload) runs once per corpus and persists as
+    a tiny JSON file under /tmp; every later call — the driver gate,
+    all timed bench runs — folds the saved centroids straight into the
+    plan, so the benched row is pure serving (zero build jobs).
+    Deterministic contents (seeded-hash pick) + content-fingerprinted
+    key; race-safe via unique-tmp + rename."""
+    import json
+    import os
+    import uuid
+
+    from lakeflow.operators.similarity import ivf_centroids
+
+    key = _corpus_cache_key(sf_dir)
+    path = f"/tmp/lakeflow_ivfcents_{key}_{n_cells}.json"
+    if not os.path.isfile(path):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = ivf_centroids(emb, n_cells)
+        tmp = f"{path}._build_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(cents, fh)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.unlink(tmp)  # lost a build race
+    with open(path) as fh:
+        return json.load(fh)
+
+
 def _pq_index(spark, sf_dir: str) -> str:
     """Build-once-per-corpus flat-PQ index for q_pq_ann (the pq_fit
     twin of :func:`_serving_index`): codebooks + codes persist under
     /tmp on first use; every later call — including all timed bench
     runs — loads the prebuilt index, so the benched row is pure
-    serving. Deterministic contents (seeded exact-int k-means), so a
-    stale directory is byte-equivalent; race-safe via unique-tmp +
-    rename."""
-    import hashlib
+    serving. Deterministic contents (seeded exact-int k-means) and the
+    key carries the corpus content fingerprint, so a stale directory
+    can only be byte-equivalent; race-safe via unique-tmp + rename."""
     import os
     import shutil
     import uuid
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key = _corpus_cache_key(sf_dir)
     path = f"/tmp/lakeflow_pq_{key}"
     if not os.path.isdir(path):
         from lakeflow.operators.pq import pq_fit
@@ -2330,15 +2389,15 @@ def _serving_index(spark, sf_dir: str) -> str:
     (codebook + coarse k-means training, corpus encode) happens the
     first time a corpus is served and persists under /tmp; every later
     call — including all timed bench runs — loads the prebuilt index.
-    Contents are deterministic (seeded exact-int k-means), so a stale
-    directory from an earlier process is byte-equivalent and safe to
+    Contents are deterministic (seeded exact-int k-means) and the key
+    carries the corpus content fingerprint (:func:`_corpus_cache_key`),
+    so a stale directory can only be byte-equivalent and safe to
     reuse. Build is race-safe via unique-tmp + rename."""
-    import hashlib
     import os
     import shutil
     import uuid
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key = _corpus_cache_key(sf_dir)
     path = f"/tmp/lakeflow_ivfpq_{key}"
     if not os.path.isdir(path):
         from lakeflow.operators.pq import ivf_pq_fit

@@ -771,7 +771,8 @@ def q_struct_json(spark, sf_dir):
                AS high_parts
       FROM orders)
     SELECT o_orderkey,
-           CASE WHEN len(high_parts) > 0 THEN high_parts END AS high_parts,
+           CASE WHEN len(high_parts) > 0 THEN to_json(high_parts) END
+             AS high_parts_json,
            CAST(CASE WHEN len(high_parts) > 0 THEN 0 ELSE 1 END AS BIGINT)
              AS was_empty
     FROM b
@@ -779,10 +780,59 @@ def q_struct_json(spark, sf_dir):
     description="Empty-collection normalization (N6, reference "
     "sql_utils empty->null rule): arrays that filter to empty become "
     "NULL, not [] — the write-path contract that keeps warehouse "
-    "NULL semantics and parquet stats meaningful.",
+    "NULL semantics and parquet stats meaningful. The driver-compared "
+    "surface serializes the surviving array to its canonical JSON "
+    "text (NULL propagates through to_json untouched, so the nulling "
+    "rule is still the thing certified) because the driver's pandas "
+    "canonicalizer cannot sort raw list cells (CORRECTNESS_r07 err: "
+    "unhashable type 'list'); q_empty_to_null_arrays keeps the native "
+    "array<string> form registered for the local gate.",
     refs=("N6", "F8"),
 )
 def q_empty_to_null(spark, sf_dir):
+    from lakeflow.operators.flatten import empty_collections_to_null
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        F.filter(
+            F.split(F.col("o_orderpriority"), "-"), lambda x: x >= F.lit("3")
+        ).alias("high_parts"),
+    )
+    n = empty_collections_to_null(b)
+    return n.select(
+        "o_orderkey",
+        F.to_json(F.col("high_parts")).alias("high_parts_json"),
+        F.when(F.col("high_parts").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("was_empty"),
+    )
+
+
+@query(
+    "q_empty_to_null_arrays",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             list_filter(str_split(o_orderpriority, '-'), x -> x >= '3')
+               AS high_parts
+      FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN len(high_parts) > 0 THEN high_parts END AS high_parts,
+           CAST(CASE WHEN len(high_parts) > 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS was_empty
+    FROM b
+    """,
+    description="The native array<string> form of q_empty_to_null — "
+    "what a downstream consumer of the nulled collection actually "
+    "reads. Registered for the local gate (lakeflow/testing.py "
+    "stringifies cells before sorting, so list cells canonicalize "
+    "fine there); the driver window carries the JSON-serialized "
+    "q_empty_to_null instead.",
+    refs=("N6", "F8"),
+)
+def q_empty_to_null_arrays(spark, sf_dir):
     from lakeflow.operators.flatten import empty_collections_to_null
 
     o = load_table(spark, sf_dir, "orders")

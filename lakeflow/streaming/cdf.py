@@ -80,7 +80,18 @@ def advance_cdf_aggregate(
     if v_now <= v_from:
         return None
     if v_from == 0:
-        # first consumption: the whole snapshot is one big insert
+        # first consumption: the whole snapshot is one big insert.
+        # Guard: if agg_path already holds data but no _token_cdfv*
+        # token (a foreign writer used the path, or the token file was
+        # lost), merging the snapshot on top would double-count — fail
+        # instead of silently corrupting the aggregate.
+        if read_target_if_exists(spark, agg_path) is not None:
+            raise ValueError(
+                f"CDF aggregate at {agg_path!r} holds data but no "
+                "_token_cdfv* cursor token; refusing the first-"
+                "consumption snapshot merge (it would double-count). "
+                "Point the consumer at a fresh path or restore the token."
+            )
         snap = read_table(spark, table_path, v_now)
         contrib = snap.select(
             *group_cols,

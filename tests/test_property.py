@@ -520,3 +520,31 @@ def test_incremental_semantic_equals_batch_property(spark, rows, mod):
         if r["vec_id_a"] % 4 == mod or r["vec_id_b"] % 4 == mod
     }
     assert got == want
+
+
+@slow
+@given(
+    st.lists(st.integers(-20, 20), min_size=1, max_size=30),
+    st.lists(st.integers(-20, 20), min_size=1, max_size=30),
+)
+def test_ks_statistic_matches_brute_force(spark, a_vals, b_vals):
+    # VERDICT r7 task #10: the exact two-sample KS statistic equals its
+    # definition computed by brute pure-Python — D quantized to micros
+    # via the same integer cross-multiply floor, so equality is exact
+    from lakeflow.operators.profile import ks_statistic
+
+    rows = [(v, "a") for v in a_vals] + [(v, "b") for v in b_vals]
+    df = spark.createDataFrame(rows, "v long, side string")
+    got = ks_statistic(df, "v", F.col("side") == "a").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_a"], r["n_b"]) == (len(a_vals), len(b_vals))
+    # brute: sup over observed step points of |cum_a*n_b - cum_b*n_a|
+    n_a, n_b = len(a_vals), len(b_vals)
+    sa, sb = sorted(a_vals), sorted(b_vals)
+    best = 0
+    for x in sorted(set(a_vals) | set(b_vals)):
+        cum_a = sum(1 for v in sa if v <= x)
+        cum_b = sum(1 for v in sb if v <= x)
+        best = max(best, abs(cum_a * n_b - cum_b * n_a))
+    assert r["ks_micros"] == best * 1_000_000 // (n_a * n_b)

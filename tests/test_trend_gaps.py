@@ -204,3 +204,24 @@ def test_ks_statistic_partitioning_invariant(spark):
         df.repartition(13, "side"), "v", F.col("side") == "a"
     ).collect()
     assert base == re13
+
+
+def test_ks_statistic_empty_side_raises(spark):
+    # ADVICE r7: KS is undefined when one sample is empty; the plan
+    # must fail loudly (assert_true), never emit a silent NULL row
+    from py4j.protocol import Py4JJavaError
+
+    from lakeflow.operators.profile import ks_statistic
+
+    only_a = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a")], "v long, side string"
+    )
+    try:
+        ks_statistic(only_a, "v", F.col("side") == "a").collect()
+        raise AssertionError("expected the empty-b-side KS job to fail")
+    except Exception as e:  # Spark wraps assert_true in a job failure
+        assert "ks_statistic" in str(e) or isinstance(e, Py4JJavaError)
+    # a fully empty input stays an EMPTY result (no row to assert on):
+    # there is no distribution pair to test, and no NULL leaks out
+    empty = spark.createDataFrame([], "v long, side string")
+    assert ks_statistic(empty, "v", F.col("side") == "a").collect() == []

@@ -407,3 +407,26 @@ def test_cdf_consumer_tracks_batch_recompute(spark, tmp_path):
     # the aggregate was maintained, not recomputed: its state also
     # equals the truth derived independently at the pinned version
     assert _cdf_state(spark, agg) == _agg_truth(spark, path, 4)
+
+
+def test_cdf_first_consumption_refuses_foreign_data(spark, tmp_path):
+    # ADVICE r7: agg_path holding data but NO _token_cdfv* cursor token
+    # (foreign writer, or lost token) must fail the first-consumption
+    # merge — folding the snapshot on top would silently double-count
+    import pytest as _pytest
+
+    from lakeflow.streaming.cdf import advance_cdf_aggregate
+
+    path = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    write_table(
+        spark,
+        spark.createDataFrame([(1, "a", 10)], "k long, grp string, v long"),
+        path,
+    )
+    # a foreign writer drops parquet at the consumer's target path
+    spark.createDataFrame(
+        [("a", 1, 10)], "grp string, n long, sum_v long"
+    ).write.parquet(agg)
+    with _pytest.raises(ValueError, match="no _token_cdfv"):
+        advance_cdf_aggregate(spark, path, agg, ["k"], ["grp"], ["v"])
