@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "q_containment_join",
     "q_ks_drift",
     "q_phrase_search",
+    # round 8: proximity retrieval over the positional index
+    "q_slop_search",
 ]
 
 

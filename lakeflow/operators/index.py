@@ -280,3 +280,68 @@ def phrase_search(index: DataFrame, phrase: list[str]) -> DataFrame:
         "doc_id", F.size(starts).cast("long").alias("n_occurrences")
     )
     return out.filter(F.col("n_occurrences") > 0)
+
+
+def slop_search(index: DataFrame, terms: list[str], slop: int) -> DataFrame:
+    """Proximity search over a positional index (the windowed sibling
+    of :func:`phrase_search`): docs where ALL ``terms`` occur within a
+    window of ``slop`` tokens, in ANY order — i.e. there exist
+    positions p_1..p_k (one per term) with max(p) - min(p) <= slop.
+    Returns (doc_id, min_span) where ``min_span`` is the doc's tightest
+    such window (0 = impossible for distinct terms, 1 = adjacent).
+
+    Shape: identical to phrase_search — each term filters the index to
+    ITS posting rows, the k postings equi-join on doc_id, and the
+    window test is ONE codegen higher-order expression: a (min,max)
+    interval fold over the position arrays (flatten x transform —
+    per-doc cost is the product of the queried terms' tfs, bounded by
+    document length, never the corpus). A RANGE predicate on positions
+    instead of phrase_search's exact offsets; posting-list cost only.
+
+    ``terms`` must be distinct: with a repeated term one occurrence
+    would satisfy both slots (span 0), which is never the intended
+    proximity question."""
+    terms = [t.lower() for t in terms]
+    if not terms:
+        raise ValueError("slop_search requires at least one token")
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            "slop_search terms must be distinct; a repeated term is "
+            "satisfied by one occurrence (span 0) — use phrase_search "
+            "for exact-offset patterns with repeats"
+        )
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    joined = None
+    for i, t in enumerate(terms):
+        side = index.filter(F.col("token") == t).select(
+            "doc_id", F.col("positions").alias(f"__p{i}")
+        )
+        joined = side if joined is None else joined.join(side, "doc_id")
+    # interval fold: combos after term i = every (min,max) envelope of
+    # one position choice per term 0..i; flatten keeps it one array
+    combos = F.transform(
+        F.col("__p0"), lambda p: F.struct(p.alias("mn"), p.alias("mx"))
+    )
+
+    def _extend(acc, pos_col: str):
+        return F.flatten(
+            F.transform(
+                acc,
+                lambda c: F.transform(
+                    F.col(pos_col),
+                    lambda q: F.struct(
+                        F.least(c["mn"], q).alias("mn"),
+                        F.greatest(c["mx"], q).alias("mx"),
+                    ),
+                ),
+            )
+        )
+
+    for i in range(1, len(terms)):
+        combos = _extend(combos, f"__p{i}")
+    min_span = F.array_min(
+        F.transform(combos, lambda c: c["mx"] - c["mn"])
+    ).cast("long")
+    out = joined.select("doc_id", min_span.alias("min_span"))
+    return out.filter(F.col("min_span") <= F.lit(slop))

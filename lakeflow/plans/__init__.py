@@ -27,86 +27,77 @@ from lakeflow.plans import scalar_ops  # noqa: F401
 #: 103 distinct queries; COVERAGE.md's ledger maps every §2 ref to its
 #: certifying round).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-7 ROTATION (VERDICT r6 tasks #1-2): the 14 queries that
-    # have NEVER had a green driver CORRECTNESS row lead the window —
-    # q_tokenize_ids reshaped to a driver-canonicalizable surface
-    # (exploded-to-string serialization; its only prior attempt errored
-    # in the driver's pandas canonicalizer on raw list cells) plus the
-    # 13 never-windowed stragglers, all green in the local gate at
-    # sf0.01 AND sf0.1 and independently re-run by the r6 judge. This
-    # takes the driver ledger to every registered query certified at
-    # least once. The remaining 36 slots re-certify the capability
-    # flagships (one per major §2.12 family; q_pq_ann re-enters
-    # because its plan changed this round — it now serves against a
-    # prebuilt pq_fit index). The 36 rotated-out r06 rows remain the
-    # evidence of record (COVERAGE.md ledger + CERTIFIED.json).
+    # ROUND-8 ROTATION (VERDICT r7 tasks #1, #6): two must-certify
+    # rows lead — q_empty_to_null, reshaped to a flat JSON-serialized
+    # surface after its r7 driver row errred in the driver's pandas
+    # canonicalizer on raw list cells (the window now structurally
+    # bans nested output columns, tests/test_oracle_parity.py), and
+    # the round-8-built q_slop_search (proximity search over the
+    # positional index). The other 48 slots refresh the STALEST
+    # certifications: CERTIFIED.json now records each query's LATEST
+    # green driver round, and every query whose most recent row
+    # predates round 4 rotates in (all 19 r2-latest + all 14
+    # r3-latest + 15 of the 17 r4-latest, including q_ivf_ann whose
+    # serving path changed this round — prebuilt centroids, VERDICT
+    # r7 task #3). After this round no query's newest driver row
+    # predates round 4. The rotated-out r07 rows remain the evidence
+    # of record (COVERAGE.md ledger + CERTIFIED.json).
     #
-    # --- never-certified closure (14) ---
-    "q_tokenize_ids",
-    "q_hash_sample",
-    "q_chunk_windows",
-    "q_equi_depth_hist",
-    "q_flatten_collision",
-    "q_struct_json",
+    # --- must-certify (2) ---
     "q_empty_to_null",
-    "q_resample_interp",
-    "q_winsorize",
-    "q_wav_meta",
-    "q_oov_rate",
-    "q_try_casts",
-    "q_sanitize_names",
-    "q_temperature_mix",
-    # --- dedup tiers (6; q_exact_dedup_docs certified r1) ---
-    "q_minhash_lsh_pairs",
-    "q_near_dup_pipeline",
-    "q_incremental_near_dup",
-    "q_semantic_dedup",
-    "q_dedup_survivors",
-    "q_paragraph_dedup",
-    # --- exact set similarity (2) ---
-    "q_setsim_join",
-    "q_incremental_setsim",
-    # --- ANN / embedding similarity (4) ---
-    "q_cosine_topk",
-    "q_ann_serving",
-    "q_pq_ann",
-    "q_hard_negatives",
-    # --- retrieval (3; q_keyword_search certified r5, displaced for
-    # the round-7-built q_containment_join; q_exact_dedup_docs
-    # certified r1, displaced for the round-7-built q_phrase_search) ---
-    "q_bm25_search",
-    "q_hybrid_search",
-    "q_phrase_search",
-    # --- text quality / curation (5) ---
-    "q_gopher_rules",
-    "q_clean_lines",
-    "q_quality_classifier",
-    "q_contamination",
-    "q_lang_id",
-    # --- tokenizer / vocab (2) ---
-    "q_bpe_merges",
-    "q_heavy_hitters",
-    # --- sampling / splits / selection (4) ---
-    "q_pps_sample",
-    "q_leakage_safe_split",
-    "q_exact_k_sample",
-    "q_data_selection",
-    # --- linkage / entities (3) ---
-    "q_record_linkage",
-    "q_fs_linkage",
-    "q_incremental_semantic",
-    # --- monitoring / drift (2; q_drift_tvd certified r5, displaced
-    # for its round-7-built sharper sibling q_ks_drift) ---
-    "q_ks_drift",
-    "q_trend_slope",
-    # --- scan layout / rollups / graph (3; q1_pricing_summary
-    # certified r1, displaced for the round-7-built q_cdf_aggregate) ---
-    "q_bloom_prune_join",
-    "q_bitmap_rollup",
-    "q_pagerank",
-    # --- round-7-built capabilities (2) ---
-    "q_containment_join",
-    "q_cdf_aggregate",
+    "q_slop_search",
+    # --- latest row r2 (19) ---
+    "q10_returned_items",
+    "q12_shipmode_buckets",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q_anti_join_customers",
+    "q_conditional_null",
+    "q_date_funcs",
+    "q_except_custkeys",
+    "q_intersect_custkeys",
+    "q_math_funcs",
+    "q_semi_join_customers",
+    "q_string_funcs",
+    # --- latest row r3 (14) ---
+    "q17_small_quantity_parts",
+    "q5_local_supplier_volume",
+    "q_analytic_windows",
+    "q_count_distinct",
+    "q_cube_orders",
+    "q_grouping_sets",
+    "q_having",
+    "q_median_price",
+    "q_range_pairs_events",
+    "q_sliding_2h",
+    "q_trailing_window",
+    "q_tumbling_hourly",
+    "q_unpivot_metrics",
+    "q_variant_extract",
+    # --- latest row r4 (15 of 17; q_window_running and
+    # q_winnow_fingerprint carry to the r9 rotation) ---
+    "q_approx_distinct",
+    "q_cohort_retention",
+    "q_correlated_subquery",
+    "q_doc_fingerprint",
+    "q_edit_distance_pairs",
+    "q_embedding_stats",
+    "q_exact_dedup_docs",
+    "q_ivf_ann",
+    "q_kmeans_cells",
+    "q_lsh_ann",
+    "q_ngram_jaccard",
+    "q_rollup_lineitem",
+    "q_text_stats",
+    "q_token_classes",
+    "q_topk_orders_per_customer",
 )
 
 

@@ -4914,3 +4914,46 @@ def q_phrase_search(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     idx = build_positional_index(d)
     return phrase_search(idx, ["row", "column", "sort"])
+
+
+@query(
+    "q_slop_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(generate_series(1, len(t))) AS ord
+      FROM toks)
+    SELECT a.doc_id,
+           CAST(MIN(greatest(a.ord, b.ord, c.ord)
+                    - least(a.ord, b.ord, c.ord)) AS BIGINT) AS min_span
+    FROM tok a
+    JOIN tok b ON b.doc_id = a.doc_id
+    JOIN tok c ON c.doc_id = a.doc_id
+    WHERE a.token = 'scan' AND b.token = 'merge' AND c.token = 'window'
+    GROUP BY a.doc_id
+    HAVING min_span <= 6
+    """,
+    description="Proximity (slop) search over the positional inverted "
+    "index (operators/index.slop_search, VERDICT r7 task #8): every "
+    "document where 'scan', 'merge' and 'window' all occur within a "
+    "6-token window in ANY order, with the doc's tightest window "
+    "(min over one-position-per-term tuples of max(p)-min(p)). Same "
+    "posting-join shape as phrase_search with a RANGE predicate on "
+    "positions instead of exact offsets: each term filters the index "
+    "to its postings, the k postings equi-join on doc_id, and the "
+    "window test is one codegen (min,max)-interval fold over the "
+    "position arrays — per-doc cost is the product of the queried "
+    "terms' tfs (bounded by doc length), never the corpus. The oracle "
+    "replays the semantics as a k-way positional self-join (1-based "
+    "ords; spans are differences, so the base cancels).",
+    refs=("§2.12",),
+)
+def q_slop_search(spark, sf_dir):
+    from lakeflow.operators.index import build_positional_index, slop_search
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_positional_index(d)
+    return slop_search(idx, ["scan", "merge", "window"], slop=6)

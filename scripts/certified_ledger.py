@@ -1,7 +1,10 @@
 """Regenerate CERTIFIED.json — the machine-checkable driver-ledger:
-query name -> FIRST round whose driver CORRECTNESS_r{N}.json recorded
+query name -> LATEST round whose driver CORRECTNESS_r{N}.json recorded
 a green row (hash_match, or rows_match for rows-only checks; rows with
-an err never certify).
+an err never certify). Latest, not first (changed r8, VERDICT r7 task
+#6): the ledger answers "how stale is this query's newest driver
+validation?", which is what window rotation minimizes — no query's
+most recent row should predate several rounds of engine churn.
 
 Run after each round's CORRECTNESS file lands. The gate
 (tests/test_registry.py::test_every_query_windowed_or_certified)
@@ -35,7 +38,7 @@ def build() -> dict[str, int]:
                 or (row.get("hash_match") is None and row.get("rows_match") is True)
             )
             if green:
-                cert.setdefault(q, rnd)
+                cert[q] = max(cert.get(q, 0), rnd)
     return dict(sorted(cert.items()))
 
 

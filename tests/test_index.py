@@ -249,3 +249,42 @@ def test_phrase_search_positions(spark):
         for r in phrase_search(idx, ["quick", "brown", "fox"]).collect()
     }
     assert tri == {1: 1}
+
+
+def test_slop_search_min_span(spark):
+    from lakeflow.operators.index import build_positional_index, slop_search
+
+    rows = [
+        # tightest window for (quick, fox): positions 1 and 3 -> span 2
+        Row(doc_id=1, text="the quick brown fox jumps quick over fox"),
+        Row(doc_id=2, text="fox then many words later a quick thing"),  # span 6
+        Row(doc_id=3, text="quick only here"),                # fox missing
+        Row(doc_id=4, text="fox quick"),                      # any order, span 1
+    ]
+    idx = build_positional_index(spark.createDataFrame(rows))
+    got = {
+        r["doc_id"]: r["min_span"]
+        for r in slop_search(idx, ["quick", "fox"], slop=10).collect()
+    }
+    assert got == {1: 2, 2: 6, 4: 1}
+    # slop filters: only the adjacent pair survives slop=1
+    tight = {
+        r["doc_id"]: r["min_span"]
+        for r in slop_search(idx, ["quick", "fox"], slop=1).collect()
+    }
+    assert tight == {4: 1}
+    # three terms, any order: doc 1 has quick@1 brown@2 fox@3 -> span 2
+    tri = {
+        r["doc_id"]: r["min_span"]
+        for r in slop_search(idx, ["fox", "brown", "quick"], slop=3).collect()
+    }
+    assert tri == {1: 2}
+    # guardrails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        slop_search(idx, ["a", "a"], slop=2)
+    with _pytest.raises(ValueError, match="slop"):
+        slop_search(idx, ["a", "b"], slop=-1)
+    with _pytest.raises(ValueError, match="at least one"):
+        slop_search(idx, [], slop=2)
