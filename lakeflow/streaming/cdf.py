@@ -138,3 +138,101 @@ def read_cdf_aggregate(spark: SparkSession, agg_path: str) -> DataFrame:
     if df is None:
         raise FileNotFoundError(f"no CDF aggregate at {agg_path!r}")
     return df.filter(F.col("n") != 0)
+
+
+def advance_cdf_trend(
+    spark: SparkSession,
+    table_path: str,
+    agg_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> int | None:
+    """Change-feed-maintained per-group OLS TREND inputs (VERDICT r7
+    task #7 — the CDF consumer wired into the monitoring surface):
+    maintains the five additive OLS sufficient statistics
+    (``operators/trend.STAT_COLS``: n, sx, sy, sxy, sxx over integer
+    ``x_col``/``y_col``) for every ``group_cols`` value, exactly equal
+    to ``ols_sufficient_stats(read_table(...))`` at every version,
+    from |changes| rows per advance — where ``stream_trend_stats``
+    folds an APPEND-ONLY event stream, this consumes a MUTABLE
+    manifest-committed table (upserts re-weigh a point, deletes
+    retract it) via the same ±retraction algebra as
+    :func:`advance_cdf_aggregate`. Read the current fit with
+    :func:`read_cdf_trends`. Same crash/replay contract: the consumed
+    version IS the merge commit token."""
+    dec = "decimal(38,0)"
+
+    def stats(xc, yc, sign):
+        x = F.col(xc).cast("long")
+        y = F.col(yc).cast("long")
+        s = F.lit(sign)
+        return [
+            (s * 1).alias("__dn"),
+            (s.cast(dec) * x.cast(dec)).alias("__dsx"),
+            (s.cast(dec) * y.cast(dec)).alias("__dsy"),
+            (s.cast(dec) * (x * y).cast(dec)).alias("__dsxy"),
+            (s.cast(dec) * (x * x).cast(dec)).alias("__dsxx"),
+        ]
+
+    v_now = current_version(table_path)
+    v_from = cdf_cursor(agg_path)
+    if v_now <= v_from:
+        return None
+    if v_from == 0:
+        if read_target_if_exists(spark, agg_path) is not None:
+            raise ValueError(
+                f"CDF trend table at {agg_path!r} holds data but no "
+                "_token_cdfv* cursor token; refusing the first-"
+                "consumption snapshot merge (it would double-count)."
+            )
+        snap = read_table(spark, table_path, v_now)
+        contrib = snap.select(*group_cols, *stats(x_col, y_col, 1))
+    else:
+        ch = table_changes(spark, table_path, v_from, v_now, keys, emit_old=True)
+        add = ch.filter(F.col("op") != "D").select(
+            *group_cols, *stats(x_col, y_col, 1)
+        )
+        retract = ch.filter(F.col("op") != "I").select(
+            *[F.col(f"__old_{g}").alias(g) for g in group_cols],
+            *stats(f"__old_{x_col}", f"__old_{y_col}", -1),
+        )
+        contrib = add.unionByName(retract)
+    delta = contrib.groupBy(*group_cols).agg(
+        F.sum("__dn").cast("long").alias("n"),
+        F.sum("__dsx").cast(dec).alias("sx"),
+        F.sum("__dsy").cast(dec).alias("sy"),
+        F.sum("__dsxy").cast(dec).alias("sxy"),
+        F.sum("__dsxx").cast(dec).alias("sxx"),
+    )
+    merge_aggregate(
+        spark,
+        agg_path,
+        delta,
+        group_cols,
+        [
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sx").cast(dec).alias("sx"),
+            F.sum("sy").cast(dec).alias("sy"),
+            F.sum("sxy").cast(dec).alias("sxy"),
+            F.sum("sxx").cast(dec).alias("sxx"),
+        ],
+        commit_token=f"cdfv{v_now}",
+    )
+    return v_now
+
+
+def read_cdf_trends(
+    spark: SparkSession, agg_path: str, group_cols: list[str]
+) -> DataFrame:
+    """Current per-group OLS fit from the CDF-maintained statistics —
+    identical to ``grouped_ols`` over the source table's CURRENT
+    snapshot. Fully-retracted groups (n == 0) are dropped, matching
+    the batch recompute (which has no row for them)."""
+    from lakeflow.operators.trend import ols_from_stats
+
+    df = read_target_if_exists(spark, agg_path)
+    if df is None:
+        raise FileNotFoundError(f"no CDF trend table at {agg_path!r}")
+    return ols_from_stats(df.filter(F.col("n") != 0), group_cols)

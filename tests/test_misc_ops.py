@@ -3,6 +3,7 @@ document pipeline (B5), multimodal feature plumbing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakeflow.catalog import load_table
@@ -542,3 +543,39 @@ def test_multimodal_real_decode_when_pil_present(spark):
     # single-frame stills emit exactly one 16x16 gray frame each
     assert sorted((r["id"], r["frame_idx"]) for r in fr) == [(1, 0), (2, 0)]
     assert all(len(r["frame"]) == 256 for r in fr)
+
+
+@pytest.mark.parametrize("fmt", ["png", "jpeg", "gif"])
+def test_real_decode_format_matrix(spark, fmt):
+    # VERDICT r7 task #9: the real-decode coverage claim as a test
+    # MATRIX, so the pytest report names each format's status instead
+    # of prose — PNG decodes for REAL in this sandbox (stdlib baseline,
+    # no PIL needed); JPEG/GIF pixel decode is PIL-gated and SKIPS with
+    # the format named. Run with -rs to see the skip reasons.
+    from lakeflow.operators.multimodal import decode_features, has_real_decode
+
+    if fmt != "png" and not has_real_decode():
+        pytest.skip(
+            f"{fmt.upper()} real pixel decode requires a PIL-class "
+            "library on the executors (not installed in this sandbox); "
+            "PNG decodes for real via the stdlib baseline"
+        )
+    if fmt == "png":
+        rows = [
+            bytes(v for _ in range(8) for v in (0, 255, 0)) for _ in range(4)
+        ]
+        payload = _encode_png(rows, 8, 4, 2, filters=[0])
+    else:
+        import io as _io
+
+        from PIL import Image
+
+        buf = _io.BytesIO()
+        Image.new("RGB", (8, 4), (0, 255, 0)).save(buf, format=fmt.upper())
+        payload = buf.getvalue()
+    d = spark.createDataFrame(
+        [(1, payload)], "id long, payload binary"
+    ).withColumn("media_type", F.lit(f"image/{fmt}"))
+    row = decode_features(d, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (8, 4)
+    assert row["feature"][1] > 0.9  # green channel dominates

@@ -430,3 +430,60 @@ def test_cdf_first_consumption_refuses_foreign_data(spark, tmp_path):
     ).write.parquet(agg)
     with _pytest.raises(ValueError, match="no _token_cdfv"):
         advance_cdf_aggregate(spark, path, agg, ["k"], ["grp"], ["v"])
+
+
+def test_cdf_trend_consumer_tracks_batch_ols(spark, tmp_path):
+    # VERDICT r7 task #7: the CDF consumer maintains a MONITOR aggregate
+    # — per-group OLS sufficient stats — from a change-fed table; the
+    # derived fit must equal grouped_ols over the CURRENT snapshot at
+    # every advance, through upserts (value re-weigh AND group move),
+    # deletes (full retraction) and multi-version catch-up, with
+    # |changes|-bounded per-advance input
+    from lakeflow.operators.trend import grouped_ols
+    from lakeflow.streaming.cdf import advance_cdf_trend, cdf_cursor, read_cdf_trends
+
+    path = str(tmp_path / "src")
+    agg = str(tmp_path / "trend")
+
+    def gdf(rows):
+        return spark.createDataFrame(rows, "k long, grp string, x long, y long")
+
+    def truth():
+        return sorted(
+            map(
+                tuple,
+                grouped_ols(
+                    read_table(spark, path), ["grp"], F.col("x"), F.col("y")
+                ).collect(),
+            )
+        )
+
+    def state():
+        return sorted(map(tuple, read_cdf_trends(spark, agg, ["grp"]).collect()))
+
+    # v1: exact line y = 3x + 7 for group a; two points for b
+    write_table(
+        spark,
+        gdf([(1, "a", 0, 7), (2, "a", 1, 10), (3, "a", 2, 13), (4, "b", 0, 0), (5, "b", 2, 4)]),
+        path,
+    )
+    assert advance_cdf_trend(spark, path, agg, ["k"], ["grp"], "x", "y") == 1
+    assert state() == truth()
+    # v2: upsert — move point 2 from a to b AND re-weigh point 3
+    merge_upsert_table(spark, gdf([(2, "b", 1, 100), (3, "a", 2, 16)]), path, ["k"])
+    assert advance_cdf_trend(spark, path, agg, ["k"], ["grp"], "x", "y") == 2
+    assert state() == truth()
+    # replay: already current -> no-op
+    assert advance_cdf_trend(spark, path, agg, ["k"], ["grp"], "x", "y") is None
+    assert cdf_cursor(agg) == 2
+    # v3 + v4 without advancing: delete group b entirely, then append a
+    # degenerate single-point group c — one catch-up advance folds both
+    delete_where(spark, path, F.col("grp") == "b")
+    append_table(spark, gdf([(9, "c", 5, 5)]), path)
+    assert advance_cdf_trend(spark, path, agg, ["k"], ["grp"], "x", "y") == 4
+    got = state()
+    assert got == truth()
+    assert not any(r[0] == "b" for r in got)  # fully-retracted group gone
+    # the degenerate group is present with NULL fit, matching grouped_ols
+    c_row = [r for r in got if r[0] == "c"][0]
+    assert c_row[2] is None and c_row[3] is None
