@@ -294,6 +294,31 @@ def _verify_pairs(
     )
 
 
+def _hashed_guarded(arr_col: str):
+    """Hash a distinct-element string array to its 64-bit element
+    array, ASSERTING per-doc injectivity in the same expression: the
+    hashed array must be duplicate-free, or the job fails loudly (see
+    ``setsim_join`` step 1 — an in-doc collision is the one collision
+    class that could turn the hashed pipeline's guaranteed
+    over-estimate into an under-estimate, i.e. a silent false
+    negative). Pure codegen, zero shuffle; P(any in-doc collision)
+    ~ n_docs * m^2 / 2^65 — astronomically unlikely, so fail-loud (and
+    rerun that corpus with a wider fingerprint) beats paying an exact
+    dictionary join on every run."""
+    h = F.transform(arr_col, lambda x: F.xxhash64(x))
+    return F.when(
+        F.assert_true(
+            F.size(F.array_distinct(h)) == F.size(arr_col),
+            F.lit(
+                "setsim: xxhash64 collision between two elements of one "
+                "document — hashed similarities could under-estimate; "
+                "this corpus needs a wider element fingerprint"
+            ),
+        ).isNull(),
+        h,
+    )
+
+
 def _exact_reverify(
     survivors: DataFrame,
     arrs: DataFrame,
@@ -351,15 +376,27 @@ def setsim_join(
     and array intersection handles 8-byte longs instead of ~24-byte
     strings (measured 1.7x end-to-end at sf0.1, and shuffle volume is
     the thing that grows at 100 TB). Exactness is preserved by
-    CONSTRUCTION, not by hoping 2^64 is big enough: hashing can only
-    MERGE distinct elements, so hashed intersections over-count and
-    hashed set sizes under-count — hashed Jaccard >= true Jaccard,
-    making the hashed pipeline's output a SUPERSET of the true pair
-    set (zero false negatives, the same direction the prefix filter
-    guarantees) — and the output-sized survivor set is re-verified
-    exactly against the raw string arrays (:func:`_exact_reverify`).
-    A collision therefore costs one extra re-verified row, never a
-    wrong answer.
+    CONSTRUCTION, not by hoping 2^64 is big enough, in two steps:
+
+    1. PER-DOC INJECTIVITY is asserted in the plan (a narrow
+       zero-shuffle codegen check: a document's hashed element array
+       must have no duplicate). A hash collision between two elements
+       of one document — the only collision class that could make a
+       hashed similarity UNDERSHOOT the true one, since both elements
+       of a within-intersection collision live in both documents —
+       therefore fails the job loudly instead of silently dropping a
+       pair. (Without the guard this is a REAL false-negative hole,
+       not paranoia: A∩B = {x,y} with h(x)=h(y) gives true J = 0.5
+       but hashed J = 1/3.)
+    2. Given per-doc injectivity, hashed set sizes are EXACT and a
+       collision can only be CROSS-DOC (x in A\\B, y in B\\A), which
+       inflates the hashed intersection — so hashed Jaccard >= true
+       Jaccard, making the hashed pipeline's output a SUPERSET of the
+       true pair set (zero false negatives, the same direction the
+       prefix filter guarantees). The output-sized survivor set is
+       then re-verified exactly against the raw string arrays
+       (:func:`_exact_reverify`): a cross-doc collision costs one
+       extra re-verified row, never a wrong answer.
 
     Two relations are persisted — the per-doc string arrays
     (:func:`_element_arrays`, built shuffle-free; final verification
@@ -370,13 +407,9 @@ def setsim_join(
     arrs = maybe_persist(
         _element_arrays(df, id_col, text_col, shingle_n), cache
     )
-    # distinct again AFTER hashing: an in-doc collision would otherwise
-    # leave a duplicate hash inside the "set" array
-    hashed = F.array_distinct(
-        F.transform("__arr", lambda x: F.xxhash64(x))
-    )
     hrel = maybe_persist(
-        arrs.select(F.col(id_col), hashed.alias("__arr")), cache
+        arrs.select(F.col(id_col), _hashed_guarded("__arr").alias("__arr")),
+        cache,
     )
     el = hrel.select(
         F.col(id_col),
@@ -449,7 +482,15 @@ def incremental_setsim_pairs(
     nor inflate an overlap count. Callers that already built the
     batch's index (the streaming maintainer persists it for the index
     append) pass it via ``new_index`` to avoid re-shingling the batch.
-    Returns ({id}_a, {id}_b, jaccard_micros) with id_a < id_b."""
+
+    This tier stays on STRING elements (unlike the batch tier's hashed
+    pipeline): its cost is |batch|-bounded by contract, the stored
+    index scan reads strings either way, and an r8 experiment that
+    hashed it (new-side guard + survivor-bounded string re-assembly
+    for the re-verify) measured 2x SLOWER at sf0.1 — the extra
+    survivor-gather stages dominate at batch scale, where the hashed
+    join's shuffle-width saving is small by construction. Returns
+    ({id}_a, {id}_b, jaccard_micros) with id_a < id_b."""
     if new_index is None:
         new_index = maybe_persist(
             element_index(new_docs, id_col, text_col, shingle_n), cache
@@ -524,14 +565,28 @@ def containment_join(
     haystack, so every haystack element indexes); the shared order is
     global doc-frequency over the UNION (rarest first) — join keys are
     the low-frequency shingles, which is what bounds bucket fan-out.
-    Verification is one ``array_intersect`` per candidate against the
-    two shuffle-free per-doc array relations. Returns
+
+    Like ``setsim_join``, the heavy pipeline runs over 64-bit element
+    hashes under the per-doc injectivity guard (:func:`_hashed_guarded`;
+    r8): with in-doc collisions excluded, |N| is exact and a collision
+    can only be cross-doc, which INFLATES the hashed intersection —
+    hashed containment >= true containment, so the hashed output is a
+    superset and the output-sized survivor set re-verifies exactly
+    against the raw string arrays. Returns
     (needle_id, doc_id, containment_micros)."""
-    n_arr = maybe_persist(
+    n_sarr = maybe_persist(
         _element_arrays(needles, id_col, text_col, shingle_n), cache
     )
-    h_arr = maybe_persist(
+    h_sarr = maybe_persist(
         _element_arrays(haystack, id_col, text_col, shingle_n), cache
+    )
+    n_arr = maybe_persist(
+        n_sarr.select(F.col(id_col), _hashed_guarded("__arr").alias("__arr")),
+        cache,
+    )
+    h_arr = maybe_persist(
+        h_sarr.select(F.col(id_col), _hashed_guarded("__arr").alias("__arr")),
+        cache,
     )
     n_el = n_arr.select(F.col(id_col), F.explode("__arr").alias("s"))
     h_el = h_arr.select(F.col(id_col), F.explode("__arr").alias("s"))
@@ -576,13 +631,38 @@ def containment_join(
             F.size(F.array_intersect("__vn", "__vh")).cast("long").alias("__inter"),
         )
     )
+    # hashed-containment superset filter (>= true containment under the
+    # per-doc injectivity guard) ...
+    surv = inter.filter(
+        F.col("__inter") * F.lit(MICRO) >= F.lit(threshold_micros) * F.col("__nsz")
+    ).select("__nid", "__hid")
+    # ... then the output-sized exact re-verify on the string arrays
+    ex = (
+        surv.join(
+            n_sarr.select(
+                F.col(id_col).alias("__nid"), F.col("__arr").alias("__en")
+            ),
+            "__nid",
+        )
+        .join(
+            h_sarr.select(
+                F.col(id_col).alias("__hid"), F.col("__arr").alias("__eh")
+            ),
+            "__hid",
+        )
+        .select(
+            "__nid",
+            "__hid",
+            F.size("__en").cast("long").alias("__xn"),
+            F.size(F.array_intersect("__en", "__eh")).cast("long").alias("__xi"),
+        )
+    )
     cm = F.floor(
-        F.col("__inter").cast("double") / F.col("__nsz").cast("double")
-        * F.lit(MICRO)
+        F.col("__xi").cast("double") / F.col("__xn").cast("double") * F.lit(MICRO)
         + F.lit(0.5)
     ).cast("long")
-    return inter.filter(
-        F.col("__inter") * F.lit(MICRO) >= F.lit(threshold_micros) * F.col("__nsz")
+    return ex.filter(
+        F.col("__xi") * F.lit(MICRO) >= F.lit(threshold_micros) * F.col("__xn")
     ).select(
         F.col("__nid").alias(f"needle_{id_col}"),
         F.col("__hid").alias(f"doc_{id_col}"),
