@@ -255,6 +255,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     order_col: str,
+    commit_token: str | None = None,
 ) -> None:
     v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
     existing = read_target_if_exists(spark, target_path)
@@ -264,7 +265,7 @@ def merge_upsert(
         merged = updates
     out = latest_wins(merged, list(keys), order_col)
     # materialize BEFORE the fence check + truncation (failure atomicity)
-    _fenced_overwrite(out, target_path, v0)
+    _fenced_overwrite(out, target_path, v0, commit_token=commit_token)
 
 
 def scd2_merge(

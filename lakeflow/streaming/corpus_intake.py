@@ -596,6 +596,66 @@ def stream_inverted_index(
     return writer.start()
 
 
+def stream_positional_index(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Continuous POSITIONAL-index maintenance (r8 — the phrase/slop
+    retrieval twin of :func:`stream_inverted_index`): each micro-batch's
+    positional posting rows (token, doc_id, tf, positions) — built by
+    the same posexplode + hash aggregate as
+    ``index.build_positional_index`` — UPSERT into the persisted index
+    keyed on (token, doc_id). Positions are NOT additive across
+    batches (unlike tf), so the maintained-index contract is that each
+    document's full text arrives in ONE batch — the normal ingest
+    shape; a re-ingested doc REPLACES its postings latest-batch-wins
+    (a revision that dropped a token entirely still needs a
+    ``merge_delete`` of the old doc's keys, documented here rather
+    than silently wrong). The maintained table serves
+    ``phrase_search`` and ``slop_search`` directly and equals the
+    batch-built index over the same documents (tested).
+
+    Exactly-once on replays: the upsert rides the same atomic batch-id
+    commit-token protocol as the other maintainers — and is ALSO
+    content-idempotent (identical replayed rows collapse under
+    latest-wins), so the token is belt on braces. Per-batch cost is
+    the batch's own postings plus the key-join against the index (at
+    100 TB: a token-bucketed co-located merge)."""
+    from lakeflow.operators.index import build_positional_index
+    from lakeflow.sinks.merge import has_commit_token, merge_upsert
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        if has_commit_token(index_path, f"b{batch_id}"):
+            return  # replayed batch: its merge fully committed already
+        delta = build_positional_index(batch, id_col, text_col).withColumn(
+            "__batch", F.lit(batch_id).cast("long")
+        )
+        merge_upsert(
+            spark,
+            index_path,
+            delta,
+            ["token", "doc_id"],
+            "__batch",
+            commit_token=f"b{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_contamination_guard(
     spark: SparkSession,
     path: str,

@@ -1114,3 +1114,74 @@ def test_stream_contamination_guard(spark, tmp_path):
         for r in containment_join(needles, alldocs, "doc_id", "text", 800_000).collect()
     }
     assert flags2 == batch
+
+
+def test_stream_positional_index_serves_phrase_and_slop(spark, tmp_path):
+    # r8: continuous POSITIONAL index maintenance — after each wave the
+    # persisted table equals the batch-built positional index over all
+    # docs so far (whole-doc-per-batch contract), a re-ingested doc's
+    # postings replace latest-wins, and phrase/slop search served from
+    # the maintained index match the batch recompute
+    from pyspark.sql import Row
+
+    from lakeflow.operators.index import (
+        build_positional_index,
+        phrase_search,
+        slop_search,
+    )
+    from lakeflow.streaming.corpus_intake import stream_positional_index
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "posidx")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+
+    def ev(i, text):
+        return {"doc_id": i, "ts": "2024-01-01T00:00:00", "text": text}
+
+    _write_events(src, "w1.json", [
+        ev(1, "alpha beta gamma alpha beta"),
+        ev(2, "gamma beta alpha"),
+    ])
+    q = stream_positional_index(spark, src, schema, idx, ck)
+    q.awaitTermination(120)
+    _write_events(src, "w2.json", [
+        ev(3, "alpha beta there alpha"),
+        ev(2, "beta alpha gamma beta"),  # re-ingest: doc 2 REPLACES
+    ])
+    q = stream_positional_index(spark, src, schema, idx, ck)
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma alpha beta"),
+        Row(doc_id=2, text="beta alpha gamma beta"),
+        Row(doc_id=3, text="alpha beta there alpha"),
+    ])
+    want = {
+        (r["token"], r["doc_id"]): (r["tf"], tuple(r["positions"]))
+        for r in build_positional_index(full).collect()
+    }
+    served = spark.read.parquet(idx).select("token", "doc_id", "tf", "positions")
+    got = {
+        (r["token"], r["doc_id"]): (r["tf"], tuple(r["positions"]))
+        for r in served.collect()
+    }
+    assert got == want
+    # retrieval served from the maintained index == batch recompute
+    for fn in (
+        lambda i: phrase_search(i, ["alpha", "beta"]),
+        lambda i: slop_search(i, ["alpha", "gamma"], slop=3),
+    ):
+        want_q = sorted(map(tuple, fn(build_positional_index(full)).collect()))
+        got_q = sorted(map(tuple, fn(served).collect()))
+        assert got_q == want_q
+    # replay: re-running against the same checkpoint is a no-op
+    q = stream_positional_index(spark, src, schema, idx, ck)
+    q.awaitTermination(120)
+    again = {
+        (r["token"], r["doc_id"]): (r["tf"], tuple(r["positions"]))
+        for r in spark.read.parquet(idx)
+        .select("token", "doc_id", "tf", "positions")
+        .collect()
+    }
+    assert again == want
