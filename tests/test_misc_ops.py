@@ -579,3 +579,36 @@ def test_real_decode_format_matrix(spark, fmt):
     row = decode_features(d, fake=False).collect()[0]
     assert (row["width"], row["height"]) == (8, 4)
     assert row["feature"][1] > 0.9  # green channel dominates
+
+
+def test_corpus_cache_key_tracks_content(tmp_path):
+    # ADVICE r7: per-corpus /tmp artifact caches must key on CONTENT,
+    # not path — regenerating the corpus at the same path must change
+    # the key (no Spark needed; the key is pure os.stat)
+    import os
+    import time as _time
+
+    from lakeflow.plans.llm_ops import _corpus_cache_key
+
+    sf = str(tmp_path)
+    t = tmp_path / "embeddings.parquet"
+    t.write_bytes(b"v1")
+    k1 = _corpus_cache_key(sf)
+    assert k1 == _corpus_cache_key(sf)  # stable while untouched
+    _time.sleep(0.01)
+    t.write_bytes(b"v2-bigger")  # size + mtime change
+    k2 = _corpus_cache_key(sf)
+    assert k2 != k1
+    # same size, newer mtime still invalidates
+    _time.sleep(0.01)
+    t.write_bytes(b"v3-bigger")
+    os.utime(t)
+    assert _corpus_cache_key(sf) != k2
+    # directory-shaped tables fingerprint their part files
+    d = tmp_path / "sub"
+    d.mkdir()
+    (d / "embeddings.parquet").mkdir()
+    (d / "embeddings.parquet" / "part-0.parquet").write_bytes(b"a")
+    kd1 = _corpus_cache_key(str(d))
+    (d / "embeddings.parquet" / "part-1.parquet").write_bytes(b"b")
+    assert _corpus_cache_key(str(d)) != kd1
