@@ -548,3 +548,81 @@ def test_ks_statistic_matches_brute_force(spark, a_vals, b_vals):
         cum_b = sum(1 for v in sb if v <= x)
         best = max(best, abs(cum_a * n_b - cum_b * n_a))
     assert r["ks_micros"] == best * 1_000_000 // (n_a * n_b)
+
+
+@slow
+@given(
+    needles=st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=6),
+        min_size=1,
+        max_size=4,
+    ),
+    docs=corpora,
+    t=thresholds,
+)
+def test_containment_join_equals_brute_force(spark, needles, docs, t):
+    # r8: the guarded-hash containment pipeline (hashed superset +
+    # exact string re-verify) against the brute pure-Python definition
+    # |N ∩ D| / |N| >= t on random corpora
+    from lakeflow.operators.setsim import containment_join
+
+    nd = spark.createDataFrame(
+        [(i, " ".join(f"w{x}" for x in toks)) for i, toks in enumerate(needles)],
+        ["doc_id", "text"],
+    )
+    hd = spark.createDataFrame(
+        [(100 + i, " ".join(f"w{x}" for x in toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["needle_doc_id"], r["doc_doc_id"], r["containment_micros"])
+        for r in containment_join(nd, hd, "doc_id", "text", t, shingle_n=1).collect()
+    }
+    nsets = {i: {f"w{x}" for x in toks} for i, toks in enumerate(needles)}
+    hsets = {100 + i: {f"w{x}" for x in toks} for i, toks in enumerate(docs)}
+    import math
+
+    want = {
+        (n, h, math.floor(len(ns & hs) / len(ns) * 1_000_000 + 0.5))
+        for n, ns in nsets.items()
+        for h, hs in hsets.items()
+        if len(ns & hs) * 1_000_000 >= t * len(ns)
+    }
+    assert got == want
+
+
+@slow
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 6), min_size=1, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+    q=st.lists(st.integers(0, 6), min_size=1, max_size=3, unique=True),
+    slop=st.integers(0, 6),
+)
+def test_slop_search_equals_brute_force(spark, docs, q, slop):
+    # r8: slop_search vs the brute definition — min over
+    # one-position-per-term tuples of (max(p) - min(p)), kept iff <= slop
+    from itertools import product as _prod
+
+    from lakeflow.operators.index import build_positional_index, slop_search
+
+    rows = [(i, " ".join(f"w{x}" for x in toks)) for i, toks in enumerate(docs)]
+    idx = build_positional_index(spark.createDataFrame(rows, ["doc_id", "text"]))
+    terms = [f"w{x}" for x in q]
+    got = {
+        (r["doc_id"], r["min_span"])
+        for r in slop_search(idx, terms, slop).collect()
+    }
+    want = set()
+    for i, toks in enumerate(docs):
+        pos = {t: [p for p, w in enumerate(toks) if f"w{w}" == t] for t in terms}
+        if any(not v for v in pos.values()):
+            continue
+        best = min(
+            max(c) - min(c) for c in _prod(*[pos[t] for t in terms])
+        )
+        if best <= slop:
+            want.add((i, best))
+    assert got == want
