@@ -193,8 +193,6 @@ def ks_statistic(
       |cum_a * n_b - cum_b * n_a| (no per-row division), max'd in one
       aggregate; the single final division runs in decimal(38)
       integers — bit-identical on any engine, any partitioning."""
-    from lakeflow.operators.prefix import bucketed_running_sum
-
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     per_v = (
         df.select(
@@ -206,8 +204,32 @@ def ks_statistic(
             F.sum("__ksia").alias("__ksca"),
             (F.count(F.lit(1)) - F.sum("__ksia")).alias("__kscb"),
         )
-        .withColumn("__ksg", F.lit(0))
     )
+    return ks_from_value_counts(per_v, "__ksv", "__ksca", "__kscb", out_col)
+
+
+def ks_from_value_counts(
+    per_v: DataFrame,
+    value_col: str,
+    count_a_col: str,
+    count_b_col: str,
+    out_col: str = "ks_micros",
+) -> DataFrame:
+    """The counts->KS half of :func:`ks_statistic`: given PER-DISTINCT-
+    VALUE counts for both samples — fresh from a hash aggregate, or
+    READ BACK from an incrementally-maintained counts table (the
+    streaming/CDF drift monitor shape: per-value counts are additive
+    under retraction, so ``advance_cdf_aggregate`` maintains them from
+    a change feed and this derives the exact current KS at read time) —
+    compute the exact two-sample KS. Same prefix-sum + integer
+    cross-multiply machinery, same empty-side assert."""
+    from lakeflow.operators.prefix import bucketed_running_sum
+
+    per_v = per_v.select(
+        F.col(value_col).cast("long").alias("__ksv"),
+        F.col(count_a_col).cast("long").alias("__ksca"),
+        F.col(count_b_col).cast("long").alias("__kscb"),
+    ).withColumn("__ksg", F.lit(0))
     cum = bucketed_running_sum(per_v, "__ksg", "__ksv", [], "__ksca", out_col="__kscuma")
     cum = bucketed_running_sum(cum, "__ksg", "__ksv", [], "__kscb", out_col="__kscumb")
     totals = per_v.groupBy().agg(

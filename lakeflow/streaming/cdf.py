@@ -236,3 +236,37 @@ def read_cdf_trends(
     if df is None:
         raise FileNotFoundError(f"no CDF trend table at {agg_path!r}")
     return ols_from_stats(df.filter(F.col("n") != 0), group_cols)
+
+
+def read_cdf_ks(
+    spark: SparkSession,
+    agg_path: str,
+    side_col: str,
+    value_col: str,
+    a_value,
+) -> DataFrame:
+    """Exact two-sample KS drift from a CDF-MAINTAINED per-value counts
+    table (r8 — the third monitor shape on the change-feed consumer,
+    pure composition): maintain the counts with
+    ``advance_cdf_aggregate(..., group_cols=[side_col, value_col],
+    measure_cols=[])`` — per-(side, value) row counts are additive
+    under the retraction algebra, so the maintained table equals a
+    batch ``groupBy(side, value).count()`` over the snapshot at every
+    version from |changes| rows — and derive the CURRENT exact KS
+    between side == ``a_value`` and the rest at READ time via the same
+    prefix-sum + integer-cross-multiply machinery as the batch
+    ``profile.ks_statistic`` (``profile.ks_from_value_counts``). The
+    read costs the counts table (value-domain-bounded), never the
+    corpus."""
+    from lakeflow.operators.profile import ks_from_value_counts
+
+    counts = read_cdf_aggregate(spark, agg_path)
+    per_v = counts.groupBy(value_col).agg(
+        F.sum(
+            F.when(F.col(side_col) == F.lit(a_value), F.col("n")).otherwise(0)
+        ).alias("__ca"),
+        F.sum(
+            F.when(F.col(side_col) != F.lit(a_value), F.col("n")).otherwise(0)
+        ).alias("__cb"),
+    )
+    return ks_from_value_counts(per_v, value_col, "__ca", "__cb")

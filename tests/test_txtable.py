@@ -487,3 +487,50 @@ def test_cdf_trend_consumer_tracks_batch_ols(spark, tmp_path):
     # the degenerate group is present with NULL fit, matching grouped_ols
     c_row = [r for r in got if r[0] == "c"][0]
     assert c_row[2] is None and c_row[3] is None
+
+
+def test_cdf_ks_monitor_tracks_batch_recompute(spark, tmp_path):
+    # r8: KS drift from a CDF-maintained per-(side, value) counts table
+    # equals profile.ks_statistic over the CURRENT snapshot at every
+    # version — through inserts, value-changing upserts, a side move
+    # and deletes — with |changes|-bounded per-advance input
+    from lakeflow.operators.profile import ks_statistic
+    from lakeflow.streaming.cdf import advance_cdf_aggregate, read_cdf_ks
+
+    path = str(tmp_path / "src")
+    agg = str(tmp_path / "kscounts")
+
+    def gdf(rows):
+        return spark.createDataFrame(rows, "k long, side string, v long")
+
+    def truth():
+        return sorted(
+            map(
+                tuple,
+                ks_statistic(
+                    read_table(spark, path), "v", F.col("side") == "a"
+                ).collect(),
+            )
+        )
+
+    def state():
+        return sorted(
+            map(tuple, read_cdf_ks(spark, agg, "side", "v", "a").collect())
+        )
+
+    write_table(
+        spark,
+        gdf([(1, "a", 1), (2, "a", 2), (3, "a", 3), (4, "b", 3), (5, "b", 5)]),
+        path,
+    )
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["side", "v"], []) == 1
+    assert state() == truth()
+    # v2: upsert — move a point's value AND flip one row's side
+    merge_upsert_table(spark, gdf([(2, "a", 9), (4, "a", 3)]), path, ["k"])
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["side", "v"], []) == 2
+    assert state() == truth()
+    # v3: delete some of side b (not all — KS needs both sides)
+    delete_where(spark, path, F.col("k") == 5)
+    append_table(spark, gdf([(6, "b", 1), (7, "b", 7)]), path)
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["side", "v"], []) == 4
+    assert state() == truth()
