@@ -292,11 +292,19 @@ def slop_search(index: DataFrame, terms: list[str], slop: int) -> DataFrame:
 
     Shape: identical to phrase_search — each term filters the index to
     ITS posting rows, the k postings equi-join on doc_id, and the
-    window test is ONE codegen higher-order expression: a (min,max)
-    interval fold over the position arrays (flatten x transform —
-    per-doc cost is the product of the queried terms' tfs, bounded by
-    document length, never the corpus). A RANGE predicate on positions
-    instead of phrase_search's exact offsets; posting-list cost only.
+    window test is ONE codegen higher-order expression: the classic
+    minimum-window sweep as an ``aggregate`` fold over the doc's
+    merged position events, sorted ascending. At each event (pos of
+    term t) the fold updates term t's last-seen position; once every
+    term has been seen, [min(last-seen), pos] is a valid window and
+    its span is a candidate minimum — every minimal window is captured
+    at its right-endpoint event, so the fold's running min IS the
+    exact min span. Per-doc cost O(sum of the queried terms' tfs × k)
+    — linear in the posting volume even for stop-word terms, where a
+    one-position-per-term cross-product would materialize the PRODUCT
+    of the tfs (three tf-1000 terms: 10^9 tuples in one row). A RANGE
+    predicate on positions instead of phrase_search's exact offsets;
+    posting-list cost only, never the corpus.
 
     ``terms`` must be distinct: with a repeated term one occurrence
     would satisfy both slots (span 0), which is never the intended
@@ -312,36 +320,50 @@ def slop_search(index: DataFrame, terms: list[str], slop: int) -> DataFrame:
         )
     if slop < 0:
         raise ValueError("slop must be >= 0")
+    k = len(terms)
     joined = None
     for i, t in enumerate(terms):
         side = index.filter(F.col("token") == t).select(
             "doc_id", F.col("positions").alias(f"__p{i}")
         )
         joined = side if joined is None else joined.join(side, "doc_id")
-    # interval fold: combos after term i = every (min,max) envelope of
-    # one position choice per term 0..i; flatten keeps it one array
-    combos = F.transform(
-        F.col("__p0"), lambda p: F.struct(p.alias("mn"), p.alias("mx"))
-    )
 
-    def _extend(acc, pos_col: str):
-        return F.flatten(
-            F.transform(
-                acc,
-                lambda c: F.transform(
-                    F.col(pos_col),
-                    lambda q: F.struct(
-                        F.least(c["mn"], q).alias("mn"),
-                        F.greatest(c["mx"], q).alias("mx"),
-                    ),
-                ),
-            )
+    # factory, not loop-var defaults: pyspark infers lambda ARITY from
+    # the signature (see phrase_search's note), so the term id must be
+    # closed over via a factory, never a `lambda p, i=i` default
+    def _tagged(pos_col: str, tid: int):
+        return F.transform(
+            F.col(pos_col),
+            lambda p: F.struct(
+                p.cast("long").alias("pos"), F.lit(tid).alias("t")
+            ),
         )
 
-    for i in range(1, len(terms)):
-        combos = _extend(combos, f"__p{i}")
-    min_span = F.array_min(
-        F.transform(combos, lambda c: c["mx"] - c["mn"])
+    # struct sort orders by the first field: ascending position events
+    events = F.array_sort(
+        F.concat(*[_tagged(f"__p{i}", i) for i in range(k)])
+    )
+    big = 1 << 62  # sentinel: larger than any real span
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("long"), k).alias("last"),
+        F.lit(big).cast("long").alias("best"),
+    )
+
+    def _step(acc, e):
+        newlast = F.transform(
+            acc["last"],
+            lambda v, idx: F.when(idx == e["t"], e["pos"]).otherwise(v),
+        )
+        ready = ~F.exists(newlast, lambda v: v < 0)
+        cand = e["pos"] - F.array_min(newlast)
+        best = F.when(
+            ready & (cand < acc["best"]), cand
+        ).otherwise(acc["best"])
+        return F.struct(newlast.alias("last"), best.alias("best"))
+
+    folded = F.aggregate(events, init, _step)
+    min_span = F.when(
+        folded["best"] < F.lit(big), folded["best"]
     ).cast("long")
     out = joined.select("doc_id", min_span.alias("min_span"))
     return out.filter(F.col("min_span") <= F.lit(slop))

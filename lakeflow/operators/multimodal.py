@@ -97,7 +97,9 @@ def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]]:
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if ctype not in (0, 2, 4, 6) and ctype != 3:
+    # 3 (palette) is a VALID color type — it falls through to the
+    # baseline-scope NotImplementedError below, not the corrupt error
+    if ctype not in (0, 2, 3, 4, 6):
         raise ValueError(f"corrupt PNG payload (invalid color type {ctype})")
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype == 3:
         raise NotImplementedError(

@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lakeflow.caching import CacheScope, maybe_persist
+from lakeflow.caching import CacheScope, active_scope, maybe_persist
 
 MICRO = 1_000_000
 
@@ -407,10 +407,14 @@ def setsim_join(
     arrs = maybe_persist(
         _element_arrays(df, id_col, text_col, shingle_n), cache
     )
-    hrel = maybe_persist(
-        arrs.select(F.col(id_col), _hashed_guarded("__arr").alias("__arr")),
-        cache,
-    )
+    # the hashed projection persists ONLY under an explicit cache or an
+    # ambient scope (the bm25 precedent, ADVICE r6/r7): a bare library
+    # call must not leak a second session-lifetime persist per call —
+    # without a scope the hashed transform recomputes narrowly from the
+    # (legacy-persisted) string relation, which is the correct default
+    hrel = arrs.select(F.col(id_col), _hashed_guarded("__arr").alias("__arr"))
+    if cache is not None or active_scope() is not None:
+        hrel = maybe_persist(hrel, cache)
     el = hrel.select(
         F.col(id_col),
         F.size("__arr").cast("long").alias("__sz"),
@@ -580,14 +584,13 @@ def containment_join(
     h_sarr = maybe_persist(
         _element_arrays(haystack, id_col, text_col, shingle_n), cache
     )
-    n_arr = maybe_persist(
-        n_sarr.select(F.col(id_col), _hashed_guarded("__arr").alias("__arr")),
-        cache,
-    )
-    h_arr = maybe_persist(
-        h_sarr.select(F.col(id_col), _hashed_guarded("__arr").alias("__arr")),
-        cache,
-    )
+    # hashed projections persist only under a scope (see setsim_join) —
+    # a bare call keeps the legacy two persists, not four
+    n_arr = n_sarr.select(F.col(id_col), _hashed_guarded("__arr").alias("__arr"))
+    h_arr = h_sarr.select(F.col(id_col), _hashed_guarded("__arr").alias("__arr"))
+    if cache is not None or active_scope() is not None:
+        n_arr = maybe_persist(n_arr, cache)
+        h_arr = maybe_persist(h_arr, cache)
     n_el = n_arr.select(F.col(id_col), F.explode("__arr").alias("s"))
     h_el = h_arr.select(F.col(id_col), F.explode("__arr").alias("s"))
     # rarest-first order from the union's doc frequency: an order must

@@ -49,12 +49,14 @@ def ols_sufficient_stats(
     """Per-key (n, sx, sy, sxy, sxx) — one hash aggregate; every column
     is additive, so partials from disjoint batches SUM to the full-data
     statistics (the property the streaming monitor leans on)."""
-    xl = x.cast("long")
-    yl = y.cast("long")
+    # multiply in decimal, never long: x*x over an epoch-millis x
+    # (~1.7e12) wraps int64 silently with ANSI off
+    xl = x.cast("long").cast(_DEC)
+    yl = y.cast("long").cast(_DEC)
     return df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(xl.cast(_DEC)).alias("sx"),
-        F.sum(yl.cast(_DEC)).alias("sy"),
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
         F.sum((xl * yl).cast(_DEC)).alias("sxy"),
         F.sum((xl * xl).cast(_DEC)).alias("sxx"),
     )

@@ -61,6 +61,18 @@ def cdf_cursor(agg_path: str) -> int:
     return best
 
 
+def _recovered_cursor(spark: SparkSession, agg_path: str) -> int:
+    """:func:`cdf_cursor` behind the merge layer's crash recovery: a
+    consumer hard-killed between the fenced overwrite's two renames
+    leaves the aggregate parked at ``<path>._merge_old`` with no base
+    dir — raw ``cdf_cursor`` would read 0 there and the first-
+    consumption guard would misfire on a perfectly recoverable table.
+    ``read_target_if_exists`` runs ``_recover_merge_swap`` as a side
+    effect; re-reading the cursor AFTER it sees the restored tokens."""
+    read_target_if_exists(spark, agg_path)
+    return cdf_cursor(agg_path)
+
+
 def advance_cdf_aggregate(
     spark: SparkSession,
     table_path: str,
@@ -76,7 +88,7 @@ def advance_cdf_aggregate(
     ``read_table(...).groupBy(group).agg(count, sums)`` at every
     version, maintained from |changes| rows."""
     v_now = current_version(table_path)
-    v_from = cdf_cursor(agg_path)
+    v_from = _recovered_cursor(spark, agg_path)
     if v_now <= v_from:
         return None
     if v_from == 0:
@@ -165,19 +177,21 @@ def advance_cdf_trend(
     dec = "decimal(38,0)"
 
     def stats(xc, yc, sign):
-        x = F.col(xc).cast("long")
-        y = F.col(yc).cast("long")
+        # multiply in decimal, never long: x*x over an epoch-millis x
+        # (~1.7e12) wraps int64 silently with ANSI off
+        x = F.col(xc).cast("long").cast(dec)
+        y = F.col(yc).cast("long").cast(dec)
         s = F.lit(sign)
         return [
             (s * 1).alias("__dn"),
-            (s.cast(dec) * x.cast(dec)).alias("__dsx"),
-            (s.cast(dec) * y.cast(dec)).alias("__dsy"),
+            (s.cast(dec) * x).alias("__dsx"),
+            (s.cast(dec) * y).alias("__dsy"),
             (s.cast(dec) * (x * y).cast(dec)).alias("__dsxy"),
             (s.cast(dec) * (x * x).cast(dec)).alias("__dsxx"),
         ]
 
     v_now = current_version(table_path)
-    v_from = cdf_cursor(agg_path)
+    v_from = _recovered_cursor(spark, agg_path)
     if v_now <= v_from:
         return None
     if v_from == 0:
@@ -261,12 +275,13 @@ def read_cdf_ks(
     from lakeflow.operators.profile import ks_from_value_counts
 
     counts = read_cdf_aggregate(spark, agg_path)
+    # side b = everything a_pred does NOT match, INCLUDING NULL sides —
+    # the same when(pred, 1).otherwise(0) semantics as the batch
+    # ks_statistic (a NULL != comparison would drop NULL-side rows
+    # from both samples and diverge from the snapshot recompute)
+    a_n = F.when(F.col(side_col) == F.lit(a_value), F.col("n")).otherwise(0)
     per_v = counts.groupBy(value_col).agg(
-        F.sum(
-            F.when(F.col(side_col) == F.lit(a_value), F.col("n")).otherwise(0)
-        ).alias("__ca"),
-        F.sum(
-            F.when(F.col(side_col) != F.lit(a_value), F.col("n")).otherwise(0)
-        ).alias("__cb"),
+        F.sum(a_n).alias("__ca"),
+        (F.sum("n") - F.sum(a_n)).alias("__cb"),
     )
     return ks_from_value_counts(per_v, value_col, "__ca", "__cb")

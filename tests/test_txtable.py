@@ -518,9 +518,12 @@ def test_cdf_ks_monitor_tracks_batch_recompute(spark, tmp_path):
             map(tuple, read_cdf_ks(spark, agg, "side", "v", "a").collect())
         )
 
+    # includes a NULL-side row: batch ks_statistic's when(pred).otherwise
+    # counts it in sample b, and the maintained-counts reader must agree
     write_table(
         spark,
-        gdf([(1, "a", 1), (2, "a", 2), (3, "a", 3), (4, "b", 3), (5, "b", 5)]),
+        gdf([(1, "a", 1), (2, "a", 2), (3, "a", 3), (4, "b", 3), (5, "b", 5),
+             (8, None, 4)]),
         path,
     )
     assert advance_cdf_aggregate(spark, path, agg, ["k"], ["side", "v"], []) == 1
@@ -534,3 +537,34 @@ def test_cdf_ks_monitor_tracks_batch_recompute(spark, tmp_path):
     append_table(spark, gdf([(6, "b", 1), (7, "b", 7)]), path)
     assert advance_cdf_aggregate(spark, path, agg, ["k"], ["side", "v"], []) == 4
     assert state() == truth()
+
+
+def test_cdf_guard_survives_mid_swap_crash(spark, tmp_path):
+    # r8 code review: a consumer hard-killed between the fenced
+    # overwrite's two renames leaves the aggregate at <path>._merge_old
+    # with no base dir; the next advance must RECOVER it (cursor intact)
+    # — never misread cursor=0 and raise the foreign-data guard
+    import os
+
+    from lakeflow.streaming.cdf import advance_cdf_aggregate, read_cdf_aggregate
+
+    path = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    write_table(
+        spark,
+        spark.createDataFrame([(1, "a", 10)], "k long, grp string, v long"),
+        path,
+    )
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["grp"], ["v"]) == 1
+    # simulate the crash window: base renamed away, tmp never renamed in
+    os.rename(agg, agg + "._merge_old")
+    append_table(
+        spark,
+        spark.createDataFrame([(2, "a", 5)], "k long, grp string, v long"),
+        path,
+    )
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["grp"], ["v"]) == 2
+    assert {
+        r["grp"]: (r["n"], r["sum_v"])
+        for r in read_cdf_aggregate(spark, agg).collect()
+    } == {"a": (2, 15)}
