@@ -240,8 +240,10 @@ BENCH_QUERIES = [
     "q_containment_join",
     "q_ks_drift",
     "q_phrase_search",
-    # round 8: proximity retrieval over the positional index
+    # round 8: proximity retrieval over the positional index +
+    # corpus-level minhash overlap
     "q_slop_search",
+    "q_corpus_overlap",
 ]
 
 

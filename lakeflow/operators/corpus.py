@@ -654,3 +654,73 @@ def importance_profile(
         .cast("long")
         .alias("mean_weight_milli"),
     )
+
+
+def corpus_minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ONE-ROW corpus-SET minhash signature (mh0..mh{k-1}): the k
+    component-wise minima of seeded digest-slice hashes
+    (functions.hashing.hash_slices) over every shingle occurrence in
+    the corpus. min() is duplicate-insensitive, so no per-doc or
+    corpus-level distinct is ever paid — the whole signature is one
+    narrow tokenize+shingle projection feeding ONE map-side-combined
+    global aggregate: the cheapest possible full-corpus statistic.
+    Persist the row beside a corpus snapshot; comparing two snapshots'
+    signatures (:func:`corpus_overlap_estimate`) is then free."""
+    from lakeflow.functions.hashing import hash_slices
+    from lakeflow.operators.text import shingles_from_tokens, tokens
+
+    if k % 4 != 0:
+        raise ValueError("k must be a multiple of 4 (4 slices per digest)")
+    seeds = tuple(f"cs{i}" for i in range(k // 4))
+    pre = docs.select(tokens(text_col).alias("__toks"))
+    ex = pre.select(
+        F.explode(shingles_from_tokens("__toks", shingle_n)).alias("s")
+    )
+    slices = hash_slices(F.col("s"), seeds)
+    return ex.groupBy().agg(
+        *[F.min(h).alias(f"mh{i}") for i, h in enumerate(slices)]
+    )
+
+
+def corpus_overlap_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    k: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-level shingle-set overlap estimate between two corpora
+    (snapshots, sources, train vs eval dumps): the fraction of matching
+    components between the two corpus-set minhash signatures is an
+    unbiased estimator of the SET Jaccard J(shingles(A), shingles(B))
+    with standard error ~ sqrt(J(1-J)/k) — the one-number "how much do
+    these corpora share" monitor that doc-level joins are overkill for.
+    Deterministic end-to-end (seeded md5-slice hashes, exact integer
+    estimate), so a SQL oracle replays it bit-for-bit. Cost: one
+    narrow pass + one 1-row aggregate PER CORPUS, then a 1x1 join —
+    at 100 TB this touches every shingle once and shuffles k longs.
+    Returns one row (n_seeds, n_match, jaccard_est_micros)."""
+    sa = corpus_minhash_signature(a, text_col, k, shingle_n)
+    sb = corpus_minhash_signature(b, text_col, k, shingle_n)
+    for i in range(k):
+        sb = sb.withColumnRenamed(f"mh{i}", f"nb{i}")
+    joined = sa.crossJoin(F.broadcast(sb))
+    n_match = sum(
+        F.when(F.col(f"mh{i}") == F.col(f"nb{i}"), 1).otherwise(0)
+        for i in range(k)
+    ).cast("long")
+    return joined.select(
+        F.lit(k).cast("long").alias("n_seeds"),
+        n_match.alias("n_match"),
+    ).select(
+        "n_seeds",
+        "n_match",
+        F.expr(f"CAST((n_match * {MICRO}) div {k} AS BIGINT)").alias(
+            "jaccard_est_micros"
+        ),
+    )

@@ -27,17 +27,18 @@ from lakeflow.plans import scalar_ops  # noqa: F401
 #: 103 distinct queries; COVERAGE.md's ledger maps every §2 ref to its
 #: certifying round).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-8 ROTATION (VERDICT r7 tasks #1, #6): two must-certify
-    # rows lead — q_empty_to_null, reshaped to a flat JSON-serialized
+    # ROUND-8 ROTATION (VERDICT r7 tasks #1, #6): three must-certify
+    # rows — q_empty_to_null, reshaped to a flat JSON-serialized
     # surface after its r7 driver row errred in the driver's pandas
     # canonicalizer on raw list cells (the window now structurally
     # bans nested output columns, tests/test_oracle_parity.py), and
-    # the round-8-built q_slop_search (proximity search over the
-    # positional index). The other 48 slots refresh the STALEST
+    # the two round-8-built capabilities q_slop_search (proximity
+    # search over the positional index) and q_corpus_overlap
+    # (corpus-level minhash overlap). The other 47 slots refresh the STALEST
     # certifications: CERTIFIED.json now records each query's LATEST
     # green driver round, and every query whose most recent row
     # predates round 4 rotates in (all 19 r2-latest + all 14
-    # r3-latest + 15 of the 17 r4-latest, including q_ivf_ann whose
+    # r3-latest + 14 of the 17 r4-latest, including q_ivf_ann whose
     # serving path changed this round — prebuilt centroids, VERDICT
     # r7 task #3). After this round no query's newest driver row
     # predates round 4. The rotated-out r07 rows remain the evidence
@@ -81,8 +82,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_tumbling_hourly",
     "q_unpivot_metrics",
     "q_variant_extract",
-    # --- latest row r4 (15 of 17; q_window_running and
-    # q_winnow_fingerprint carry to the r9 rotation) ---
+    # --- round-8-built capability (1) ---
+    "q_corpus_overlap",
+    # --- latest row r4 (14 of 17; q_window_running,
+    # q_winnow_fingerprint and q_text_stats — displaced for the
+    # round-8-built q_corpus_overlap — carry to the r9 rotation) ---
     "q_approx_distinct",
     "q_cohort_retention",
     "q_correlated_subquery",
@@ -95,7 +99,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_lsh_ann",
     "q_ngram_jaccard",
     "q_rollup_lineitem",
-    "q_text_stats",
     "q_token_classes",
     "q_topk_orders_per_customer",
 )

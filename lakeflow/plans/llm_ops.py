@@ -4957,3 +4957,61 @@ def q_slop_search(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     idx = build_positional_index(d)
     return slop_search(idx, ["scan", "merge", "window"], slop=6)
+
+
+def _corpus_overlap_oracle(k: int = 32) -> str:
+    from lakeflow.functions.hashing import sql_hash_slices
+
+    seeds = tuple(f"cs{i}" for i in range(k // 4))
+    slices = sql_hash_slices("s", seeds)
+    ma = ", ".join(f"MIN({h}) AS mh{i}" for i, h in enumerate(slices))
+    mb = ", ".join(f"MIN({h}) AS nb{i}" for i, h in enumerate(slices))
+    match = " + ".join(
+        f"(CASE WHEN ma.mh{i} = mb.nb{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    shingle = (
+        "unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+        "for i in generate_series(1, greatest(len(t) - 2, 0))]) AS s"
+    )
+    return f"""
+    WITH ta AS (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 2 = 0),
+    ea AS (SELECT {shingle} FROM ta),
+    tb AS (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 2 = 1),
+    eb AS (SELECT {shingle} FROM tb),
+    ma AS (SELECT {ma} FROM ea),
+    mb AS (SELECT {mb} FROM eb),
+    m AS (SELECT CAST({match} AS BIGINT) AS n_match FROM ma, mb)
+    SELECT CAST({k} AS BIGINT) AS n_seeds, n_match,
+           CAST((n_match * 1000000) // {k} AS BIGINT) AS jaccard_est_micros
+    FROM m
+    """
+
+
+@query(
+    "q_corpus_overlap",
+    oracle=_corpus_overlap_oracle(32),
+    description="Corpus-LEVEL shingle-set overlap estimate "
+    "(operators/corpus.corpus_overlap_estimate, r8): the fraction of "
+    "matching components between two corpora's one-row corpus-set "
+    "minhash signatures estimates J(shingles(A), shingles(B)) with "
+    "stderr ~ sqrt(J(1-J)/k) — the one-number 'how much do these "
+    "corpora share' monitor (train-dump drift, source similarity) "
+    "that doc-level similarity joins are overkill for. Each signature "
+    "is ONE narrow tokenize+shingle pass + ONE map-side-combined "
+    "global aggregate of k digest-slice minima (min is duplicate-"
+    "insensitive: no distinct is ever paid); the comparison is a 1x1 "
+    "join — at 100 TB this touches every shingle once and shuffles k "
+    "longs. Deterministic (seeded md5-slice hashes, exact integer "
+    "estimate), so the DuckDB oracle replays it bit-for-bit.",
+    refs=("§2.12", "A5"),
+)
+def q_corpus_overlap(spark, sf_dir):
+    from lakeflow.operators.corpus import corpus_overlap_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_overlap_estimate(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        k=32,
+    )

@@ -1052,3 +1052,52 @@ def test_temperature_mix_nested_samples(spark):
     small = {r["k"] for r in temperature_mix_sample(df, "k", "s", 60).collect()}
     big = {r["k"] for r in temperature_mix_sample(df, "k", "s", 240).collect()}
     assert small and small <= big and len(big) > len(small)
+
+
+def test_corpus_overlap_estimate(spark):
+    from lakeflow.operators.corpus import (
+        corpus_minhash_signature,
+        corpus_overlap_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    # identical corpora: every signature component matches, estimate 1.0
+    same = corpus_overlap_estimate(docs, docs, "text", k=8).collect()[0]
+    assert (same["n_seeds"], same["n_match"]) == (8, 8)
+    assert same["jaccard_est_micros"] == 1_000_000
+    # token-disjoint corpora: shingle sets share nothing; with 8
+    # independent 28-bit slice hashes a component tie is ~2^-25/seed —
+    # deterministic fixture, checked once, stays 0
+    other = spark.createDataFrame(
+        [(i, f"z{i} z{i+1} z{i+2} z{i+3} z{i+4}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    disj = corpus_overlap_estimate(docs, other, "text", k=8).collect()[0]
+    assert disj["n_match"] == 0 and disj["jaccard_est_micros"] == 0
+    # the signature equals a pure-Python mirror (hashlib slice mins over
+    # the corpus shingle multiset)
+    import hashlib
+
+    def slices(s):
+        out = []
+        for seed in ("cs0", "cs1"):
+            d = hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+            for j in range(4):
+                out.append(int(d[7 * j : 7 * j + 7], 16))
+        return out
+
+    rows = [r["text"].split() for r in docs.collect()]
+    shingles = [
+        " ".join(t[i : i + 3]) for t in rows for i in range(len(t) - 2)
+    ]
+    want = [min(slices(s)[i] for s in shingles) for i in range(8)]
+    got = corpus_minhash_signature(docs, "text", k=8).collect()[0]
+    assert [got[f"mh{i}"] for i in range(8)] == want
+    # k must be a multiple of 4 (slice packing)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 4"):
+        corpus_minhash_signature(docs, "text", k=6)
