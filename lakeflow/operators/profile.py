@@ -274,3 +274,103 @@ def ks_from_value_counts(
             ).alias(out_col),
         )
     )
+
+
+def chi2_distance(
+    df: DataFrame,
+    bin_col,
+    a_pred,
+    out_col: str = "chi2_micros",
+) -> DataFrame:
+    """Exact chi-squared DISTANCE between the binned distributions of
+    the rows where ``a_pred`` holds and the rest:
+    ``sum over bins of (p - q)^2 / (p + q)`` with p, q the two sides'
+    bin proportions — the drift divergence that up-weights changes in
+    RARE bins, where TVD (``q_drift_tvd``, plain L1) barely moves and
+    KS (``ks_statistic``, a CDF sup) only reacts if the rare mass is
+    order-adjacent. Range [0, 2]; returns one row
+    (n_a, n_b, ``out_col``) quantized to micros.
+
+    Scale and exactness follow the KS shape: per-bin counts for both
+    sides in ONE map-side-combined hash aggregate; proportions as
+    integer micros (``count * 1e6 div n`` — safe in BIGINT to ~9e12
+    rows per side); per-bin terms are pure bounded integer algebra
+    ((p-q)^2 <= 1e12) truncation-divided by (p+q), so the bin sum is
+    an order-independent integer SUM — bit-identical on any engine,
+    any partitioning (per-bin truncation error <= 1 micro per bin,
+    same on every engine that mirrors the integer ops). Raw Pearson
+    chi^2 was rejected: its cross-multiply term (a*n_b - b*n_a)^2
+    overflows decimal(38) near 1e12-row samples; the distance form
+    needs nothing wider than a BIGINT.
+    """
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    per_bin = (
+        df.select(
+            b.cast("long").alias("__x2b"),
+            F.when(a_pred, 1).otherwise(0).cast("long").alias("__x2ia"),
+        )
+        .groupBy("__x2b")
+        .agg(
+            F.sum("__x2ia").alias("__x2ca"),
+            (F.count(F.lit(1)) - F.sum("__x2ia")).alias("__x2cb"),
+        )
+    )
+    return chi2_from_bin_counts(per_bin, "__x2b", "__x2ca", "__x2cb", out_col)
+
+
+def chi2_from_bin_counts(
+    per_bin: DataFrame,
+    bin_col: str,
+    count_a_col: str,
+    count_b_col: str,
+    out_col: str = "chi2_micros",
+) -> DataFrame:
+    """The counts->statistic half of :func:`chi2_distance`: given
+    PER-BIN counts for both samples — fresh from a hash aggregate, or
+    READ BACK from an incrementally-maintained counts table (per-bin
+    counts are additive under retraction, so ``advance_cdf_aggregate``
+    maintains them from a change feed exactly as for
+    :func:`ks_from_value_counts`) — compute the exact chi-squared
+    distance. Same empty-side assert as KS: the statistic is undefined
+    when either sample is empty, and a silent NULL would leak into
+    drift dashboards."""
+    per_bin = per_bin.select(
+        F.col(bin_col).cast("long").alias("__x2b"),
+        F.col(count_a_col).cast("long").alias("__x2ca"),
+        F.col(count_b_col).cast("long").alias("__x2cb"),
+    )
+    totals = per_bin.groupBy().agg(
+        F.sum("__x2ca").cast("long").alias("__x2na"),
+        F.sum("__x2cb").cast("long").alias("__x2nb"),
+    )
+    # integer micro proportions first (the TVD precedent), THEN the
+    # per-bin term — both truncations mirrored verbatim by an oracle's
+    # floored `//`. nullif keeps an empty side from raising a raw
+    # ArithmeticException here, so the typed assert below is what fires
+    p = F.expr("(__x2ca * 1000000) div nullif(__x2na, 0)")
+    q = F.expr("(__x2cb * 1000000) div nullif(__x2nb, 0)")
+    term = F.when(
+        F.col("__x2p") + F.col("__x2q") > 0,
+        F.expr("((__x2p - __x2q) * (__x2p - __x2q)) div (__x2p + __x2q)"),
+    ).otherwise(F.lit(0))
+    return (
+        per_bin.crossJoin(F.broadcast(totals))
+        .select("__x2na", "__x2nb", p.alias("__x2p"), q.alias("__x2q"))
+        .select("__x2na", "__x2nb", term.alias("__x2t"))
+        .groupBy("__x2na", "__x2nb")
+        .agg(F.sum("__x2t").alias("__x2sum"))
+        .select(
+            F.col("__x2na").alias("n_a"),
+            F.col("__x2nb").alias("n_b"),
+            F.when(
+                F.assert_true(
+                    (F.col("__x2na") > 0) & (F.col("__x2nb") > 0),
+                    F.lit(
+                        "chi2_distance: one sample is empty (n_a or n_b "
+                        "== 0); the chi-squared distance is undefined"
+                    ),
+                ).isNull(),
+                F.col("__x2sum").cast("long"),
+            ).alias(out_col),
+        )
+    )

@@ -5015,3 +5015,165 @@ def q_corpus_overlap(spark, sf_dir):
         "text",
         k=32,
     )
+
+
+@query(
+    "q_chi2_drift",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(FLOOR(value / 50e0) AS BIGINT), 9) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ia
+      FROM events),
+    c AS (
+      SELECT bin, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+      FROM b GROUP BY bin),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+    terms AS (
+      SELECT na, nb, (ca * 1000000) // na AS p, (cb * 1000000) // nb AS q
+      FROM c, t)
+    SELECT na AS n_a, nb AS n_b,
+           CAST(SUM(CASE WHEN p + q > 0
+                         THEN ((p - q) * (p - q)) // (p + q)
+                         ELSE 0 END) AS BIGINT) AS chi2_micros
+    FROM terms GROUP BY na, nb
+    """,
+    description="Exact chi-squared DISTANCE drift statistic "
+    "(operators/profile.chi2_distance, r8): sum((p-q)^2/(p+q)) over "
+    "the same fixed value bins and first-half/second-half split as "
+    "q_drift_tvd — the third member of the drift family, up-weighting "
+    "RARE-bin changes that TVD (plain L1) barely moves on and KS (a "
+    "CDF sup) only sees when the rare mass is order-adjacent. One "
+    "map-side-combined hash aggregate for per-bin counts, integer "
+    "micro proportions, and per-bin terms in pure bounded BIGINT "
+    "algebra summed order-independently — bit-identical across "
+    "engines; raw Pearson chi^2 was rejected because its "
+    "(a*n_b - b*n_a)^2 cross-multiply overflows decimal(38) near "
+    "1e12-row samples, while the distance form never leaves BIGINT.",
+    refs=("§2.12", "A5"),
+)
+def q_chi2_drift(spark, sf_dir):
+    from lakeflow.functions.exact import lit_ts
+    from lakeflow.operators.profile import chi2_distance
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (F.col("ts") < lit_ts(ev, "ts", "2024-01-16")).alias("ia"),
+    )
+    return chi2_distance(binned, "bin", F.col("ia"))
+
+
+@query(
+    "q_int8_quantize",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    xs AS (SELECT unnest(v) AS x,
+                  unnest(generate_series(1, len(v))) AS dd FROM e),
+    v AS (SELECT dd - 1 AS dim, x FROM xs),
+    s AS (SELECT dim, MAX(abs(x)) AS m FROM v GROUP BY dim),
+    err AS (
+      SELECT v.dim, m,
+             abs(x * 127 -
+                 (CASE WHEN m > 0 THEN
+                    (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+                    * ((abs(x) * 254 + m) // (2 * m))
+                  ELSE 0 END) * m) AS err127
+      FROM v JOIN s USING (dim))
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(m AS BIGINT) AS scale_micros,
+           CAST(MAX(err127) // 127 AS BIGINT) AS max_err_micros,
+           CAST(SUM(err127) // 127 AS BIGINT) AS sum_err_micros
+    FROM err GROUP BY dim, m
+    """,
+    description="Int8 scalar quantization quality profile "
+    "(operators/quant.int8_reconstruction_error, r8): per-dimension "
+    "symmetric max-abs scales and the exact reconstruction error of "
+    "the int8 roundtrip — the 4x-smaller-embedding-scan contract, "
+    "measured. One narrow posexplode + a <=dim-key hash agg for "
+    "scales, a broadcast re-join for the error pass; codes are "
+    "sign(x)*round-half-away(|x|*127/scale) in pure integer algebra "
+    "on the micro-int vectors, and errors are carried in 127ths-of-a-"
+    "micro (exact longs) so max/sum aggregate order-independently — "
+    "bit-identical across engines.",
+    refs=("§2.12",),
+)
+def q_int8_quantize(spark, sf_dir):
+    from lakeflow.operators.quant import int8_reconstruction_error
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_reconstruction_error(emb)
+
+
+@query(
+    "q_int8_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    xs AS (SELECT unnest(v) AS x,
+                  unnest(generate_series(1, len(v))) AS dim FROM e),
+    s AS (SELECT dim, MAX(abs(x)) AS m FROM xs GROUP BY dim),
+    sm AS (SELECT list(m ORDER BY dim) AS marr FROM s),
+    d AS (
+      SELECT vec_id,
+             [CASE WHEN marr[i] = 0 THEN 0 ELSE
+                (CASE WHEN v[i] < 0 THEN -1 ELSE 1 END)
+                * ((((abs(v[i]) * 254 + marr[i]) // (2 * marr[i])) * marr[i])
+                   // 127)
+              END for i in generate_series(1, len(v))] AS dv
+      FROM e, sm),
+    en AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+    eq AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM en
+           WHERE vec_id < 8),
+    es AS (
+      SELECT q.q_id, n.vec_id,
+             CAST(FLOOR(list_dot_product(n.v, q.qv)
+                        / (sqrt(n.n2) * sqrt(q.qn2))
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS cm
+      FROM en n JOIN eq q ON n.vec_id <> q.q_id),
+    etop AS (SELECT q_id, vec_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cm DESC, vec_id) AS rnk FROM es)
+      WHERE rnk <= 10),
+    dn AS (SELECT vec_id, dv, list_dot_product(dv, dv) AS n2 FROM d),
+    dq AS (SELECT vec_id AS q_id, dv AS qv, n2 AS qn2 FROM dn
+           WHERE vec_id < 8),
+    ds AS (
+      SELECT q.q_id, n.vec_id,
+             CAST(FLOOR(list_dot_product(n.dv, q.qv)
+                        / (sqrt(n.n2) * sqrt(q.qn2))
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS cm
+      FROM dn n JOIN dq q ON n.vec_id <> q.q_id),
+    dtop AS (SELECT q_id, vec_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cm DESC, vec_id) AS rnk FROM ds)
+      WHERE rnk <= 10)
+    SELECT e.q_id, CAST(10 AS BIGINT) AS k_requested,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST((SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000) // 10 AS BIGINT) AS recall_micros
+    FROM etop e LEFT JOIN dtop d
+      ON d.q_id = e.q_id AND d.vec_id = e.vec_id
+    GROUP BY e.q_id
+    """,
+    description="Int8 quantized-index recall contract "
+    "(operators/quant.int8_topk_recall, r8): exact cosine top-10 on "
+    "the float vectors vs cosine top-10 over the int8 "
+    "quantize-dequantize roundtrip, overlap per query — the recall "
+    "number that justifies serving ANN from the 4x-smaller codes "
+    "scan. Both sides are corpus-scan x broadcast(queries) through "
+    "the bounded two-phase top-k with the (cos desc, id) tie-break; "
+    "the dequant stays in micro units precisely so dot products stay "
+    "below 2^53 on BOTH engines (DuckDB's list_dot_product runs in "
+    "doubles; the un-divided c*scale form would silently de-sync the "
+    "oracle). Zero-overlap queries survive via a hit-flag left join, "
+    "never a bare semi-join group-by.",
+    refs=("§2.12",),
+)
+def q_int8_recall(spark, sf_dir):
+    from lakeflow.operators.quant import int8_topk_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_topk_recall(emb, F.col("vec_id") < 8, k=10)

@@ -552,6 +552,33 @@ def test_ks_statistic_matches_brute_force(spark, a_vals, b_vals):
 
 @slow
 @given(
+    st.lists(st.integers(0, 8), min_size=1, max_size=30),
+    st.lists(st.integers(0, 8), min_size=1, max_size=30),
+)
+def test_chi2_distance_matches_brute_force(spark, a_vals, b_vals):
+    # r8: the chi-squared distance equals its definition computed by
+    # brute pure-Python — micro proportions and per-bin terms use the
+    # same integer floors, so equality is exact
+    from lakeflow.operators.profile import chi2_distance
+
+    rows = [(v, "a") for v in a_vals] + [(v, "b") for v in b_vals]
+    df = spark.createDataFrame(rows, "bin long, side string")
+    got = chi2_distance(df, "bin", F.col("side") == "a").collect()
+    assert len(got) == 1
+    r = got[0]
+    n_a, n_b = len(a_vals), len(b_vals)
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    total = 0
+    for x in set(a_vals) | set(b_vals):
+        p = sum(1 for v in a_vals if v == x) * 1_000_000 // n_a
+        q = sum(1 for v in b_vals if v == x) * 1_000_000 // n_b
+        if p + q > 0:
+            total += (p - q) * (p - q) // (p + q)
+    assert r["chi2_micros"] == total
+
+
+@slow
+@given(
     needles=st.lists(
         st.lists(st.integers(0, 12), min_size=1, max_size=6),
         min_size=1,

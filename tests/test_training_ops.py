@@ -1101,3 +1101,113 @@ def test_corpus_overlap_estimate(spark):
 
     with _pytest.raises(ValueError, match="multiple of 4"):
         corpus_minhash_signature(docs, "text", k=6)
+
+
+def _quant_corpus(spark, n=40, dim=6):
+    # values are k/128 dyadic rationals: exact in float32, so the
+    # pure-Python mirror needs no float32 emulation
+    rows = [
+        (
+            i,
+            [float(((i * (j + 3) * 13 + 7 * j + i) % 257 - 128) / 128.0) for j in range(dim)],
+        )
+        for i in range(n)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        [r[1] for r in rows],
+    )
+
+
+def _quant_mirror(vecs):
+    # the exact integer algebra of operators/quant.py in pure Python
+    dim = len(vecs[0])
+    import math
+
+    xm = [[math.floor(x * 1_000_000 + 0.5) for x in v] for v in vecs]
+    m = [max(abs(r[d]) for r in xm) for d in range(dim)]
+
+    def code(x, md):
+        if md == 0:
+            return 0
+        mag = (abs(x) * 254 + md) // (2 * md)
+        return -mag if x < 0 else mag
+
+    codes = [[code(r[d], m[d]) for d in range(dim)] for r in xm]
+    return xm, m, codes
+
+
+def test_int8_reconstruction_error_matches_python_mirror(spark):
+    from lakeflow.operators.quant import int8_reconstruction_error
+
+    df, vecs = _quant_corpus(spark)
+    xm, m, codes = _quant_mirror(vecs)
+    dim = len(m)
+    err = {
+        d: [abs(r[d] * 127 - c[d] * m[d]) for r, c in zip(xm, codes)]
+        for d in range(dim)
+    }
+    want = {
+        (d, m[d], max(err[d]) // 127, sum(err[d]) // 127) for d in range(dim)
+    }
+    got = {
+        (r["dim"], r["scale_micros"], r["max_err_micros"], r["sum_err_micros"])
+        for r in int8_reconstruction_error(df).collect()
+    }
+    assert got == want
+    # the half-step error bound holds per dimension
+    for r in int8_reconstruction_error(df).collect():
+        assert r["max_err_micros"] <= r["scale_micros"] // 254 + 1
+
+
+def test_int8_encode_and_dequant_match_python_mirror(spark):
+    from lakeflow.operators.quant import int8_dequant, int8_encode, int8_scales
+
+    df, vecs = _quant_corpus(spark)
+    xm, m, codes = _quant_mirror(vecs)
+    scales = int8_scales(df)
+    got_codes = {
+        r["vec_id"]: list(r["codes"]) for r in int8_encode(df, scales).collect()
+    }
+    assert got_codes == {i: codes[i] for i in range(len(codes))}
+    assert all(
+        -127 <= c <= 127 for row in got_codes.values() for c in row
+    )
+    deq = {
+        r["vec_id"]: list(r["dequant_micros"])
+        for r in int8_dequant(df, scales).collect()
+    }
+    want_deq = {
+        i: [
+            (-((abs(c) * md) // 127) if c < 0 else (c * md) // 127)
+            for c, md in zip(codes[i], m)
+        ]
+        for i in range(len(codes))
+    }
+    assert deq == want_deq
+
+
+def test_int8_constant_zero_dimension_codes_zero(spark):
+    from lakeflow.operators.quant import int8_encode, int8_scales
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.5]), (1, [0.0, -0.25])], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: list(r["codes"]) for r in int8_encode(df, int8_scales(df)).collect()}
+    assert out[0][0] == 0 and out[1][0] == 0  # m == 0 -> code 0, no div-by-0
+    assert out[0][1] == 127 and out[1][1] == -64  # |x| == m -> +/-127
+
+
+def test_int8_topk_recall_keeps_every_query_and_is_invariant(spark):
+    from lakeflow.operators.quant import int8_topk_recall
+
+    df, _ = _quant_corpus(spark, n=60, dim=6)
+    out = int8_topk_recall(df, F.col("vec_id") < 5, k=4).collect()
+    assert sorted(r["q_id"] for r in out) == [0, 1, 2, 3, 4]
+    for r in out:
+        assert 0 <= r["n_overlap"] <= 4
+        assert r["recall_micros"] == r["n_overlap"] * 1_000_000 // 4
+    re13 = int8_topk_recall(
+        df.repartition(13, "vec_id"), F.col("vec_id") < 5, k=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, re13))

@@ -225,3 +225,68 @@ def test_ks_statistic_empty_side_raises(spark):
     # there is no distribution pair to test, and no NULL leaks out
     empty = spark.createDataFrame([], "v long, side string")
     assert ks_statistic(empty, "v", F.col("side") == "a").collect() == []
+
+
+def test_chi2_distance_hand_computed(spark):
+    # a = {0:2, 1:2}, b = {0:1, 1:3}: p = (.5,.5), q = (.25,.75)
+    # term0 = 250000^2 // 750000 = 83333; term1 = 250000^2 // 1250000
+    # = 50000 -> chi2_micros = 133333
+    from lakeflow.operators.profile import chi2_distance
+
+    rows = [(0, "a"), (0, "a"), (1, "a"), (1, "a")] + [
+        (0, "b"),
+        (1, "b"),
+        (1, "b"),
+        (1, "b"),
+    ]
+    df = spark.createDataFrame(rows, "bin long, side string")
+    out = chi2_distance(df, "bin", F.col("side") == "a").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["chi2_micros"] == 133_333
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [(v, s) for v in (1, 2, 3) for s in ("a", "b")], "bin long, side string"
+    )
+    assert chi2_distance(same, "bin", F.col("side") == "a").collect()[0][
+        "chi2_micros"
+    ] == 0
+    # disjoint bins -> the distance's maximum, 2.0
+    disj = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (9, "b"), (9, "b")], "bin long, side string"
+    )
+    assert chi2_distance(disj, "bin", F.col("side") == "a").collect()[0][
+        "chi2_micros"
+    ] == 2_000_000
+
+
+def test_chi2_distance_partitioning_invariant(spark):
+    from lakeflow.operators.profile import chi2_distance
+
+    rows = [(i * 37 % 11, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "bin long, side string")
+    base = chi2_distance(df, "bin", F.col("side") == "a").collect()
+    re13 = chi2_distance(
+        df.repartition(13, "side"), "bin", F.col("side") == "a"
+    ).collect()
+    assert base == re13
+
+
+def test_chi2_distance_empty_side_raises(spark):
+    # same contract as KS: undefined on an empty side -> loud failure,
+    # never a silent NULL in a drift dashboard
+    from py4j.protocol import Py4JJavaError
+
+    from lakeflow.operators.profile import chi2_distance
+
+    only_a = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a")], "bin long, side string"
+    )
+    try:
+        chi2_distance(only_a, "bin", F.col("side") == "a").collect()
+        raise AssertionError("expected the empty-b-side chi2 job to fail")
+    except Exception as e:
+        assert "chi2_distance" in str(e) or isinstance(e, Py4JJavaError)
+    empty = spark.createDataFrame([], "bin long, side string")
+    assert chi2_distance(empty, "bin", F.col("side") == "a").collect() == []
