@@ -244,6 +244,12 @@ BENCH_QUERIES = [
     # corpus-level minhash overlap
     "q_slop_search",
     "q_corpus_overlap",
+    # round 8 continuation: chi-squared drift, int8 embedding
+    # quantization (error profile + recall contract), MMR selection
+    "q_chi2_drift",
+    "q_int8_quantize",
+    "q_int8_recall",
+    "q_mmr_select",
 ]
 
 

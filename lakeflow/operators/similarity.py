@@ -760,3 +760,121 @@ def dimension_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         mean.alias("mean"),
         var.alias("variance"),
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    lam_micros: int = 700_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance: greedily select ``k`` corpus vectors
+    maximizing ``lam * rel(q, d) - (1 - lam) * max_{s in S} cos(d, s)``
+    — the diversity-aware top-k for eval-set curation and dedup-aware
+    retrieval, where plain top-k returns k near-copies of the same
+    neighborhood. Returns (rank, ``id_col``, rel_micros,
+    maxsim_micros, score_e12); iteration 1 scores relevance alone
+    (the empty-set diversity term is 0).
+
+    Shape: the scored candidate relation (corpus scan x broadcast
+    query, exact integer cosine) is built ONCE and persisted under the
+    ambient CacheScope if present; each of the k rounds is then a
+    TakeOrdered(1) over it, with the already-selected vectors folded
+    back in as CODEGEN LITERALS (k bounded, <= k * dim longs on the
+    driver — the kmeans/BPE driver-bounded iteration precedent), so
+    no round joins, shuffles, or re-scans the corpus uncached. The
+    score stays in exact 1e-12 units (lam_micros * rel_micros -
+    (1e6 - lam_micros) * maxsim_micros, |.| < 2^41) — no division, so
+    no floor-vs-truncate cross-engine hazard on negative scores.
+
+    Multi-row ``query_pred`` is reduced to its smallest id — MMR is a
+    per-query selection; call once per query for query sets."""
+    from lakeflow.caching import active_scope, maybe_persist
+
+    base = _with_vectors(emb, id_col, vec_col)
+    qrow = (
+        base.filter(
+            F.col(id_col).isin(
+                [
+                    r[0]
+                    for r in emb.filter(query_pred)
+                    .select(F.min(id_col))
+                    .collect()
+                ]
+            )
+        )
+        .withColumnRenamed(id_col, "__qid")
+        .withColumnRenamed("__v", "__qv")
+        .withColumnRenamed("__n2", "__qn2")
+    )
+    cand = (
+        base.join(F.broadcast(qrow), F.col(id_col) != F.col("__qid"))
+        .select(
+            id_col,
+            "__v",
+            "__n2",
+            cosine_micros(
+                dot_long(F.col("__v"), F.col("__qv")),
+                F.col("__n2"),
+                F.col("__qn2"),
+            ).alias("rel_micros"),
+        )
+    )
+    if active_scope() is not None:
+        cand = maybe_persist(cand, None)
+
+    lam = int(lam_micros)
+    picked: list = []  # (rank, id, rel, maxsim, score, vec, n2)
+    for rank in range(1, k + 1):
+        c = cand
+        if picked:
+            c = c.filter(~F.col(id_col).isin([p[1] for p in picked]))
+            sims = [
+                cosine_micros(
+                    dot_long(
+                        F.col("__v"), F.array(*[F.lit(x) for x in vec])
+                    ),
+                    F.col("__n2"),
+                    F.lit(n2),
+                )
+                for (_, _, _, _, _, vec, n2) in picked
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        else:
+            maxsim = F.lit(0).cast("long")
+        scored = c.select(
+            id_col,
+            "__v",
+            "__n2",
+            "rel_micros",
+            maxsim.alias("maxsim_micros"),
+            (
+                F.lit(lam) * F.col("rel_micros")
+                - F.lit(1_000_000 - lam) * maxsim
+            ).alias("score_e12"),
+        )
+        top = scored.orderBy(
+            F.desc("score_e12"), F.asc(id_col)
+        ).limit(1).collect()
+        if not top:
+            break
+        r = top[0]
+        picked.append(
+            (
+                rank,
+                r[id_col],
+                r["rel_micros"],
+                r["maxsim_micros"],
+                r["score_e12"],
+                list(r["__v"]),
+                r["__n2"],
+            )
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(p[0], p[1], p[2], p[3], p[4]) for p in picked],
+        f"rank long, {id_col} long, rel_micros long, "
+        "maxsim_micros long, score_e12 long",
+    )

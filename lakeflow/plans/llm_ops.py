@@ -5177,3 +5177,77 @@ def q_int8_recall(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return int8_topk_recall(emb, F.col("vec_id") < 8, k=10)
+
+
+def _mmr_oracle(k: int = 5, lam: int = 700_000) -> str:
+    """Unrolled greedy-MMR replay: one CTE pair per round (max-sim vs
+    the selected-so-far union, then the argmax pick), mirroring the
+    operator's exact integer score and (score DESC, id) tie-break."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CAST(FLOOR(list_dot_product({a}.v, {b}.v) "
+            f"/ (sqrt({a}.n2) * sqrt({b}.n2)) * 1000000e0 + 0.5e0) AS BIGINT)"
+        )
+
+    parts = [
+        f"WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),",
+        "n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),",
+        "q AS (SELECT vec_id AS qid, v, n2 FROM n WHERE vec_id = 0),",
+        "cand AS (SELECT c.vec_id, c.v, c.n2, "
+        + cos("c", "q")
+        + " AS rel FROM n c, q WHERE c.vec_id <> q.qid),",
+        f"p1 AS (SELECT 1 AS rnk, vec_id, v, n2, rel, CAST(0 AS BIGINT) AS ms,"
+        f" CAST({lam} AS BIGINT) * rel AS score"
+        f" FROM cand ORDER BY CAST({lam} AS BIGINT) * rel DESC, vec_id"
+        f" LIMIT 1),",
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id, v, n2 FROM p{j}" for j in range(1, i)
+        )
+        parts.append(f"sel{i} AS ({sel}),")
+        parts.append(
+            f"ms{i} AS (SELECT c.vec_id, MAX({cos('c', 's')}) AS ms "
+            f"FROM cand c, sel{i} s GROUP BY c.vec_id),"
+        )
+        parts.append(
+            f"p{i} AS (SELECT {i} AS rnk, c.vec_id, c.v, c.n2, c.rel, m.ms, "
+            f"CAST({lam} AS BIGINT) * c.rel"
+            f" - CAST({1_000_000 - lam} AS BIGINT) * m.ms AS score "
+            f"FROM cand c JOIN ms{i} m ON m.vec_id = c.vec_id "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i}) "
+            f"ORDER BY score DESC, c.vec_id LIMIT 1),"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST(rnk AS BIGINT) AS rank, vec_id, rel AS rel_micros, "
+        f"ms AS maxsim_micros, CAST(score AS BIGINT) AS score_e12 FROM p{j}"
+        for j in range(1, k + 1)
+    )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + final
+
+
+@query(
+    "q_mmr_select",
+    oracle=_mmr_oracle(5, 700_000),
+    description="Maximal Marginal Relevance diverse top-5 "
+    "(operators/similarity.mmr_select, r8): greedy argmax of "
+    "0.7*rel(q,d) - 0.3*max_{s in S} cos(d,s) — the diversity-aware "
+    "selection for eval-set curation where plain cosine top-k returns "
+    "k near-copies of one neighborhood. The scored candidate relation "
+    "(corpus scan x broadcast query, exact integer cosine) builds "
+    "once and persists under the ambient scope; each of the 5 rounds "
+    "is a TakeOrdered(1) with the selected vectors folded back as "
+    "codegen literals (<= k*dim driver longs, the kmeans/BPE bounded-"
+    "iteration precedent) — no per-round shuffle or join. Scores stay "
+    "in exact 1e-12 integer units (no division, so no floor-vs-"
+    "truncate hazard on negatives); the oracle replays all 5 rounds "
+    "in unrolled CTEs with the identical (score DESC, id) tie-break.",
+    refs=("§2.12",),
+)
+def q_mmr_select(spark, sf_dir):
+    from lakeflow.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(emb, F.col("vec_id") == 0, k=5, lam_micros=700_000)

@@ -191,6 +191,99 @@ def stream_corpus_counters(
     return writer.start()
 
 
+def stream_vocab_counters(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    target_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Continuous VOCABULARY maintenance: per-token
+    (n_occurrences, doc_freq) totals folded from each micro-batch's
+    delta — the always-current input to heavy-hitter/stopword
+    discovery and doc-freq weighting, without ever re-tokenizing
+    history. Per-batch work is O(|batch tokens| + |batch vocab|), and
+    the top-k itself is derived at READ time
+    (:func:`read_heavy_hitters`), so the stream holds no rank state
+    (ranks are not additive; counts are).
+
+    Both counters are additive under the ingest contract the other
+    counter maintainers share (``stream_corpus_counters``'s n_docs has
+    the same property): each document arrives in exactly ONE batch —
+    an append-only intake. A re-ingested doc_id would re-count; route
+    mutable corpora through the change-feed consumer instead
+    (``streaming/cdf.advance_cdf_aggregate`` maintains per-key counts
+    under retractions). Replay safety is the house shape: the delta
+    merge commits under the batch-id token atomically with the data,
+    so a replayed batch is a whole-batch no-op.
+
+    100 TB: the totals table is vocab-sized, not corpus-sized; deltas
+    arrive pre-reduced by the batch's map-side combine. (The merge
+    rewrite is O(|vocab|) per batch — acceptable because vocab grows
+    ~log(corpus); for sub-second triggers, widen the trigger or
+    bucket-partition the totals by token hash.)"""
+    from lakeflow.operators.text import tokens
+    from lakeflow.sinks.merge import has_commit_token, merge_additive
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        if has_commit_token(target_path, f"b{batch_id}"):
+            return  # replayed batch: its merge fully committed already
+        ex = batch.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("token")
+        ).filter(F.col("token") != "")
+        delta = ex.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct(id_col).cast("long").alias("doc_freq"),
+        )
+        merge_additive(
+            spark,
+            target_path,
+            delta,
+            ["token"],
+            ["n_occurrences", "doc_freq"],
+            commit_token=f"b{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_heavy_hitters(
+    spark: SparkSession, target_path: str, k: int = 30
+) -> DataFrame:
+    """Current top-k heavy hitters from the maintained vocab totals —
+    identical to batch ``vocab_heavy_hitters`` over every document
+    ever streamed (same (count DESC, token) order, same k-row rank
+    window; TakeOrderedAndProject over the vocab-sized table, never a
+    full sort). Reads through the fenced-swap recovery path; raises a
+    clear not-yet-initialized error before the first batch commits."""
+    from pyspark.sql import Window
+
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    totals = read_target_if_exists(spark, target_path)
+    if totals is None:
+        raise FileNotFoundError(
+            f"read_heavy_hitters: no vocab totals at {target_path!r} — "
+            f"the vocab-counter stream has not committed its first batch yet"
+        )
+    topk = totals.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "token", "n_occurrences", "doc_freq", "rnk"
+    )
+
+
 def stream_bitmap_rollup(
     spark: SparkSession,
     path: str,

@@ -1185,3 +1185,77 @@ def test_stream_positional_index_serves_phrase_and_slop(spark, tmp_path):
         .collect()
     }
     assert again == want
+
+
+def test_stream_vocab_counters_matches_batch_heavy_hitters(spark, tmp_path):
+    # r8: continuously-maintained per-token totals == batch
+    # vocab_heavy_hitters over everything ever streamed, at every
+    # instant; a crash-replay is a whole-batch no-op
+    from lakeflow.operators.corpus import vocab_heavy_hitters
+    from lakeflow.streaming.corpus_intake import (
+        read_heavy_hitters,
+        stream_vocab_counters,
+    )
+
+    src = str(tmp_path / "docs")
+    tgt = str(tmp_path / "vocab")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, source string, text string"
+    w1 = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "source": "web", "text": "the cat sat on the mat"},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00", "source": "web", "text": "the dog sat"},
+    ]
+    w2 = [
+        {"doc_id": 3, "ts": "2024-01-01T01:00:00", "source": "book", "text": "the cat and the dog"},
+        {"doc_id": 4, "ts": "2024-01-01T01:01:00", "source": "book", "text": "mat mat mat"},
+    ]
+
+    def batch_df(waves):
+        rows = [(d["doc_id"], d["text"]) for w in waves for d in w]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def hh(df):
+        return [
+            (r["token"], r["n_occurrences"], r["doc_freq"], r["rnk"])
+            for r in vocab_heavy_hitters(df, k=5).collect()
+        ]
+
+    _write_events(src, "w1.json", w1)
+    q = stream_vocab_counters(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    got1 = [
+        (r["token"], r["n_occurrences"], r["doc_freq"], r["rnk"])
+        for r in read_heavy_hitters(spark, tgt, k=5).collect()
+    ]
+    assert got1 == hh(batch_df([w1]))
+
+    _write_events(src, "w2.json", w2)
+    q = stream_vocab_counters(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    got2 = [
+        (r["token"], r["n_occurrences"], r["doc_freq"], r["rnk"])
+        for r in read_heavy_hitters(spark, tgt, k=5).collect()
+    ]
+    assert got2 == hh(batch_df([w1, w2]))
+
+    # crash-replay: fresh checkpoint re-batches every file; the
+    # batch-id commit tokens must no-op them all
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_vocab_counters(spark, src, schema, tgt, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    got3 = [
+        (r["token"], r["n_occurrences"], r["doc_freq"], r["rnk"])
+        for r in read_heavy_hitters(spark, tgt, k=5).collect()
+    ]
+    assert got3 == got2, "replayed batches must not double-count"
+
+
+def test_read_heavy_hitters_uninitialized_raises_clear_error(spark, tmp_path):
+    import pytest
+
+    from lakeflow.streaming.corpus_intake import read_heavy_hitters
+
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_heavy_hitters(spark, str(tmp_path / "never"), k=5)

@@ -1211,3 +1211,85 @@ def test_int8_topk_recall_keeps_every_query_and_is_invariant(spark):
         df.repartition(13, "vec_id"), F.col("vec_id") < 5, k=4
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, re13))
+
+
+def _cos_micros_py(a, b):
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    n2a = sum(x * x for x in a)
+    n2b = sum(y * y for y in b)
+    return math.floor(dot / (math.sqrt(n2a) * math.sqrt(n2b)) * 1e6 + 0.5)
+
+
+def test_mmr_select_matches_python_greedy(spark):
+    import math
+
+    from lakeflow.operators.similarity import mmr_select
+
+    df, vecs = _quant_corpus(spark, n=30, dim=5)
+    xm = [[math.floor(x * 1_000_000 + 0.5) for x in v] for v in vecs]
+    lam, k, qid = 600_000, 4, 0
+    cand = {i: _cos_micros_py(xm[i], xm[qid]) for i in range(len(xm)) if i != qid}
+    picked, want = [], []
+    for rank in range(1, k + 1):
+        best = None
+        for i, rel in cand.items():
+            if i in (p[1] for p in picked):
+                continue
+            ms = max((_cos_micros_py(xm[i], xm[j]) for _, j in picked), default=0)
+            score = lam * rel - (1_000_000 - lam) * ms
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, rel, ms, score)
+        picked.append((rank, best[1]))
+        want.append((rank, best[1], best[2], best[3], best[4]))
+    got = [
+        (r["rank"], r["vec_id"], r["rel_micros"], r["maxsim_micros"], r["score_e12"])
+        for r in mmr_select(
+            df, F.col("vec_id") == qid, k=k, lam_micros=lam
+        ).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
+def test_mmr_select_diversifies_near_duplicate_cluster(spark):
+    # a query, three near-copies of it, and two distinct directions:
+    # plain top-3 is the near-copy cluster; MMR at lam=0.5 must leave
+    # the cluster after taking its best member
+    from lakeflow.operators.similarity import brute_force_topk, mmr_select
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # query
+        (1, [0.9, 0.1, 0.0]),       # a near-duplicate cluster: mutual
+        (2, [0.9, 0.11, 0.0]),      # cos ~0.9999, so the marginal
+        (3, [0.9, 0.09, 0.01]),     # score of a second member goes
+        (4, [0.6, 0.0, 0.8]),       # negative at lam=0.5
+        (5, [0.6, 0.0, -0.8]),      # distinct directions: rel 0.6 but
+    ]                               # cos-to-cluster ~0.596 < rel
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = {
+        r["vec_id"]
+        for r in brute_force_topk(df, F.col("vec_id") == 0, k=3).collect()
+    }
+    assert plain == {1, 2, 3}
+    mmr = [
+        r["vec_id"]
+        for r in mmr_select(df, F.col("vec_id") == 0, k=3, lam_micros=500_000)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(set(mmr) & {4, 5}) == 2  # both distinct directions picked
+    assert len(set(mmr) & {1, 2, 3}) == 1  # exactly one near-copy survives
+
+
+def test_mmr_select_k_capped_by_corpus(spark):
+    from lakeflow.operators.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = mmr_select(df, F.col("vec_id") == 0, k=10).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2]  # stops when empty
+    assert sorted(r["rank"] for r in out) == [1, 2]
