@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "q_int8_quantize",
     "q_int8_recall",
     "q_mmr_select",
+    "q_source_overlap",
+    "q_kcenter_select",
 ]
 
 
@@ -298,7 +300,9 @@ def main() -> None:
             # comparisons hold. Caveat: queries built on iterative
             # driver-side loops with eager localCheckpoints
             # (q_dup_clusters, q_entity_resolution,
-            # q_incremental_entities; q_pagerank's unrolled rounds run
+            # q_incremental_entities, q_mmr_select's and
+            # q_kcenter_select's greedy rounds;
+            # q_pagerank's unrolled rounds run
             # lazily and ARE timed; the components family is not)
             # execute most of their work during fn(), so their rows
             # here reflect only the final projection — their true cost

@@ -724,3 +724,85 @@ def corpus_overlap_estimate(
             "jaccard_est_micros"
         ),
     )
+
+
+def grouped_minhash_signatures(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-GROUP corpus-set minhash signatures: one row
+    (``group_col``, mh0..mh{k-1}) per group — the grouped form of
+    :func:`corpus_minhash_signature` (same seeds, so a group's
+    signature equals the one-row signature of that group filtered
+    out). Still one narrow tokenize+shingle projection feeding ONE
+    hash aggregate, now keyed by group: map-side combine reduces each
+    input partition to <= |groups| rows before the (tiny) shuffle, so
+    per-group signatures cost the same single corpus pass the global
+    one does."""
+    from lakeflow.functions.hashing import hash_slices
+    from lakeflow.operators.text import shingles_from_tokens, tokens
+
+    if k % 4 != 0:
+        raise ValueError("k must be a multiple of 4 (4 slices per digest)")
+    seeds = tuple(f"cs{i}" for i in range(k // 4))
+    pre = docs.select(F.col(group_col), tokens(text_col).alias("__toks"))
+    ex = pre.select(
+        group_col,
+        F.explode(shingles_from_tokens("__toks", shingle_n)).alias("s"),
+    )
+    slices = hash_slices(F.col("s"), seeds)
+    return ex.groupBy(group_col).agg(
+        *[F.min(h).alias(f"mh{i}") for i, h in enumerate(slices)]
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pairwise estimated shingle-set Jaccard between every pair of
+    groups (sources, domains, dumps): (src_a, src_b, n_seeds, n_match,
+    jaccard_est_micros) for each unordered pair src_a < src_b — the
+    domain-redundancy matrix that tells a mixture designer which
+    sources are near-copies of each other BEFORE paying a doc-level
+    near-dup join across them. One corpus pass for all |groups|
+    signatures (:func:`grouped_minhash_signatures`), then a
+    |groups|^2/2 broadcast self-join of one-row-per-group signatures —
+    at 100 TB the matrix costs the same single pass the global
+    estimate does, plus a driver-trivial pairwise compare.
+    Deterministic and exact-integer like the 2-corpus form, so a SQL
+    oracle replays it bit-for-bit."""
+    sig = grouped_minhash_signatures(docs, group_col, text_col, k, shingle_n)
+    a = sig.select(
+        F.col(group_col).alias("src_a"),
+        *[F.col(f"mh{i}").alias(f"ma{i}") for i in range(k)],
+    )
+    b = sig.select(
+        F.col(group_col).alias("src_b"),
+        *[F.col(f"mh{i}").alias(f"mb{i}") for i in range(k)],
+    )
+    joined = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    n_match = sum(
+        F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0)
+        for i in range(k)
+    ).cast("long")
+    return joined.select(
+        "src_a",
+        "src_b",
+        F.lit(k).cast("long").alias("n_seeds"),
+        n_match.alias("n_match"),
+    ).select(
+        "src_a",
+        "src_b",
+        "n_seeds",
+        "n_match",
+        F.expr(f"CAST((n_match * {MICRO}) div {k} AS BIGINT)").alias(
+            "jaccard_est_micros"
+        ),
+    )

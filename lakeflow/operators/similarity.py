@@ -878,3 +878,73 @@ def mmr_select(
         f"rank long, {id_col} long, rel_micros long, "
         "maxsim_micros long, score_e12 long",
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection in cosine
+    space: seed with the largest-norm vector, then repeatedly add the
+    candidate whose MAXIMUM cosine to the selected set is SMALLEST —
+    the classic 2-approximation cover whose selected set spreads over
+    the embedding space (eval-probe picking, diverse seed sets,
+    cluster-free space summaries). The query-free sibling of
+    :func:`mmr_select` (MMR trades relevance against diversity;
+    k-center is pure diversity) with the same execution shape: the
+    micro-int vector relation persists once under the ambient scope,
+    each round is a TakeOrdered(1) with the selected vectors folded
+    back as codegen literals — driver-bounded iteration, no per-round
+    shuffle. Returns (rank, ``id_col``, maxcos_micros) where
+    maxcos_micros is the pick's max cosine to the set selected BEFORE
+    it (rank 1 reports 0). Deterministic: exact integer cosines,
+    (maxcos ASC, id ASC) tie-break; the seed argmax is (norm DESC,
+    id ASC)."""
+    from lakeflow.caching import active_scope, maybe_persist
+
+    base = _with_vectors(emb, id_col, vec_col)
+    if active_scope() is not None:
+        base = maybe_persist(base, None)
+
+    picked: list = []  # (rank, id, maxcos, vec, n2)
+    for rank in range(1, k + 1):
+        c = base
+        if picked:
+            c = c.filter(~F.col(id_col).isin([p[1] for p in picked]))
+            sims = [
+                cosine_micros(
+                    dot_long(
+                        F.col("__v"), F.array(*[F.lit(x) for x in vec])
+                    ),
+                    F.col("__n2"),
+                    F.lit(n2),
+                )
+                for (_, _, _, vec, n2) in picked
+            ]
+            maxcos = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            top = (
+                c.select(id_col, "__v", "__n2", maxcos.alias("maxcos_micros"))
+                .orderBy(F.asc("maxcos_micros"), F.asc(id_col))
+                .limit(1)
+                .collect()
+            )
+        else:
+            top = (
+                c.select(id_col, "__v", "__n2", F.lit(0).cast("long").alias("maxcos_micros"))
+                .orderBy(F.desc("__n2"), F.asc(id_col))
+                .limit(1)
+                .collect()
+            )
+        if not top:
+            break
+        r = top[0]
+        picked.append(
+            (rank, r[id_col], r["maxcos_micros"], list(r["__v"]), r["__n2"])
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(p[0], p[1], p[2]) for p in picked],
+        f"rank long, {id_col} long, maxcos_micros long",
+    )

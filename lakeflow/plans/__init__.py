@@ -47,22 +47,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- must-certify (2) ---
     "q_empty_to_null",
     "q_slop_search",
-    # --- round-8-continuation builds (4): chi-squared drift, int8
-    # quantization error profile + recall contract, MMR selection.
-    # These take the slots of four r2-latest TPC-H aggregate rows
-    # (q10_returned_items, q12_shipmode_buckets, q13_order_distribution,
-    # q14_promo_share — each keeps in-window family siblings q18/q19/q17
-    # /q5/q7/q8 and stays green in the local gate; they carry to the r9
-    # refresh with q_window_running, q_winnow_fingerprint, q_text_stats)
-    # — a NEW capability's first driver row outranks re-certifying a
-    # stable one.
+    # --- round-8-continuation builds (6): chi-squared drift, int8
+    # quantization error profile + recall contract, MMR selection,
+    # source-overlap matrix, k-center coreset. These take the slots of
+    # six r2-latest TPC-H rows (q10_returned_items,
+    # q12_shipmode_buckets, q13_order_distribution, q14_promo_share,
+    # q18_large_volume_orders, q19_disjunctive_predicates — each keeps
+    # in-window family siblings q17/q5/q7/q8/q22 and stays green in
+    # the local gate; they carry to the r9 refresh with
+    # q_window_running, q_winnow_fingerprint, q_text_stats) — a NEW
+    # capability's first driver row outranks re-certifying a stable
+    # one (and test_every_query_windowed_or_certified enforces that a
+    # new query cannot ship windowless).
     "q_chi2_drift",
     "q_int8_quantize",
     "q_int8_recall",
     "q_mmr_select",
-    # --- latest row r2 (15 of 19) ---
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
+    "q_source_overlap",
+    "q_kcenter_select",
+    # --- latest row r2 (13 of 19) ---
     "q22_dormant_customers",
     "q4_priority_check",
     "q6_forecast_revenue",

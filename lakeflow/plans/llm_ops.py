@@ -5179,6 +5179,55 @@ def q_int8_recall(spark, sf_dir):
     return int8_topk_recall(emb, F.col("vec_id") < 8, k=10)
 
 
+def _source_overlap_oracle(k: int = 16) -> str:
+    from lakeflow.functions.hashing import sql_hash_slices
+
+    seeds = tuple(f"cs{i}" for i in range(k // 4))
+    slices = sql_hash_slices("s", seeds)
+    mins = ", ".join(f"MIN({h}) AS m{i}" for i, h in enumerate(slices))
+    match = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    shingle = (
+        "unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+        "for i in generate_series(1, greatest(len(t) - 2, 0))]) AS s"
+    )
+    return f"""
+    WITH tk AS (SELECT source, {_SQL_TOKS} AS t FROM documents),
+    e AS (SELECT source, {shingle} FROM tk),
+    sg AS (SELECT source, {mins} FROM e GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST({k} AS BIGINT) AS n_seeds,
+           CAST({match} AS BIGINT) AS n_match,
+           CAST((({match}) * 1000000) // {k} AS BIGINT) AS jaccard_est_micros
+    FROM sg a JOIN sg b ON a.source < b.source
+    """
+
+
+@query(
+    "q_source_overlap",
+    oracle=_source_overlap_oracle(16),
+    description="Pairwise source-overlap matrix "
+    "(operators/corpus.source_overlap_matrix, r8): estimated "
+    "shingle-set Jaccard between every pair of the 20 sources from "
+    "per-group corpus-set minhash signatures — the domain-redundancy "
+    "monitor a mixture designer reads BEFORE paying doc-level "
+    "near-dup joins across sources. ALL signatures come from the "
+    "same ONE narrow tokenize+shingle pass the global estimate uses "
+    "(one hash agg keyed by group, map-side combined to <= |groups| "
+    "rows per partition; min is duplicate-insensitive so no distinct "
+    "is paid), then a |groups|^2/2 broadcast self-join of one-row "
+    "signatures. Deterministic seeded digest slices, exact integer "
+    "estimate — the oracle replays it bit-for-bit.",
+    refs=("§2.12", "A5"),
+)
+def q_source_overlap(spark, sf_dir):
+    from lakeflow.operators.corpus import source_overlap_matrix
+
+    d = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(d, "source", "text", k=16)
+
+
 def _mmr_oracle(k: int = 5, lam: int = 700_000) -> str:
     """Unrolled greedy-MMR replay: one CTE pair per round (max-sim vs
     the selected-so-far union, then the argmax pick), mirroring the
@@ -5226,6 +5275,70 @@ def _mmr_oracle(k: int = 5, lam: int = 700_000) -> str:
     )
     parts[-1] = parts[-1].rstrip(",")
     return "\n".join(parts) + "\n" + final
+
+
+def _kcenter_oracle(k: int = 5) -> str:
+    """Unrolled greedy k-center replay: seed = (norm DESC, id) argmax,
+    then per round the (max-cos-to-selected ASC, id) argmin."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CAST(FLOOR(list_dot_product({a}.v, {b}.v) "
+            f"/ (sqrt({a}.n2) * sqrt({b}.n2)) * 1000000e0 + 0.5e0) AS BIGINT)"
+        )
+
+    parts = [
+        f"WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),",
+        "n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),",
+        "p1 AS (SELECT 1 AS rnk, vec_id, v, n2, CAST(0 AS BIGINT) AS mc"
+        " FROM n ORDER BY n2 DESC, vec_id LIMIT 1),",
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id, v, n2 FROM p{j}" for j in range(1, i)
+        )
+        parts.append(f"sel{i} AS ({sel}),")
+        parts.append(
+            f"ms{i} AS (SELECT c.vec_id, MAX({cos('c', 's')}) AS mc "
+            f"FROM n c, sel{i} s "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i}) "
+            f"GROUP BY c.vec_id),"
+        )
+        parts.append(
+            f"p{i} AS (SELECT {i} AS rnk, c.vec_id, c.v, c.n2, m.mc "
+            f"FROM n c JOIN ms{i} m ON m.vec_id = c.vec_id "
+            f"ORDER BY m.mc ASC, c.vec_id LIMIT 1),"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST(rnk AS BIGINT) AS rank, vec_id, "
+        f"mc AS maxcos_micros FROM p{j}"
+        for j in range(1, k + 1)
+    )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + final
+
+
+@query(
+    "q_kcenter_select",
+    oracle=_kcenter_oracle(5),
+    description="Greedy k-center (farthest-point) coreset of 5 "
+    "(operators/similarity.kcenter_select, r8): seed with the "
+    "largest-norm vector, then repeatedly add the candidate whose MAX "
+    "cosine to the selected set is SMALLEST — the classic "
+    "2-approximation cover for eval-probe picking and diverse seed "
+    "sets; the query-free pure-diversity sibling of q_mmr_select with "
+    "the same execution shape (micro-int vectors persisted once, each "
+    "round a TakeOrdered(1) with selected vectors as codegen "
+    "literals, exact integer cosines, (maxcos ASC, id) tie-break). "
+    "The oracle replays all 5 rounds in unrolled CTEs. Carries to the "
+    "r9 window (the r8 continuation swap already holds 5 new rows).",
+    refs=("§2.12",),
+)
+def q_kcenter_select(spark, sf_dir):
+    from lakeflow.operators.similarity import kcenter_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=5)
 
 
 @query(

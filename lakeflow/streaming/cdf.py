@@ -285,3 +285,28 @@ def read_cdf_ks(
         (F.sum("n") - F.sum(a_n)).alias("__cb"),
     )
     return ks_from_value_counts(per_v, value_col, "__ca", "__cb")
+
+
+def read_cdf_chi2(
+    spark: SparkSession,
+    agg_path: str,
+    side_col: str,
+    bin_col: str,
+    a_value,
+) -> DataFrame:
+    """Exact chi-squared distance drift from the same CDF-maintained
+    per-(side, bin) counts table as :func:`read_cdf_ks` — one
+    maintained table serves BOTH read-time statistics (the sup-CDF
+    test and the rare-bin-sensitive distance), each equal to its batch
+    operator over the source snapshot at every version. Same NULL-side
+    semantics as the batch ``profile.chi2_distance``; the read costs
+    the bin-domain-bounded counts table, never the corpus."""
+    from lakeflow.operators.profile import chi2_from_bin_counts
+
+    counts = read_cdf_aggregate(spark, agg_path)
+    a_n = F.when(F.col(side_col) == F.lit(a_value), F.col("n")).otherwise(0)
+    per_b = counts.groupBy(bin_col).agg(
+        F.sum(a_n).alias("__ca"),
+        (F.sum("n") - F.sum(a_n)).alias("__cb"),
+    )
+    return chi2_from_bin_counts(per_b, bin_col, "__ca", "__cb")

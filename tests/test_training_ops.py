@@ -1293,3 +1293,94 @@ def test_mmr_select_k_capped_by_corpus(spark):
     out = mmr_select(df, F.col("vec_id") == 0, k=10).collect()
     assert sorted(r["vec_id"] for r in out) == [1, 2]  # stops when empty
     assert sorted(r["rank"] for r in out) == [1, 2]
+
+
+def test_grouped_minhash_equals_filtered_corpus_signature(spark):
+    # the docstring contract: a group's row in the grouped signature
+    # IS the one-row corpus signature of that group filtered out
+    from pyspark.sql import Row
+
+    from lakeflow.operators.corpus import (
+        corpus_minhash_signature,
+        grouped_minhash_signatures,
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="one two three four five"),
+            Row(doc_id=2, source="a", text="two three four six seven"),
+            Row(doc_id=3, source="b", text="one two three four five"),
+            Row(doc_id=4, source="c", text="eight nine ten eleven twelve"),
+        ]
+    )
+    k = 8
+    grouped = {
+        r["source"]: [r[f"mh{i}"] for i in range(k)]
+        for r in grouped_minhash_signatures(docs, "source", "text", k=k).collect()
+    }
+    for src in ("a", "b", "c"):
+        one = corpus_minhash_signature(
+            docs.filter(F.col("source") == src), "text", k=k
+        ).collect()[0]
+        assert grouped[src] == [one[f"mh{i}"] for i in range(k)]
+
+    m = source_overlap_matrix(docs, "source", "text", k=k).collect()
+    assert len(m) == 3  # 3 unordered pairs, each src_a < src_b
+    rows = {(r["src_a"], r["src_b"]): r for r in m}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # b's only doc is a verbatim copy of one of a's docs -> shared
+    # shingles -> nonzero estimate; c shares nothing -> 0
+    assert rows[("a", "b")]["n_match"] > 0
+    assert rows[("a", "c")]["n_match"] == 0 and rows[("b", "c")]["n_match"] == 0
+    for r in m:
+        assert r["jaccard_est_micros"] == r["n_match"] * 1_000_000 // k
+
+
+def test_kcenter_select_matches_python_greedy(spark):
+    import math
+
+    from lakeflow.operators.similarity import kcenter_select
+
+    df, vecs = _quant_corpus(spark, n=25, dim=5)
+    xm = [[math.floor(x * 1_000_000 + 0.5) for x in v] for v in vecs]
+    n2 = [sum(x * x for x in v) for v in xm]
+    k = 4
+    seed = max(range(len(xm)), key=lambda i: (n2[i], -i))
+    picked = [(1, seed, 0)]
+    while len(picked) < k:
+        best = None
+        for i in range(len(xm)):
+            if i in (p[1] for p in picked):
+                continue
+            mc = max(_cos_micros_py(xm[i], xm[j]) for _, j, _ in picked)
+            key = (mc, i)
+            if best is None or key < best[0]:
+                best = (key, i, mc)
+        picked.append((len(picked) + 1, best[1], best[2]))
+    got = [
+        (r["rank"], r["vec_id"], r["maxcos_micros"])
+        for r in kcenter_select(df, k=k).orderBy("rank").collect()
+    ]
+    assert got == picked
+
+
+def test_kcenter_select_spreads_over_clusters(spark):
+    # three tight clusters; k=3 must pick one member from each (pure
+    # diversity — unlike MMR there is no relevance to trade against)
+    from lakeflow.operators.similarity import kcenter_select
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.02, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 1.0, 0.02]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.02, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    picked = {
+        r["vec_id"] for r in kcenter_select(df, k=3).collect()
+    }
+    clusters = [{0, 1}, {2, 3}, {4, 5}]
+    assert all(len(picked & c) == 1 for c in clusters)

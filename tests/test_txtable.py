@@ -539,6 +539,51 @@ def test_cdf_ks_monitor_tracks_batch_recompute(spark, tmp_path):
     assert state() == truth()
 
 
+def test_cdf_chi2_monitor_tracks_batch_recompute(spark, tmp_path):
+    # r8 continuation: ONE maintained per-(side, bin) counts table
+    # serves both read-time drift statistics — chi2 here, KS above —
+    # each equal to its batch operator over the current snapshot
+    from lakeflow.operators.profile import chi2_distance
+    from lakeflow.streaming.cdf import advance_cdf_aggregate, read_cdf_chi2
+
+    path = str(tmp_path / "src")
+    agg = str(tmp_path / "x2counts")
+
+    def gdf(rows):
+        return spark.createDataFrame(rows, "k long, side string, v long")
+
+    def truth():
+        return sorted(
+            map(
+                tuple,
+                chi2_distance(
+                    read_table(spark, path), "v", F.col("side") == "a"
+                ).collect(),
+            )
+        )
+
+    def state():
+        return sorted(
+            map(tuple, read_cdf_chi2(spark, agg, "side", "v", "a").collect())
+        )
+
+    write_table(
+        spark,
+        gdf([(1, "a", 1), (2, "a", 2), (3, "a", 3), (4, "b", 3), (5, "b", 5),
+             (8, None, 4)]),
+        path,
+    )
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["side", "v"], []) == 1
+    assert state() == truth()
+    merge_upsert_table(spark, gdf([(2, "a", 9), (4, "a", 3)]), path, ["k"])
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["side", "v"], []) == 2
+    assert state() == truth()
+    delete_where(spark, path, F.col("k") == 5)
+    append_table(spark, gdf([(6, "b", 1), (7, "b", 7)]), path)
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["side", "v"], []) == 4
+    assert state() == truth()
+
+
 def test_cdf_guard_survives_mid_swap_crash(spark, tmp_path):
     # r8 code review: a consumer hard-killed between the fenced
     # overwrite's two renames leaves the aggregate at <path>._merge_old
