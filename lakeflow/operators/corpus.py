@@ -779,6 +779,18 @@ def source_overlap_matrix(
     Deterministic and exact-integer like the 2-corpus form, so a SQL
     oracle replays it bit-for-bit."""
     sig = grouped_minhash_signatures(docs, group_col, text_col, k, shingle_n)
+    return overlap_matrix_from_signatures(sig, group_col, k)
+
+
+def overlap_matrix_from_signatures(
+    sig: DataFrame, group_col: str, k: int
+) -> DataFrame:
+    """The signatures->matrix half of :func:`source_overlap_matrix`:
+    given a per-group signature relation (fresh from
+    :func:`grouped_minhash_signatures`, or READ BACK from a
+    MIN-fold-maintained signature table — corpus-set minhash of a
+    union IS the element-wise min of the parts' signatures, so
+    streaming maintenance is exact), derive the pairwise matrix."""
     a = sig.select(
         F.col(group_col).alias("src_a"),
         *[F.col(f"mh{i}").alias(f"ma{i}") for i in range(k)],

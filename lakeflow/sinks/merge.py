@@ -329,6 +329,35 @@ def merge_additive(
     _fenced_overwrite(out, target_path, v0, commit_token=commit_token)
 
 
+def merge_min(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    keys: Sequence[str],
+    min_cols: Sequence[str],
+) -> None:
+    """Incremental MIN-fold maintenance: fold a pre-aggregated delta
+    into a running per-key table by taking the element-wise MINIMUM of
+    measure columns — the merger for monotone sketches whose union IS
+    the min (corpus-set minhash signatures: min-merge of two corpora's
+    signatures equals the signature of their union, exactly). New keys
+    insert; existing keys keep the smaller value. Same version-fencing
+    and failure-atomicity contract as the other mergers — but unlike
+    ``merge_additive`` this fold is IDEMPOTENT (min(a, a) == a), so a
+    replayed batch is harmless by construction and no commit token is
+    needed for exactly-once semantics."""
+    v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
+    existing = read_target_if_exists(spark, target_path)
+    if existing is not None:
+        merged = existing.unionByName(delta, allowMissingColumns=True)
+    else:
+        merged = delta
+    out = merged.groupBy(*keys).agg(
+        *[F.min(c).alias(c) for c in min_cols]
+    )
+    _fenced_overwrite(out, target_path, v0)
+
+
 def merge_delete(
     spark: SparkSession,
     target_path: str,

@@ -258,6 +258,69 @@ def stream_vocab_counters(
     return writer.start()
 
 
+def stream_grouped_minhash(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    target_path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 32,
+    trigger_available_now: bool = True,
+):
+    """Continuous per-group corpus-set minhash maintenance: each
+    micro-batch's grouped signatures (one narrow pass per batch,
+    ``operators/corpus.grouped_minhash_signatures``) MIN-fold into a
+    running signature table — exact, because the corpus-set minhash of
+    a union IS the element-wise min of the parts' signatures. The
+    maintained table therefore equals the batch signatures over
+    everything ever streamed at every instant, and
+    :func:`read_source_overlap` derives the current source-redundancy
+    matrix from it at read time (|groups| rows in, |groups|^2/2 out —
+    never re-shingling history).
+
+    Replay/restart safety comes FREE here: min-merge is idempotent
+    (min(a, a) == a), so a crash-replayed batch folds to a no-op with
+    no commit token — the one maintainer in this module whose
+    exactly-once property is algebraic rather than transactional."""
+    from lakeflow.operators.corpus import grouped_minhash_signatures
+    from lakeflow.sinks.merge import merge_min
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+    mh_cols = [f"mh{i}" for i in range(k)]
+
+    def _batch(batch, batch_id: int) -> None:
+        delta = grouped_minhash_signatures(batch, group_col, text_col, k)
+        merge_min(spark, target_path, delta, [group_col], mh_cols)
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_source_overlap(
+    spark: SparkSession, target_path: str, group_col: str = "source", k: int = 32
+) -> DataFrame:
+    """Current pairwise source-overlap matrix from the MIN-fold-
+    maintained signature table — identical to batch
+    ``source_overlap_matrix`` over every document ever streamed."""
+    from lakeflow.operators.corpus import overlap_matrix_from_signatures
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    sig = read_target_if_exists(spark, target_path)
+    if sig is None:
+        raise FileNotFoundError(
+            f"read_source_overlap: no signature table at {target_path!r} — "
+            f"the grouped-minhash stream has not committed its first batch yet"
+        )
+    return overlap_matrix_from_signatures(sig, group_col, k)
+
+
 def read_heavy_hitters(
     spark: SparkSession, target_path: str, k: int = 30
 ) -> DataFrame:

@@ -1259,3 +1259,65 @@ def test_read_heavy_hitters_uninitialized_raises_clear_error(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="not committed"):
         read_heavy_hitters(spark, str(tmp_path / "never"), k=5)
+
+
+def test_stream_grouped_minhash_matches_batch_and_replays_free(spark, tmp_path):
+    # r8 continuation: MIN-fold-maintained per-source signatures ==
+    # batch grouped_minhash_signatures over everything ever streamed
+    # (minhash of a union is the element-wise min of the parts), and a
+    # crash-replay is a no-op ALGEBRAICALLY — no commit token involved
+    from lakeflow.operators.corpus import source_overlap_matrix
+    from lakeflow.streaming.corpus_intake import (
+        read_source_overlap,
+        stream_grouped_minhash,
+    )
+
+    src = str(tmp_path / "docs")
+    tgt = str(tmp_path / "sig")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, source string, text string"
+    w1 = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "source": "web", "text": "the cat sat on the mat today"},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00", "source": "book", "text": "a dog ran over the hill fast"},
+    ]
+    w2 = [
+        {"doc_id": 3, "ts": "2024-01-01T01:00:00", "source": "web", "text": "a dog ran over the hill fast"},
+        {"doc_id": 4, "ts": "2024-01-01T01:01:00", "source": "wiki", "text": "entirely new words appear here now"},
+    ]
+    K = 8
+
+    def batch_matrix(waves):
+        rows = [(d["doc_id"], d["source"], d["text"]) for w in waves for d in w]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        return sorted(
+            map(tuple, source_overlap_matrix(df, "source", "text", k=K).collect())
+        )
+
+    _write_events(src, "w1.json", w1)
+    q = stream_grouped_minhash(spark, src, schema, tgt, ck, k=K)
+    q.awaitTermination(120)
+    assert sorted(
+        map(tuple, read_source_overlap(spark, tgt, "source", k=K).collect())
+    ) == batch_matrix([w1])
+
+    _write_events(src, "w2.json", w2)
+    q = stream_grouped_minhash(spark, src, schema, tgt, ck, k=K)
+    q.awaitTermination(120)
+    streamed = sorted(
+        map(tuple, read_source_overlap(spark, tgt, "source", k=K).collect())
+    )
+    assert streamed == batch_matrix([w1, w2])
+    # wave 2 made web and book share a verbatim doc: nonzero estimate
+    web_book = [r for r in streamed if r[0] == "book" and r[1] == "web"]
+    assert web_book and web_book[0][3] > 0
+
+    # replay EVERYTHING under a fresh checkpoint: min-fold idempotence
+    # alone must keep the table identical
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_grouped_minhash(spark, src, schema, tgt, str(tmp_path / "ck2"), k=K)
+    q.awaitTermination(120)
+    assert sorted(
+        map(tuple, read_source_overlap(spark, tgt, "source", k=K).collect())
+    ) == streamed
