@@ -317,16 +317,7 @@ def merge_additive(
     ``commit_token`` (e.g. the streaming batch id): the token commits
     ATOMICALLY with the data swap, so ``has_commit_token`` answers
     "was this exact delta already folded in" with no race window."""
-    v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
-    existing = read_target_if_exists(spark, target_path)
-    if existing is not None:
-        merged = existing.unionByName(delta, allowMissingColumns=True)
-    else:
-        merged = delta
-    out = merged.groupBy(*keys).agg(
-        *[F.sum(c).alias(c) for c in sum_cols]
-    )
-    _fenced_overwrite(out, target_path, v0, commit_token=commit_token)
+    _merge_fold(spark, target_path, delta, keys, sum_cols, F.sum, commit_token)
 
 
 def merge_min(
@@ -346,6 +337,33 @@ def merge_min(
     ``merge_additive`` this fold is IDEMPOTENT (min(a, a) == a), so a
     replayed batch is harmless by construction and no commit token is
     needed for exactly-once semantics."""
+    _merge_fold(spark, target_path, delta, keys, min_cols, F.min)
+
+
+def merge_max(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    keys: Sequence[str],
+    max_cols: Sequence[str],
+) -> None:
+    """The MAX twin of :func:`merge_min` — for monotone statistics
+    whose union is the max (per-dimension max-abs quantization scales,
+    high-watermark timestamps, max-seen sequence numbers). Same
+    algebraic idempotence: replayed batches fold to no-ops without a
+    commit token."""
+    _merge_fold(spark, target_path, delta, keys, max_cols, F.max)
+
+
+def _merge_fold(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    agg_fn,
+    commit_token: str | None = None,
+) -> None:
     v0 = _current_version(target_path) if _fencing_enabled(target_path) else 0
     existing = read_target_if_exists(spark, target_path)
     if existing is not None:
@@ -353,9 +371,9 @@ def merge_min(
     else:
         merged = delta
     out = merged.groupBy(*keys).agg(
-        *[F.min(c).alias(c) for c in min_cols]
+        *[agg_fn(c).alias(c) for c in cols]
     )
-    _fenced_overwrite(out, target_path, v0)
+    _fenced_overwrite(out, target_path, v0, commit_token=commit_token)
 
 
 def merge_delete(

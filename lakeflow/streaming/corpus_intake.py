@@ -321,6 +321,61 @@ def read_source_overlap(
     return overlap_matrix_from_signatures(sig, group_col, k)
 
 
+def stream_int8_scales(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    target_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Continuous int8 quantization-scale maintenance: each
+    micro-batch's per-dimension max-abs scales
+    (``operators/quant.int8_scales``) MAX-fold into a running scale
+    table — exact, because a max over a union is the max of the
+    parts' maxes. The maintained table equals batch ``int8_scales``
+    over every vector ever streamed, so a serving encoder always
+    quantizes under corpus-true scales without re-scanning history;
+    scales are MONOTONE under append-only ingest (they only grow), so
+    previously-written codes stay decodable and re-encoding is a
+    downstream policy choice, not a correctness event. Replay safety
+    is algebraic (max-merge is idempotent) — no commit token, the
+    same free exactly-once as :func:`stream_grouped_minhash`."""
+    from lakeflow.operators.quant import int8_scales
+    from lakeflow.sinks.merge import merge_max
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        delta = int8_scales(batch, vec_col)
+        merge_max(spark, target_path, delta, ["dim"], ["scale_micros"])
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_int8_scales(spark: SparkSession, target_path: str) -> DataFrame:
+    """Current per-dimension quantization scales from the maintained
+    table — identical to batch ``int8_scales`` over every vector ever
+    streamed; feed directly to ``quant.int8_encode`` /
+    ``int8_dequant``."""
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    sc = read_target_if_exists(spark, target_path)
+    if sc is None:
+        raise FileNotFoundError(
+            f"read_int8_scales: no scale table at {target_path!r} — the "
+            f"scale stream has not committed its first batch yet"
+        )
+    return sc
+
+
 def read_heavy_hitters(
     spark: SparkSession, target_path: str, k: int = 30
 ) -> DataFrame:

@@ -1321,3 +1321,68 @@ def test_stream_grouped_minhash_matches_batch_and_replays_free(spark, tmp_path):
     assert sorted(
         map(tuple, read_source_overlap(spark, tgt, "source", k=K).collect())
     ) == streamed
+
+
+def test_stream_int8_scales_matches_batch_and_replays_free(spark, tmp_path):
+    # r8 continuation: MAX-fold-maintained per-dim scales == batch
+    # int8_scales over everything ever streamed; replay is a no-op by
+    # max-merge idempotence (no commit token in the path at all)
+    from lakeflow.operators.quant import int8_scales
+    from lakeflow.streaming.corpus_intake import (
+        read_int8_scales,
+        stream_int8_scales,
+    )
+
+    src = str(tmp_path / "vecs")
+    tgt = str(tmp_path / "scales")
+    ck = str(tmp_path / "ck")
+    schema = "vec_id long, ts timestamp, embedding array<float>"
+    w1 = [
+        {"vec_id": 1, "ts": "2024-01-01T00:00:00", "embedding": [0.5, -0.25, 0.0]},
+        {"vec_id": 2, "ts": "2024-01-01T00:01:00", "embedding": [-0.75, 0.125, 0.0]},
+    ]
+    w2 = [
+        # dim 0 shrinks (no new max), dim 1 grows, dim 2 leaves zero
+        {"vec_id": 3, "ts": "2024-01-01T01:00:00", "embedding": [0.25, -0.875, 0.0625]},
+    ]
+
+    def batch_scales(waves):
+        rows = [(d["vec_id"], d["embedding"]) for w in waves for d in w]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return sorted(
+            (r["dim"], r["scale_micros"]) for r in int8_scales(df).collect()
+        )
+
+    _write_events(src, "w1.json", w1)
+    q = stream_int8_scales(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    got1 = sorted(
+        (r["dim"], r["scale_micros"])
+        for r in read_int8_scales(spark, tgt).collect()
+    )
+    assert got1 == batch_scales([w1]) == [(0, 750_000), (1, 250_000), (2, 0)]
+
+    _write_events(src, "w2.json", w2)
+    q = stream_int8_scales(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    got2 = sorted(
+        (r["dim"], r["scale_micros"])
+        for r in read_int8_scales(spark, tgt).collect()
+    )
+    assert got2 == batch_scales([w1, w2]) == [
+        (0, 750_000),
+        (1, 875_000),
+        (2, 62_500),
+    ]
+
+    # full-history replay under a fresh checkpoint: idempotent
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_int8_scales(spark, src, schema, tgt, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    got3 = sorted(
+        (r["dim"], r["scale_micros"])
+        for r in read_int8_scales(spark, tgt).collect()
+    )
+    assert got3 == got2
