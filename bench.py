@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "q_mmr_select",
     "q_source_overlap",
     "q_kcenter_select",
+    "q_grouped_ks",
 ]
 
 

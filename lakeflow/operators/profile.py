@@ -276,6 +276,79 @@ def ks_from_value_counts(
     )
 
 
+def grouped_ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    a_pred,
+    out_col: str = "ks_micros",
+) -> DataFrame:
+    """Per-GROUP exact two-sample KS: one row
+    (``group_col``, n_a, n_b, ``out_col``) per group — the fleet form
+    of :func:`ks_statistic` that answers the production question
+    "WHICH sources/event-types/domains drifted", not just whether the
+    corpus did. Same machinery, now actually exercising the bucketed
+    prefix sum's group dimension: per-(group, value) counts in ONE
+    hash aggregate, per-group CDFs from the distributed running sum
+    (a hot group spreads across partial buckets, never one task),
+    integer cross-multiply sup, one decimal(38) division per group.
+
+    Empty-side contract differs from the single-group form
+    DELIBERATELY: groups where either sample is empty are DROPPED
+    (the statistic is undefined there) rather than failing the job —
+    a fleet monitor must not die because one new source has no
+    baseline rows yet, and a dropped row is visible to the caller in
+    a way a job-killing assert is not. ``ks_statistic`` keeps its
+    loud assert for the single-pair decision case."""
+    from lakeflow.operators.prefix import bucketed_running_sum
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_v = (
+        df.select(
+            F.col(group_col),
+            v.cast("long").alias("__ksv"),
+            F.when(a_pred, 1).otherwise(0).cast("long").alias("__ksia"),
+        )
+        .groupBy(group_col, "__ksv")
+        .agg(
+            F.sum("__ksia").alias("__ksca"),
+            (F.count(F.lit(1)) - F.sum("__ksia")).alias("__kscb"),
+        )
+    )
+    cum = bucketed_running_sum(
+        per_v, group_col, "__ksv", [], "__ksca", out_col="__kscuma"
+    )
+    cum = bucketed_running_sum(
+        cum, group_col, "__ksv", [], "__kscb", out_col="__kscumb"
+    )
+    totals = per_v.groupBy(group_col).agg(
+        F.sum("__ksca").cast("long").alias("__ksna"),
+        F.sum("__kscb").cast("long").alias("__ksnb"),
+    )
+    dec = "decimal(38,0)"
+    cross = F.abs(
+        F.col("__kscuma").cast(dec) * F.col("__ksnb").cast(dec)
+        - F.col("__kscumb").cast(dec) * F.col("__ksna").cast(dec)
+    )
+    return (
+        cum.join(totals, group_col)
+        .select(group_col, "__ksna", "__ksnb", cross.alias("__ksd"))
+        .groupBy(group_col, "__ksna", "__ksnb")
+        .agg(F.max("__ksd").alias("__ksmaxd"))
+        .filter((F.col("__ksna") > 0) & (F.col("__ksnb") > 0))
+        .select(
+            group_col,
+            F.col("__ksna").alias("n_a"),
+            F.col("__ksnb").alias("n_b"),
+            F.expr(
+                "CAST((CAST(__ksmaxd AS DECIMAL(38,0)) * 1000000) div "
+                "(CAST(__ksna AS DECIMAL(38,0)) * CAST(__ksnb AS DECIMAL(38,0))) "
+                "AS BIGINT)"
+            ).alias(out_col),
+        )
+    )
+
+
 def chi2_distance(
     df: DataFrame,
     bin_col,

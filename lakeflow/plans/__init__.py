@@ -47,14 +47,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- must-certify (2) ---
     "q_empty_to_null",
     "q_slop_search",
-    # --- round-8-continuation builds (6): chi-squared drift, int8
+    # --- round-8-continuation builds (7): chi-squared drift, int8
     # quantization error profile + recall contract, MMR selection,
-    # source-overlap matrix, k-center coreset. These take the slots of
-    # six r2-latest TPC-H rows (q10_returned_items,
+    # source-overlap matrix, k-center coreset, per-group KS. These
+    # take the slots of seven r2-latest TPC-H rows (q10_returned_items,
     # q12_shipmode_buckets, q13_order_distribution, q14_promo_share,
-    # q18_large_volume_orders, q19_disjunctive_predicates — each keeps
-    # in-window family siblings q17/q5/q7/q8/q22 and stays green in
-    # the local gate; they carry to the r9 refresh with
+    # q18_large_volume_orders, q19_disjunctive_predicates,
+    # q22_dormant_customers — each keeps in-window family siblings
+    # q17/q5/q7/q8/q4/q_anti_join_customers/q_correlated_subquery and
+    # stays green in the local gate; they carry to the r9 refresh with
     # q_window_running, q_winnow_fingerprint, q_text_stats) — a NEW
     # capability's first driver row outranks re-certifying a stable
     # one (and test_every_query_windowed_or_certified enforces that a
@@ -65,8 +66,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_mmr_select",
     "q_source_overlap",
     "q_kcenter_select",
-    # --- latest row r2 (13 of 19) ---
-    "q22_dormant_customers",
+    "q_grouped_ks",
+    # --- latest row r2 (12 of 19) ---
     "q4_priority_check",
     "q6_forecast_revenue",
     "q7_volume_shipping",

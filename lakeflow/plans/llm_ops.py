@@ -5053,6 +5053,58 @@ def q_corpus_overlap(spark, sf_dir):
     "1e12-row samples, while the distance form never leaves BIGINT.",
     refs=("§2.12", "A5"),
 )
+@query(
+    "q_grouped_ks",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, CAST(FLOOR(value * 100e0 + 0.5e0) AS BIGINT) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ia
+      FROM events),
+    c AS (
+      SELECT event_type, v, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+      FROM src GROUP BY event_type, v),
+    cum AS (
+      SELECT event_type, v,
+             SUM(ca) OVER (PARTITION BY event_type ORDER BY v) AS cuma,
+             SUM(cb) OVER (PARTITION BY event_type ORDER BY v) AS cumb
+      FROM c),
+    t AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb
+          FROM c GROUP BY event_type)
+    SELECT t.event_type, na AS n_a, nb AS n_b,
+           CAST((MAX(ABS(cuma * nb - cumb * na)) * 1000000) // (na * nb)
+                AS BIGINT) AS ks_micros
+    FROM cum JOIN t ON cum.event_type = t.event_type
+    WHERE na > 0 AND nb > 0
+    GROUP BY t.event_type, na, nb
+    """,
+    description="Per-GROUP exact two-sample KS drift "
+    "(operators/profile.grouped_ks_statistic, r8): for every "
+    "event_type, the KS statistic between the first and second half "
+    "of the stream's value distribution — the fleet monitor that "
+    "answers WHICH groups drifted, not just whether the corpus did. "
+    "Per-(group, value) counts in one hash aggregate, per-group CDFs "
+    "from the distributed bucketed prefix sum (a hot group spreads "
+    "across partial buckets, never one task), integer cross-multiply "
+    "sup, one decimal(38) division per group. Groups with an empty "
+    "side are DROPPED (undefined), not job-killing — deliberately "
+    "unlike the single-pair ks_statistic's loud assert.",
+    refs=("§2.12", "A5"),
+)
+def q_grouped_ks(spark, sf_dir):
+    from lakeflow.functions.exact import lit_ts
+    from lakeflow.operators.profile import grouped_ks_statistic
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).alias("v"),
+        (F.col("ts") < lit_ts(ev, "ts", "2024-01-16")).alias("ia"),
+    )
+    return grouped_ks_statistic(src, "event_type", "v", F.col("ia"))
+
+
 def q_chi2_drift(spark, sf_dir):
     from lakeflow.functions.exact import lit_ts
     from lakeflow.operators.profile import chi2_distance

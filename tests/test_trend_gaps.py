@@ -290,3 +290,59 @@ def test_chi2_distance_empty_side_raises(spark):
         assert "chi2_distance" in str(e) or isinstance(e, Py4JJavaError)
     empty = spark.createDataFrame([], "bin long, side string")
     assert chi2_distance(empty, "bin", F.col("side") == "a").collect() == []
+
+
+def test_grouped_ks_equals_per_group_single(spark):
+    # each group's row == ks_statistic run on that group alone
+    from lakeflow.operators.profile import grouped_ks_statistic, ks_statistic
+
+    rows = (
+        [("g1", v, "a") for v in (1, 2, 3, 4)]
+        + [("g1", v, "b") for v in (3, 4, 5, 6)]
+        + [("g2", v, "a") for v in (1, 1, 2)]
+        + [("g2", v, "b") for v in (9, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long, side string")
+    grouped = {
+        r["g"]: (r["n_a"], r["n_b"], r["ks_micros"])
+        for r in grouped_ks_statistic(df, "g", "v", F.col("side") == "a").collect()
+    }
+    for g in ("g1", "g2"):
+        single = ks_statistic(
+            df.filter(F.col("g") == g), "v", F.col("side") == "a"
+        ).collect()[0]
+        assert grouped[g] == (single["n_a"], single["n_b"], single["ks_micros"])
+    assert grouped["g1"][2] == 500_000 and grouped["g2"][2] == 1_000_000
+
+
+def test_grouped_ks_drops_one_sided_groups(spark):
+    # a group with no baseline rows must DROP (undefined), never fail
+    # the whole fleet monitor and never emit a NULL row
+    from lakeflow.operators.profile import grouped_ks_statistic
+
+    rows = [("ok", 1, "a"), ("ok", 2, "b"), ("newsrc", 5, "b"), ("newsrc", 6, "b")]
+    df = spark.createDataFrame(rows, "g string, v long, side string")
+    out = grouped_ks_statistic(df, "g", "v", F.col("side") == "a").collect()
+    assert [r["g"] for r in out] == ["ok"]
+    assert out[0]["ks_micros"] is not None
+
+
+def test_grouped_ks_partitioning_invariant(spark):
+    from lakeflow.operators.profile import grouped_ks_statistic
+
+    rows = [
+        (f"g{i % 4}", i * 37 % 101, "a" if i % 3 else "b") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, side string")
+    base = sorted(
+        map(tuple, grouped_ks_statistic(df, "g", "v", F.col("side") == "a").collect())
+    )
+    re13 = sorted(
+        map(
+            tuple,
+            grouped_ks_statistic(
+                df.repartition(13, "v"), "g", "v", F.col("side") == "a"
+            ).collect(),
+        )
+    )
+    assert base == re13
