@@ -5053,6 +5053,20 @@ def q_corpus_overlap(spark, sf_dir):
     "1e12-row samples, while the distance form never leaves BIGINT.",
     refs=("§2.12", "A5"),
 )
+def q_chi2_drift(spark, sf_dir):
+    from lakeflow.functions.exact import lit_ts
+    from lakeflow.operators.profile import chi2_distance
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (F.col("ts") < lit_ts(ev, "ts", "2024-01-16")).alias("ia"),
+    )
+    return chi2_distance(binned, "bin", F.col("ia"))
+
+
 @query(
     "q_grouped_ks",
     oracle="""
@@ -5103,20 +5117,6 @@ def q_grouped_ks(spark, sf_dir):
         (F.col("ts") < lit_ts(ev, "ts", "2024-01-16")).alias("ia"),
     )
     return grouped_ks_statistic(src, "event_type", "v", F.col("ia"))
-
-
-def q_chi2_drift(spark, sf_dir):
-    from lakeflow.functions.exact import lit_ts
-    from lakeflow.operators.profile import chi2_distance
-
-    ev = load_table(spark, sf_dir, "events")
-    binned = ev.select(
-        F.least(
-            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
-        ).alias("bin"),
-        (F.col("ts") < lit_ts(ev, "ts", "2024-01-16")).alias("ia"),
-    )
-    return chi2_distance(binned, "bin", F.col("ia"))
 
 
 @query(

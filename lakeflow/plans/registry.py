@@ -37,6 +37,18 @@ def query(
     refs: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
+        # structural guards: a misplaced/stacked decorator must fail at
+        # import, not silently register the WRONG plan under a right
+        # name (r8 defect: a stacked @query("q_chi2_drift") on
+        # q_grouped_ks shipped 5-row grouped-KS output as chi2 — caught
+        # only by the oracle gate)
+        if fn.__name__ != name:
+            raise RuntimeError(
+                f"@query({name!r}) decorates function {fn.__name__!r} — "
+                "registered name must equal the function name"
+            )
+        if name in QUERIES:
+            raise RuntimeError(f"@query({name!r}): duplicate registration")
         QUERIES[name] = QuerySpec(name, fn, oracle, description, refs)
         return fn
 
