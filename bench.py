@@ -253,6 +253,15 @@ BENCH_QUERIES = [
     "q_source_overlap",
     "q_kcenter_select",
     "q_grouped_ks",
+    # round 8 continuation-2: PCA sufficient statistics, portable HLL
+    # distinct sketch, ranked-retrieval quality, counts-derived exact
+    # quantiles
+    "q_pca_gram",
+    "q_hll_distinct",
+    "q_retrieval_metrics",
+    "q_exact_quantiles",
+    "q_apss_join",
+    "q_cms_estimate",
 ]
 
 

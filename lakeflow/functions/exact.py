@@ -30,6 +30,21 @@ def micros(c: Column | str) -> Column:
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
 
 
+def trunc_div(num: Column, den: Column) -> Column:
+    """Exact integer division truncating toward zero, via the
+    remainder identity trunc(a/b) = (a - a % b) / b: Spark's % takes
+    the dividend's sign (trunc-style), the subtraction makes the
+    division exact (so its decimal rounding mode can never matter),
+    and the result casts to BIGINT losslessly. Works for LONG and
+    DECIMAL(38,0) numerators alike — the latter is why this exists:
+    BIGINT-overflowing accumulations (a 1e12-row corpus at micro^2
+    magnitudes, HLL's 27-digit estimate numerator) divide back down
+    to a BIGINT-bounded surface in one exact step. Mirror in SQL with
+    a sign-split `//` (or bare `//` when both operands are known
+    non-negative)."""
+    return ((num - num % den) / den).cast("long")
+
+
 # SQL-side equivalents (DuckDB/ANSI), for oracle queries. ``e0``
 # literals force DOUBLE (a bare ``100.0`` is DECIMAL in DuckDB, which
 # would change the arithmetic type lattice vs Spark).

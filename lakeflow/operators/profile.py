@@ -15,6 +15,8 @@ memory; ±~2% — not oracle-comparable).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -447,3 +449,67 @@ def chi2_from_bin_counts(
             ).alias(out_col),
         )
     )
+
+
+def quantiles_from_value_counts(
+    per_v: DataFrame,
+    value_col: str,
+    n_col: str,
+    probs: Sequence[float],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact lower quantiles from PER-DISTINCT-VALUE counts: for each
+    probability p, the smallest value v with cumulative count >=
+    ceil(p * N) — percentile_disc semantics, derived from a counts
+    relation instead of row data. Counts may come fresh from a hash
+    aggregate or be READ BACK from an incrementally-maintained table
+    (``streaming/cdf.read_cdf_quantiles``): per-value counts are
+    additive under the retraction algebra, so the same maintained
+    table that serves the KS and chi-squared drift monitors serves
+    exact quantiles — three read-time statistics, one table.
+
+    Returns one row per (group, probability): (group?, p_micros,
+    value, n_total). Exactness: the ceil comparison is the integer
+    cross-multiply cum * 1e6 >= p_micros * N in DECIMAL(38,0) (both
+    sides can pass 2^63 at 1e12-row groups); cumulative counts come
+    from the distributed bucketed prefix sum (a hot group spreads
+    across partial buckets, never one task), and the per-probability
+    pick is a MIN aggregate — order-independent, bit-identical on any
+    engine."""
+    from lakeflow.operators.prefix import bucketed_running_sum
+
+    g = group_col if group_col is not None else "__qtg"
+    base = per_v.select(
+        *([F.col(group_col)] if group_col else [F.lit(0).alias(g)]),
+        F.col(value_col).cast("long").alias("__qtv"),
+        F.col(n_col).cast("long").alias("__qtn"),
+    )
+    cum = bucketed_running_sum(base, g, "__qtv", [], "__qtn", out_col="__qtcum")
+    totals = base.groupBy(g).agg(F.sum("__qtn").cast("long").alias("__qttot"))
+    joined = cum.join(F.broadcast(totals), g)
+    dec = "decimal(38,0)"
+    aggs = []
+    p_micros = [int(p * 1_000_000 + 0.5) for p in probs]
+    for i, pm in enumerate(p_micros):
+        hit = (
+            F.col("__qtcum").cast(dec) * F.lit(1_000_000).cast(dec)
+            >= F.lit(pm).cast(dec) * F.col("__qttot").cast(dec)
+        )
+        aggs.append(F.min(F.when(hit, F.col("__qtv"))).alias(f"__qtq{i}"))
+    agged = joined.groupBy(g).agg(
+        F.max("__qttot").alias("n_total"), *aggs
+    )
+    stack = ", ".join(
+        f"CAST({pm} AS BIGINT), __qtq{i}" for i, pm in enumerate(p_micros)
+    )
+    out = agged.selectExpr(
+        g,
+        "n_total",
+        f"stack({len(p_micros)}, {stack}) AS (p_micros, value)",
+    ).select(
+        *([F.col(group_col)] if group_col else []),
+        "p_micros",
+        F.col("value").cast("long").alias("value"),
+        "n_total",
+    )
+    return out

@@ -54,12 +54,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q12_shipmode_buckets, q13_order_distribution, q14_promo_share,
     # q18_large_volume_orders, q19_disjunctive_predicates,
     # q22_dormant_customers — each keeps in-window family siblings
-    # q17/q5/q7/q8/q4/q_anti_join_customers/q_correlated_subquery and
+    # q17/q5/q7/q4/q_anti_join_customers/q_correlated_subquery and
     # stays green in the local gate; they carry to the r9 refresh with
-    # q_window_running, q_winnow_fingerprint, q_text_stats) — a NEW
-    # capability's first driver row outranks re-certifying a stable
-    # one (and test_every_query_windowed_or_certified enforces that a
-    # new query cannot ship windowless).
+    # q_window_running, q_winnow_fingerprint, q_text_stats, and the
+    # seven continuation-2 displacements annotated inline below) — a
+    # NEW capability's first driver row outranks re-certifying a
+    # stable one (and test_every_query_windowed_or_certified enforces
+    # that a new query cannot ship windowless).
     "q_chi2_drift",
     "q_int8_quantize",
     "q_int8_recall",
@@ -71,14 +72,36 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q4_priority_check",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
+    # q8_market_share displaced for the continuation-2-built
+    # q_apss_join (the multi-join J2 family keeps in-window rows via
+    # q5/q7; carries to the r9 refresh)
+    "q_apss_join",
+    # q_semi_join_customers displaced for the continuation-2-built
+    # q_cms_estimate (J3 semi/anti family keeps its in-window row via
+    # q_anti_join_customers; carries to the r9 refresh)
+    "q_cms_estimate",
     "q_anti_join_customers",
-    "q_conditional_null",
-    "q_date_funcs",
+    # q_conditional_null displaced for the continuation-2-built
+    # q_hll_distinct (the F6 conditional family keeps in-window rows
+    # via q_scalar_funcs_wide's certified r5 ledger and the local
+    # gate; carries to the r9 refresh)
+    "q_hll_distinct",
+    # q_date_funcs displaced for the continuation-2-built
+    # q_exact_quantiles (the F2 date family keeps in-window coverage
+    # via the timeseries rows q_tumbling_hourly/q_sliding_2h and
+    # q_scalar_funcs_wide's r5 ledger row; carries to the r9 refresh)
+    "q_exact_quantiles",
     "q_except_custkeys",
-    "q_intersect_custkeys",
-    "q_math_funcs",
-    "q_semi_join_customers",
+    # q_intersect_custkeys displaced for the continuation-2-built
+    # q_pca_gram (family sibling q_except_custkeys keeps a D4 row in
+    # the window; q_intersect_custkeys stays green in the local gate
+    # and carries to the r9 refresh)
+    "q_pca_gram",
+    # q_math_funcs displaced for the continuation-2-built
+    # q_retrieval_metrics (F5 math family keeps in-window coverage via
+    # q_scalar_funcs_wide's r5 ledger row and q_winsorize r7; carries
+    # to the r9 refresh)
+    "q_retrieval_metrics",
     "q_string_funcs",
     # --- latest row r3 (14) ---
     "q17_small_quantity_parts",

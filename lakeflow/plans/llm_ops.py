@@ -5231,6 +5231,258 @@ def q_int8_recall(spark, sf_dir):
     return int8_topk_recall(emb, F.col("vec_id") < 8, k=10)
 
 
+@query(
+    "q_pca_gram",
+    oracle=f"""
+    WITH e AS (SELECT {_SQL_VEC} AS v FROM embeddings),
+    x AS (SELECT unnest(v) AS xi,
+                 unnest(generate_series(1, len(v))) AS i, v FROM e),
+    p AS (SELECT i, unnest(generate_series(i, len(v))) AS j, xi, v FROM x),
+    s AS (SELECT i - 1 AS i, j - 1 AS j, COUNT(*) AS n,
+                 SUM(xi * v[j]) AS s FROM p GROUP BY 1, 2)
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END
+                AS BIGINT) AS mean_micro2
+    FROM s
+    """,
+    description="Distributed PCA sufficient statistics "
+    "(operators/pca.gram_means, r8): the upper triangle of the exact "
+    "second-moment matrix of the micro-int embedding column — the ONE "
+    "corpus-scan half of the fit/serve split whose driver half "
+    "(pca_fit: 64x64 eigh over these collected statistics, integer-"
+    "quantized components back into the plan) is bounded at any "
+    "corpus size. One posexplode + (2+dim) aggregate expressions over "
+    "<= dim group keys (map-side combined — NOT the dim^2-row explode "
+    "or the dim^2-column agg, both of which leave the codegen field "
+    "budget); sums accumulate in DECIMAL(38,0) because 1e12-row "
+    "corpora overflow BIGINT at micro^2 magnitudes, and the OUTPUT is "
+    "the truncated per-row mean, whose magnitude is bounded by "
+    "max|x_i*x_j| independent of corpus size — the BIGINT-safe "
+    "surface of a DECIMAL accumulation, sign-split around the "
+    "division so both engines truncate identically.",
+    refs=("§2.12",),
+)
+def q_pca_gram(spark, sf_dir):
+    from lakeflow.operators.pca import gram_means
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_means(emb)
+
+
+def _hll_oracle() -> str:
+    from lakeflow.operators.sketches import sql_hll_distinct
+
+    return sql_hll_distinct("user_id", "events", ["event_type"])
+
+
+def _retrieval_metrics_oracle() -> str:
+    from lakeflow.operators.metrics import sql_retrieval_quality
+
+    return sql_retrieval_quality(k=10, query_filter="vec_id < 8")
+
+
+@query(
+    "q_retrieval_metrics",
+    oracle=_retrieval_metrics_oracle(),
+    description="Ranked-retrieval quality metrics "
+    "(operators/metrics.retrieval_quality, r8): per query, hits@10, "
+    "MRR, DCG and nDCG of exact cosine top-10 against same-label "
+    "relevance — the measuring stick for the retrieval stack "
+    "(recall@k says how many items an index change moved; nDCG says "
+    "whether RANKING quality moved). The 1/log2(rank+1) discount is "
+    "quantized to a literal per-rank micro table shared by plan and "
+    "oracle, and ideal DCG is the literal prefix sum indexed at "
+    "min(corpus relevant, k) — the one transcendental becomes a "
+    "k-entry constant, so everything aggregates as exact integers. "
+    "Ranking is the corpus-scan x broadcast(queries) top-k; scoring "
+    "joins the |Q|*k ranking (broadcast) against the corpus label "
+    "projection once — evaluation costs one ranking, scoring is "
+    "free. Zero-hit queries keep their row (every query owns exactly "
+    "k ranking rows).",
+    refs=("§2.12",),
+)
+def q_retrieval_metrics(spark, sf_dir):
+    from lakeflow.operators.metrics import retrieval_quality
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval_quality(emb, F.col("vec_id") < 8, k=10)
+
+
+@query(
+    "q_hll_distinct",
+    oracle=_hll_oracle(),
+    description="Portable HyperLogLog distinct-count sketch "
+    "(operators/sketches.hll_distinct, r8): per-event-type distinct "
+    "users as OPEN register rows — unlike the built-in "
+    "approx_count_distinct (q_approx_distinct), this sketch is a "
+    "first-class maintained aggregate: registers persist as a plain "
+    "(group, bucket, rho) table, MAX-merge incrementally from a "
+    "stream (corpus_intake.stream_hll — idempotent, replay-safe with "
+    "no commit token), and any engine replays them. ONE map-side-"
+    "combined hash aggregate over (group, bucket) — 256 rows per "
+    "group at any corpus size, no distinct ever materialized; rho "
+    "from the minimal-binary-string length of the seeded md5-slice "
+    "hash's upper 52 bits (identical bin() semantics on both "
+    "engines), estimate = one integer division of a 27-digit literal "
+    "numerator — bit-identical across engines. Output is the raw "
+    "estimate plus the zero-register count; the driver-side linear-"
+    "counting correction (sketches.corrected_estimate) is read-path "
+    "only, so no transcendental enters the comparison.",
+    refs=("§2.12", "A5"),
+)
+def q_hll_distinct(spark, sf_dir):
+    from lakeflow.operators.sketches import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", ["event_type"])
+
+
+@query(
+    "q_exact_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100e0 + 0.5e0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, v, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY v) AS cum
+      FROM c),
+    t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS N
+          FROM c GROUP BY 1),
+    p AS (SELECT unnest([500000, 900000, 990000]) AS p_micros)
+    SELECT cum.event_type,
+           CAST(p.p_micros AS BIGINT) AS p_micros,
+           CAST(MIN(CASE WHEN cum.cum * 1000000 >= p.p_micros * t.N
+                         THEN cum.v END) AS BIGINT) AS value,
+           t.N AS n_total
+    FROM cum JOIN t USING (event_type) CROSS JOIN p
+    GROUP BY 1, 2, t.N
+    """,
+    description="Exact per-group quantiles from value counts "
+    "(operators/profile.quantiles_from_value_counts, r8): p50/p90/p99 "
+    "of the event value per event type with percentile_disc semantics "
+    "— smallest value whose cumulative count reaches ceil(p*N) — "
+    "derived from a per-(group, value) COUNTS relation, not row data. "
+    "That counts-in shape is the point: the same incrementally-"
+    "maintained counts table that serves the KS and chi-squared drift "
+    "monitors serves exact quantiles at read time "
+    "(streaming/cdf.read_cdf_quantiles — four statistics, one "
+    "maintained table), unlike the built-in percentile()/"
+    "approx_percentile which must see rows. Cumulative counts from "
+    "the distributed bucketed prefix sum (a hot group spreads across "
+    "partial buckets, never one task); the ceil test is an integer "
+    "cross-multiply in DECIMAL(38,0) (exact past 2^63-row groups); "
+    "the per-probability pick is a MIN aggregate — order-independent "
+    "and bit-identical across engines.",
+    refs=("§2.12", "A5"),
+)
+def q_exact_quantiles(spark, sf_dir):
+    from lakeflow.functions.exact import cents
+    from lakeflow.operators.profile import quantiles_from_value_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", cents("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return quantiles_from_value_counts(
+        counts, "v", "n", [0.5, 0.9, 0.99], "event_type"
+    )
+
+
+@query(
+    "q_apss_join",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tk WHERE term <> '' GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    u AS (SELECT doc_id, term, (tf * 1000000) // df AS u
+          FROM tf JOIN df USING (term)),
+    n2u AS (SELECT doc_id, SUM(CAST(u * u AS HUGEINT)) AS n2u
+            FROM u GROUP BY 1),
+    w AS (SELECT doc_id, term,
+                 CAST(FLOOR(CAST(u AS DOUBLE) * 1000000e0
+                            / sqrt(CAST(n2u AS DOUBLE)) + 0.5e0)
+                      AS BIGINT) AS w
+          FROM u JOIN n2u USING (doc_id)),
+    w2 AS (SELECT * FROM w WHERE w > 0),
+    n2 AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+           FROM w2 GROUP BY 1),
+    d AS (SELECT a.doc_id AS pa, b.doc_id AS pb,
+                 CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+          FROM w2 a JOIN w2 b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT pa AS doc_id_a, pb AS doc_id_b, cos_micros FROM (
+      SELECT pa, pb,
+             CAST(FLOOR(dot / (sqrt(CAST(na.n2 AS DOUBLE))
+                               * sqrt(CAST(nb.n2 AS DOUBLE)))
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS cos_micros
+      FROM d JOIN n2 na ON na.doc_id = pa JOIN n2 nb ON nb.doc_id = pb)
+    WHERE cos_micros >= 850000
+    """,
+    description="Exact all-pairs WEIGHTED-cosine similarity join "
+    "(operators/apss.apss_join, r8): every document pair with tf-idf "
+    "cosine >= 0.85 — the weighted sibling of q_setsim_join's "
+    "unweighted Jaccard (rare shared terms count, ubiquitous ones "
+    "barely do; the join template clustering and near-dup mining "
+    "actually want). Bayardo All-Pairs prefix filter, Spark-first: "
+    "integer inverse-df weights (no log — no transcendental), "
+    "L2-normalized to micro units via correctly-rounded sqrt of a "
+    "DECIMAL(38,0) norm (bit-identical cross-engine; normalized dots "
+    "stay ~1e12 < 2^53), global (max-weight DESC, term) order, per-"
+    "doc suffix-bound prefixes indexed so candidates are FULL x "
+    "PREFIX on term — the one-sided suffix-bound guarantee loses no "
+    "qualifying pair (property-tested vs brute force on random "
+    "corpora) — then a candidate-bound array-map verify (the setsim "
+    "shape). The oracle is the GROUND-TRUTH all-pairs join, so the "
+    "driver row certifies exact recall, not just the happy path.",
+    refs=("§2.12",),
+)
+def q_apss_join(spark, sf_dir):
+    from lakeflow.operators.apss import apss_join
+
+    d = load_table(spark, sf_dir, "documents")
+    return apss_join(d, "doc_id", "text", 850_000)
+
+
+def _cms_oracle() -> str:
+    from lakeflow.operators.sketches import sql_cms_estimate
+
+    return sql_cms_estimate("user_id", "events", "user_id < 25")
+
+
+@query(
+    "q_cms_estimate",
+    oracle=_cms_oracle(),
+    description="Count-min frequency sketch with point lookups "
+    "(operators/sketches.cms_sketch/cms_lookup, r8): per-user event-"
+    "count estimates for a probe watchlist from a D=4 x W=1024 cell "
+    "table — the FREQUENCY twin of q_hll_distinct's cardinality "
+    "sketch, and like it an OPEN sketch: cells are plain "
+    "(seed_row, bucket, n) rows that persist, SUM-merge from a "
+    "stream (corpus_intake.stream_cms under batch-id commit tokens), "
+    "and replay on any engine — where exact per-value counts over an "
+    "unbounded stream need unbounded state, the sketch answers in "
+    "D*W integers with the standard eps*N overestimate bound (est >= "
+    "true always; property-tested). ONE map-side-combined hash "
+    "aggregate over the D-row explosion; lookups explode the "
+    "watchlist to D cells and broadcast-join the bounded sketch. "
+    "Deterministic seeded md5-slice hashes -> the oracle replays "
+    "every cell and every MIN bit-for-bit.",
+    refs=("§2.12", "A5"),
+)
+def q_cms_estimate(spark, sf_dir):
+    from lakeflow.operators.sketches import cms_lookup, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id")
+    probes = ev.filter(F.col("user_id") < 25).select("user_id").distinct()
+    return cms_lookup(sketch, probes, "user_id")
+
+
 def _source_overlap_oracle(k: int = 16) -> str:
     from lakeflow.functions.hashing import sql_hash_slices
 

@@ -310,3 +310,36 @@ def read_cdf_chi2(
         (F.sum("n") - F.sum(a_n)).alias("__cb"),
     )
     return chi2_from_bin_counts(per_b, bin_col, "__ca", "__cb")
+
+
+def read_cdf_quantiles(
+    spark: SparkSession,
+    agg_path: str,
+    value_col: str,
+    probs,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact percentiles from a CDF-maintained per-value counts table
+    (r8 continuation-2 — the FOURTH read-time statistic on the
+    change-feed consumer): maintain per-(group?, value) row counts
+    with ``advance_cdf_aggregate`` (additive under retraction, so the
+    maintained table equals a batch count() over the snapshot at
+    every version from |changes| rows) and derive the CURRENT exact
+    lower quantiles at read time
+    (``profile.quantiles_from_value_counts`` — percentile_disc
+    semantics, distributed prefix-sum CDF, integer cross-multiply
+    threshold). The same maintained table serves KS, chi-squared and
+    quantiles; the read costs the value-domain-bounded counts table,
+    never the corpus."""
+    from lakeflow.operators.profile import quantiles_from_value_counts
+
+    counts = read_cdf_aggregate(spark, agg_path)
+    if group_col is not None:
+        counts = counts.groupBy(group_col, value_col).agg(
+            F.sum("n").alias("__qn")
+        )
+    else:
+        counts = counts.groupBy(value_col).agg(F.sum("n").alias("__qn"))
+    return quantiles_from_value_counts(
+        counts, value_col, "__qn", probs, group_col
+    )

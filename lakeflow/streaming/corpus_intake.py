@@ -360,6 +360,190 @@ def stream_int8_scales(
     return writer.start()
 
 
+def stream_hll(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    target_path: str,
+    checkpoint: str,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    seed: str = "hll",
+    trigger_available_now: bool = True,
+):
+    """Continuous distinct-count maintenance: each micro-batch's
+    HyperLogLog registers (``operators/sketches.hll_registers``)
+    MAX-fold into a running register table — exact, because the HLL
+    register of a union IS the element-wise max of the parts'
+    registers. The maintained table equals the batch sketch over
+    everything ever streamed, so :func:`read_hll_estimate` answers
+    "how many distinct users/documents/urls so far, per group" at any
+    instant from |groups| * 256 rows, never a history re-scan, and
+    never a distinct. Replay safety is ALGEBRAIC (max-merge is
+    idempotent) — no commit token, the same free exactly-once as
+    :func:`stream_int8_scales` / :func:`stream_grouped_minhash`."""
+    from lakeflow.operators.sketches import hll_registers
+    from lakeflow.sinks.merge import merge_max
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        delta = hll_registers(batch, value_col, group_cols, seed)
+        merge_max(
+            spark, target_path, delta, [*group_cols, "bucket"], ["rho"]
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hll_estimate(
+    spark: SparkSession,
+    target_path: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Current per-group distinct-count estimates from the maintained
+    register table — identical to the batch ``hll_distinct`` over
+    everything ever streamed (same raw estimate, same exact integer
+    algebra). Raises a clear not-yet-initialized error before the
+    first batch commits."""
+    from lakeflow.operators.sketches import hll_estimate
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    regs = read_target_if_exists(spark, target_path)
+    if regs is None:
+        raise FileNotFoundError(
+            f"read_hll_estimate: no register table at {target_path!r} — "
+            f"the HLL stream has not committed its first batch yet"
+        )
+    return hll_estimate(regs, group_cols)
+
+
+def stream_cms(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    target_path: str,
+    checkpoint: str,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    seed: str = "cms",
+    trigger_available_now: bool = True,
+):
+    """Continuous frequency-sketch maintenance: each micro-batch's
+    count-min cells (``operators/sketches.cms_sketch``) SUM-fold into
+    a running D*W cell table via ``merge_additive`` under the
+    batch-id commit token (counts are additive, not idempotent — the
+    vocab-counter replay contract). The maintained sketch equals the
+    batch sketch over everything ever streamed, so
+    ``sketches.cms_lookup`` against :func:`read_cms` answers "how
+    often has THIS value occurred so far" at any instant from bounded
+    state — the frequency twin of :func:`stream_hll`."""
+    from lakeflow.operators.sketches import cms_sketch
+    from lakeflow.sinks.merge import has_commit_token, merge_additive
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        token = f"b{batch_id}"
+        if has_commit_token(target_path, token):
+            return
+        delta = cms_sketch(batch, value_col, group_cols, seed)
+        merge_additive(
+            spark, target_path, delta,
+            [*group_cols, "seed_row", "bucket"], ["n"],
+            commit_token=token,
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms(spark: SparkSession, target_path: str) -> DataFrame:
+    """The maintained count-min cell table, ready for
+    ``sketches.cms_lookup``. Raises a clear not-yet-initialized error
+    before the first batch commits."""
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    sk = read_target_if_exists(spark, target_path)
+    if sk is None:
+        raise FileNotFoundError(
+            f"read_cms: no sketch table at {target_path!r} — the "
+            f"count-min stream has not committed its first batch yet"
+        )
+    return sk
+
+
+def stream_gram_stats(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    target_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Continuously MAINTAINED PCA: each micro-batch's exact gram
+    statistics (``operators/pca.gram_triples`` — flat additive
+    (i, j, s, sx, n) rows) SUM-fold into a running table via
+    ``merge_additive`` under the batch-id commit token (sums are
+    additive but NOT idempotent — the token makes replays no-ops, the
+    vocab-counter precedent). The maintained table equals the batch
+    ``gram_sums`` over every vector ever streamed, so
+    :func:`read_pca_model` refits the CURRENT model from
+    dim*(dim+1)/2 rows at any instant — incremental PCA with zero
+    history re-scan and a driver-bounded eigh."""
+    from lakeflow.operators.pca import gram_triples
+    from lakeflow.sinks.merge import has_commit_token, merge_additive
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        token = f"b{batch_id}"
+        if has_commit_token(target_path, token):
+            return
+        delta = gram_triples(batch, vec_col)
+        merge_additive(
+            spark, target_path, delta, ["i", "j"], ["s", "sx", "n"],
+            commit_token=token,
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pca_model(spark: SparkSession, target_path: str, k: int):
+    """Refit the PCA model from the maintained gram-statistics table —
+    identical to batch ``pca_fit`` over everything ever streamed (same
+    exact sums, same driver eigh). Raises a clear not-yet-initialized
+    error before the first batch commits."""
+    from lakeflow.operators.pca import pca_fit_from_triples
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    stats = read_target_if_exists(spark, target_path)
+    if stats is None:
+        raise FileNotFoundError(
+            f"read_pca_model: no statistics table at {target_path!r} — "
+            f"the gram stream has not committed its first batch yet"
+        )
+    return pca_fit_from_triples(stats.collect(), k)
+
+
 def read_int8_scales(spark: SparkSession, target_path: str) -> DataFrame:
     """Current per-dimension quantization scales from the maintained
     table — identical to batch ``int8_scales`` over every vector ever

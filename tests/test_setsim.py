@@ -255,3 +255,116 @@ def test_containment_join_brute_parity(spark):
     # big doc is far below any usable threshold
     full = containment_join(ndf, hdf, "doc_id", "text", 1_000_000).collect()
     assert (1, 10) in {(r["needle_doc_id"], r["doc_doc_id"]) for r in full}
+
+
+# ------------------------------------------------- weighted cosine APSS
+
+
+def _apss_mirror(texts, t_micros):
+    """Pure-Python mirror of operators/apss.apss_join's exact contract."""
+    import math
+    from collections import Counter
+
+    tf = {i: Counter(s.split()) for i, s in enumerate(texts)}
+    for c in tf.values():
+        c.pop("", None)
+    df = Counter(t for c in tf.values() for t in c)
+    w = {}
+    for i, c in tf.items():
+        u = {t: (n * 1_000_000) // df[t] for t, n in c.items()}
+        n2u = sum(x * x for x in u.values())
+        wi = {
+            t: math.floor(x * 1_000_000 / math.sqrt(n2u) + 0.5)
+            for t, x in u.items()
+        }
+        w[i] = {t: x for t, x in wi.items() if x > 0}
+    n2 = {i: sum(x * x for x in wi.values()) for i, wi in w.items()}
+    out = {}
+    for a in w:
+        for b in w:
+            if a >= b:
+                continue
+            dot = sum(w[a][t] * w[b].get(t, 0) for t in w[a])
+            if dot == 0:
+                continue
+            cos = math.floor(
+                dot / (math.sqrt(n2[a]) * math.sqrt(n2[b])) * 1_000_000 + 0.5
+            )
+            if cos >= t_micros:
+                out[(a, b)] = cos
+    return out
+
+
+def _apss_corpus():
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = [base]
+    texts.append(base + " today")                      # near-dup of 0
+    texts.append("quick brown fox leaps over lazy dog by the river")
+    texts.append("entirely different words about spark plans and shuffles")
+    texts.append("spark plans and shuffles dominate distributed querying")
+    texts.append("the the the the the the the the")     # stopword spam
+    texts.append(base)                                  # exact dup of 0
+    for i in range(12):
+        texts.append(f"filler document number {i} with unique token u{i}")
+    return texts
+
+
+def test_apss_join_matches_brute_force(spark):
+    from lakeflow.operators.apss import apss_join
+
+    texts = _apss_corpus()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    for t in [400_000, 600_000, 800_000]:
+        want = _apss_mirror(texts, t)
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["cos_micros"]
+            for r in apss_join(df, "doc_id", "text", t).collect()
+        }
+        assert got == want, (t, got, want)
+    # sanity on the structure: the exact dup pair is ~1e6 at every t
+    assert _apss_mirror(texts, 400_000)[(0, 6)] >= 999_999
+
+
+def test_apss_weighting_downweights_stopwords(spark):
+    # two docs sharing ONLY ubiquitous terms score far below two docs
+    # sharing one rare term with the same unweighted overlap
+    from lakeflow.operators.apss import apss_join
+
+    texts = (
+        ["common word " + f"u{i}" for i in range(8)]  # 'common word' in all
+        + ["common word rareterm", "common word rareterm"]
+    )
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["cos_micros"]
+        for r in apss_join(df, "doc_id", "text", 500_000).collect()
+    }
+    assert (8, 9) in got and got[(8, 9)] >= 999_000
+    # the stopword-only pairs don't reach 0.5
+    assert all(p == (8, 9) for p in got)
+
+
+def test_apss_prefix_filter_is_lossless_on_random_docs(spark):
+    # randomized corpora: the prefix-filtered join equals brute force
+    import random
+
+    from lakeflow.operators.apss import apss_join
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(5, 30))) for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _apss_mirror(texts, 300_000)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["cos_micros"]
+        for r in apss_join(df, "doc_id", "text", 300_000).collect()
+    }
+    assert got == want

@@ -1386,3 +1386,185 @@ def test_stream_int8_scales_matches_batch_and_replays_free(spark, tmp_path):
         for r in read_int8_scales(spark, tgt).collect()
     )
     assert got3 == got2
+
+
+def test_stream_hll_matches_batch_and_replays_free(spark, tmp_path):
+    # r8 continuation-2: MAX-fold-maintained HLL registers == the
+    # batch sketch over everything ever streamed, per group, at every
+    # instant; replay is a no-op by max-merge idempotence
+    from lakeflow.operators.sketches import hll_distinct
+    from lakeflow.streaming.corpus_intake import read_hll_estimate, stream_hll
+
+    src = str(tmp_path / "ev")
+    tgt = str(tmp_path / "regs")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    w1 = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00",
+         "user_id": i % 40, "event_type": "click" if i % 2 else "view"}
+        for i in range(200)
+    ]
+    w2 = [
+        {"event_id": 1000 + i, "ts": "2024-01-01T01:00:00",
+         "user_id": 30 + i, "event_type": "click"}
+        for i in range(60)
+    ]
+
+    def batch_est(waves):
+        rows = [
+            (d["event_type"], d["user_id"]) for w in waves for d in w
+        ]
+        df = spark.createDataFrame(rows, "event_type string, user_id long")
+        return sorted(
+            tuple(r) for r in hll_distinct(df, "user_id", ["event_type"]).collect()
+        )
+
+    _write_events(src, "w1.json", w1)
+    q = stream_hll(spark, src, schema, tgt, ck, "user_id", ("event_type",))
+    q.awaitTermination(120)
+    got1 = sorted(
+        tuple(r)
+        for r in read_hll_estimate(spark, tgt, ("event_type",)).collect()
+    )
+    assert got1 == batch_est([w1])
+
+    _write_events(src, "w2.json", w2)
+    q = stream_hll(spark, src, schema, tgt, ck, "user_id", ("event_type",))
+    q.awaitTermination(120)
+    got2 = sorted(
+        tuple(r)
+        for r in read_hll_estimate(spark, tgt, ("event_type",)).collect()
+    )
+    assert got2 == batch_est([w1, w2])
+    assert got2 != got1  # w2 added genuinely new users
+
+    # full-history replay under a fresh checkpoint: idempotent
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_hll(
+        spark, src, schema, tgt, str(tmp_path / "ck2"), "user_id", ("event_type",)
+    )
+    q.awaitTermination(120)
+    got3 = sorted(
+        tuple(r)
+        for r in read_hll_estimate(spark, tgt, ("event_type",)).collect()
+    )
+    assert got3 == got2
+
+    # before the first commit, the reader refuses loudly
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="not committed|register table"):
+        read_hll_estimate(spark, str(tmp_path / "nowhere"))
+
+
+def test_stream_gram_stats_maintains_pca_model(spark, tmp_path):
+    # r8 continuation-2: additive-maintained gram statistics refit to
+    # the EXACT batch PCA model over everything ever streamed, at
+    # every instant; replay is a no-op via the batch-id commit token
+    from lakeflow.operators.pca import pca_fit
+    from lakeflow.streaming.corpus_intake import read_pca_model, stream_gram_stats
+
+    src = str(tmp_path / "vecs")
+    tgt = str(tmp_path / "gram")
+    ck = str(tmp_path / "ck")
+    schema = "vec_id long, ts timestamp, embedding array<float>"
+
+    def vec(i, dim=4):
+        return [float(((i * (j + 2) * 7 + 3 * j) % 101 - 50) / 64.0) for j in range(dim)]
+
+    w1 = [
+        {"vec_id": i, "ts": "2024-01-01T00:00:00", "embedding": vec(i)}
+        for i in range(30)
+    ]
+    w2 = [
+        {"vec_id": 100 + i, "ts": "2024-01-01T01:00:00", "embedding": vec(100 + i)}
+        for i in range(20)
+    ]
+
+    def batch_model(waves, k=2):
+        rows = [(d["vec_id"], d["embedding"]) for w in waves for d in w]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return pca_fit(df, k=k)
+
+    _write_events(src, "w1.json", w1)
+    q = stream_gram_stats(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    assert read_pca_model(spark, tgt, k=2) == batch_model([w1])
+
+    _write_events(src, "w2.json", w2)
+    q = stream_gram_stats(spark, src, schema, tgt, ck)
+    q.awaitTermination(120)
+    m2 = read_pca_model(spark, tgt, k=2)
+    assert m2 == batch_model([w1, w2])
+    assert m2.n == 50
+
+    # full-history replay under a fresh checkpoint: commit tokens make
+    # the (non-idempotent) additive folds no-ops
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_gram_stats(spark, src, schema, tgt, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    assert read_pca_model(spark, tgt, k=2) == batch_model([w1, w2])
+
+
+def test_stream_cms_matches_batch_and_replays_free(spark, tmp_path):
+    # r8 continuation-2: SUM-fold-maintained count-min cells == the
+    # batch sketch over everything ever streamed; replay is a no-op
+    # via the batch-id commit token (sums are NOT idempotent)
+    from lakeflow.operators.sketches import cms_lookup, cms_sketch
+    from lakeflow.streaming.corpus_intake import read_cms, stream_cms
+
+    src = str(tmp_path / "ev")
+    tgt = str(tmp_path / "cms")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, user_id long"
+    w1 = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": i % 15}
+        for i in range(300)
+    ]
+    w2 = [
+        {"event_id": 1000 + i, "ts": "2024-01-01T01:00:00", "user_id": i % 5}
+        for i in range(100)
+    ]
+    probes = spark.createDataFrame([(i,) for i in range(6)], "user_id long")
+
+    def batch_lookup(waves):
+        rows = [(d["user_id"],) for w in waves for d in w]
+        df = spark.createDataFrame(rows, "user_id long")
+        return sorted(
+            tuple(r)
+            for r in cms_lookup(cms_sketch(df, "user_id"), probes, "user_id").collect()
+        )
+
+    _write_events(src, "w1.json", w1)
+    q = stream_cms(spark, src, schema, tgt, ck, "user_id")
+    q.awaitTermination(120)
+    got1 = sorted(
+        tuple(r)
+        for r in cms_lookup(read_cms(spark, tgt), probes, "user_id").collect()
+    )
+    assert got1 == batch_lookup([w1])
+
+    _write_events(src, "w2.json", w2)
+    q = stream_cms(spark, src, schema, tgt, ck, "user_id")
+    q.awaitTermination(120)
+    got2 = sorted(
+        tuple(r)
+        for r in cms_lookup(read_cms(spark, tgt), probes, "user_id").collect()
+    )
+    assert got2 == batch_lookup([w1, w2])
+
+    # full-history replay under a fresh checkpoint: tokens no-op it
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_cms(spark, src, schema, tgt, str(tmp_path / "ck2"), "user_id")
+    q.awaitTermination(120)
+    got3 = sorted(
+        tuple(r)
+        for r in cms_lookup(read_cms(spark, tgt), probes, "user_id").collect()
+    )
+    assert got3 == got2

@@ -1384,3 +1384,470 @@ def test_kcenter_select_spreads_over_clusters(spark):
     }
     clusters = [{0, 1}, {2, 3}, {4, 5}]
     assert all(len(picked & c) == 1 for c in clusters)
+
+
+# ---------------------------------------------------------------- pca
+
+
+def _pca_mirror_sums(vecs):
+    """Exact integer gram statistics mirror of operators/pca.gram_sums."""
+    import math
+
+    xm = [[math.floor(x * 1_000_000 + 0.5) for x in v] for v in vecs]
+    dim = len(xm[0])
+    n = len(xm)
+    sx = [sum(r[i] for r in xm) for i in range(dim)]
+    sxy = [
+        [sum(r[i] * r[j] for r in xm) for j in range(dim)] for i in range(dim)
+    ]
+    return xm, n, sx, sxy
+
+
+def _tdiv(a, b):
+    mag = abs(a) // b
+    return -mag if a < 0 else mag
+
+
+def test_pca_gram_sums_match_python_mirror(spark):
+    from lakeflow.operators.pca import gram_sums
+
+    df, vecs = _quant_corpus(spark, n=30, dim=5)
+    _, n, sx, sxy = _pca_mirror_sums(vecs)
+    got = {int(r["i"]): r for r in gram_sums(df).collect()}
+    assert set(got) == set(range(5))
+    for i in range(5):
+        assert int(got[i]["n"]) == n
+        assert int(got[i]["sx"]) == sx[i]
+        assert [int(v) for v in got[i]["sxy"]] == sxy[i]
+
+
+def test_pca_gram_means_upper_triangle_trunc(spark):
+    from lakeflow.operators.pca import gram_means
+
+    df, vecs = _quant_corpus(spark, n=30, dim=5)
+    _, n, _, sxy = _pca_mirror_sums(vecs)
+    rows = gram_means(df).collect()
+    # exactly the i <= j triangle
+    assert sorted((r["i"], r["j"]) for r in rows) == [
+        (i, j) for i in range(5) for j in range(5) if j >= i
+    ]
+    for r in rows:
+        assert r["n"] == n
+        assert r["mean_micro2"] == _tdiv(sxy[r["i"]][r["j"]], n)
+    # the corpus must exercise the negative-sum sign split
+    assert any(r["mean_micro2"] < 0 for r in rows)
+
+
+def test_pca_fit_model_shape_and_sign_convention(spark):
+    import numpy as np
+
+    from lakeflow.operators.pca import pca_fit
+
+    df, vecs = _quant_corpus(spark, n=40, dim=6)
+    m = pca_fit(df, k=3)
+    assert (m.n, m.dim, m.k) == (40, 6, 3)
+    # eigenvalues descending, non-negative; EVR sums to <= 1e6
+    assert list(m.eig_micro2) == sorted(m.eig_micro2, reverse=True)
+    assert all(e >= 0 for e in m.eig_micro2)
+    assert 0 < sum(m.evr_micros) <= 1_000_000
+    W = np.array(m.comps_nano, dtype=float) / 1e9
+    # near-orthonormal rows (quantization-level tolerance)
+    assert np.allclose(W @ W.T, np.eye(3), atol=1e-6)
+    # sign convention: each component's largest-|w| entry is positive
+    for row in np.asarray(W):
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_pca_project_matches_python_mirror_exactly(spark):
+    from lakeflow.operators.pca import pca_fit, pca_project
+
+    df, vecs = _quant_corpus(spark, n=40, dim=6)
+    xm, _, _, _ = _pca_mirror_sums(vecs)
+    m = pca_fit(df, k=3)
+
+    def proj(row, c):
+        s = sum(
+            (row[d] - m.mean_micros[d]) * m.comps_nano[c][d]
+            for d in range(m.dim)
+        )
+        return _tdiv(s, 1_000_000_000)
+
+    got = {r["vec_id"]: r for r in pca_project(df, m).collect()}
+    for i, row in enumerate(xm):
+        for c in range(3):
+            assert got[i][f"pc{c}_micros"] == proj(row, c)
+
+
+def test_pca_projection_variance_tracks_eigenvalues(spark):
+    # anisotropic gaussian-ish data: pc0 variance >> pc1 variance, and
+    # each matches its fitted eigenvalue to quantization tolerance
+    import numpy as np
+
+    from lakeflow.operators.pca import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 4)) * np.array([0.5, 0.12, 0.03, 0.01])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = pca_fit(df, k=2)
+    p = np.array(
+        [
+            [r["pc0_micros"], r["pc1_micros"]]
+            for r in pca_project(df, m).collect()
+        ],
+        dtype=float,
+    )
+    v0, v1 = p.var(axis=0)  # micro^2
+    assert v0 > 5 * v1
+    assert abs(v0 - m.eig_micro2[0]) / max(m.eig_micro2[0], 1) < 0.01
+    assert abs(v1 - m.eig_micro2[1]) / max(m.eig_micro2[1], 1) < 0.01
+
+
+def test_pca_whiten_unit_variance(spark):
+    import numpy as np
+
+    from lakeflow.operators.pca import pca_fit, pca_project
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((400, 3)) * np.array([0.4, 0.1, 0.02])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = pca_fit(df, k=2)
+    p = np.array(
+        [
+            [r["pc0_micros"], r["pc1_micros"]]
+            for r in pca_project(df, m, whiten=True).collect()
+        ],
+        dtype=float,
+    )
+    # whitened components have ~unit variance (1e12 in micro^2)
+    for v in p.var(axis=0):
+        assert 0.9e12 < v < 1.1e12
+
+
+def test_pca_fit_rejects_bad_inputs(spark):
+    import pytest
+
+    from lakeflow.operators.pca import MAX_FIT_DIM, gram_sums, pca_fit
+
+    df, _ = _quant_corpus(spark, n=10, dim=4)
+    with pytest.raises(ValueError, match="outside"):
+        pca_fit(df, k=0)
+    with pytest.raises(ValueError, match="outside"):
+        pca_fit(df, k=5)
+    empty = df.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        gram_sums(empty)
+    wide = df.selectExpr(
+        "vec_id", f"transform(sequence(1, {MAX_FIT_DIM + 1}), x -> 0.0f) AS embedding"
+    )
+    with pytest.raises(ValueError, match="MAX_FIT_DIM"):
+        gram_sums(wide)
+
+
+# ------------------------------------------------------------ sketches
+
+
+def _hll_mirror(values, groups=None, seed="hll"):
+    """Pure-Python mirror of operators/sketches: registers + estimate."""
+    import hashlib
+
+    from lakeflow.operators.sketches import A_NUM, M, RHO_MAX
+
+    regs = {}
+    for i, v in enumerate(values):
+        g = groups[i] if groups is not None else ()
+        h = int(hashlib.md5(f"{seed}|{v}".encode()).hexdigest()[:15], 16)
+        b, r = h % M, h >> 8
+        rho = RHO_MAX if r == 0 else RHO_MAX - (len(bin(r)) - 2)
+        key = (g, b)
+        regs[key] = max(regs.get(key, 0), rho)
+    out = {}
+    for g in {k[0] for k in regs}:
+        rhos = [rho for (gg, _), rho in regs.items() if gg == g]
+        n_zero = M - len(rhos)
+        s = sum(1 << (RHO_MAX - rr) for rr in rhos) + n_zero * (1 << RHO_MAX)
+        out[g] = (n_zero, s, A_NUM // s)
+    return out
+
+
+def test_hll_registers_and_estimate_match_python_mirror(spark):
+    from lakeflow.operators.sketches import hll_distinct, hll_registers
+
+    vals = [f"user-{i % 700}" for i in range(2000)]  # dups on purpose
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    want = _hll_mirror(sorted(set(vals)))[()]
+    got = hll_distinct(df, "u").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_zero"], r["sum_pow"], r["est_micros"]) == want
+    # register rows are (bucket, rho), <= M of them
+    regs = hll_registers(df, "u").collect()
+    assert len(regs) == 256 - r["n_zero"]
+    assert all(1 <= rr["rho"] <= 53 for rr in regs)
+
+
+def test_hll_grouped_matches_mirror_and_filtered_global(spark):
+    from lakeflow.operators.sketches import hll_distinct
+
+    rows = [(f"g{i % 3}", f"v-{i % 500}") for i in range(1500)]
+    df = spark.createDataFrame(rows, "g string, u string")
+    got = {r["g"]: r for r in hll_distinct(df, "u", ["g"]).collect()}
+    for g in ["g0", "g1", "g2"]:
+        vals = sorted({u for gg, u in rows if gg == g})
+        want = _hll_mirror(vals)[()]
+        assert (got[g]["n_zero"], got[g]["sum_pow"], got[g]["est_micros"]) == want
+        # grouped == the filtered single-group sketch (same invariance
+        # the grouped-minhash maintainer certifies)
+        solo = hll_distinct(
+            df.filter(F.col("g") == g), "u"
+        ).collect()[0]
+        assert solo["est_micros"] == got[g]["est_micros"]
+
+
+def test_hll_estimate_accuracy_in_raw_regime(spark):
+    # n >> m: raw estimate within ~4 standard errors (1.04/sqrt(256))
+    from lakeflow.operators.sketches import hll_distinct
+
+    n = 4000
+    df = spark.createDataFrame([(f"k{i}",) for i in range(n)], "u string")
+    est = hll_distinct(df, "u").collect()[0]["est_micros"] / 1e6
+    assert abs(est - n) / n < 4 * 1.04 / (256 ** 0.5)
+
+
+def test_hll_corrected_estimate_small_range(spark):
+    # n << m: raw is biased, linear counting lands close
+    from lakeflow.operators.sketches import corrected_estimate, hll_distinct
+
+    n = 60
+    df = spark.createDataFrame([(f"k{i}",) for i in range(n)], "u string")
+    r = hll_distinct(df, "u").collect()[0]
+    fixed = corrected_estimate(r["est_micros"], r["n_zero"])
+    assert abs(fixed - n) / n < 0.2
+    # and the raw estimate really is in its biased regime here
+    assert r["n_zero"] > 0
+
+
+def test_hll_sketch_merges_by_max(spark):
+    # register MAX-merge of two halves == sketch of the union: the
+    # algebra stream_hll relies on (idempotent, replay-safe)
+    from lakeflow.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [(f"x{i}",) for i in range(1000)], "u string"
+    )
+    a = hll_registers(df.filter(F.length("u") <= 3), "u")
+    b = hll_registers(df.filter(F.length("u") > 3), "u")
+    merged = (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(df, "u")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # and replaying one side changes nothing
+    replay = (
+        merged.unionByName(a)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, replay.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    assert (
+        hll_estimate(merged).collect()[0]["est_micros"]
+        == hll_estimate(whole).collect()[0]["est_micros"]
+    )
+
+
+def test_hll_sql_mirror_is_bit_identical(spark, tmp_path):
+    # the DuckDB oracle builder replays the Spark sketch bit-for-bit
+    import duckdb
+
+    from lakeflow.operators.sketches import hll_distinct, sql_hll_distinct
+
+    rows = [(f"e{i % 4}", f"u-{i * 7 % 900}") for i in range(1800)]
+    df = spark.createDataFrame(rows, "g string, u string")
+    pq = str(tmp_path / "t.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    oracle = con.execute(sql_hll_distinct("u", "t", ["g"])).fetchall()
+    got = [
+        tuple(r)
+        for r in hll_distinct(df, "u", ["g"]).collect()
+    ]
+    assert sorted(got) == sorted(tuple(r) for r in oracle)
+
+
+# ------------------------------------------------------ retrieval eval
+
+
+def _retrieval_mirror(vecs, labels, qids, k):
+    """Pure-Python mirror of operators/metrics.retrieval_quality."""
+    import math
+
+    from lakeflow.operators.metrics import gain_micros, prefix_gain_micros
+
+    xm = [[math.floor(x * 1_000_000 + 0.5) for x in v] for v in vecs]
+    gains, prefix = gain_micros(k), prefix_gain_micros(k)
+    out = {}
+    for q in qids:
+        order = sorted(
+            (i for i in range(len(xm)) if i != q),
+            key=lambda i: (-_cos_micros_py(xm[i], xm[q]), i),
+        )
+        top = order[:k]
+        rel = [1 if labels[i] == labels[q] else 0 for i in top]
+        n_hits = sum(rel)
+        mrr = max(
+            (1_000_000 // (r + 1) for r in range(k) if rel[r]), default=0
+        )
+        dcg = sum(gains[r] for r in range(k) if rel[r])
+        n_corpus = sum(1 for i in range(len(xm)) if i != q and labels[i] == labels[q])
+        idcg = prefix[min(n_corpus, k)]
+        ndcg = (dcg * 1_000_000) // idcg if idcg > 0 else 0
+        out[q] = (k, n_corpus, n_hits, mrr, dcg, ndcg)
+    return out
+
+
+def test_retrieval_quality_matches_python_mirror(spark):
+    from lakeflow.operators.metrics import retrieval_quality
+
+    df, vecs = _quant_corpus(spark, n=30, dim=6)
+    labels = [i % 4 for i in range(30)]
+    df = df.withColumn("label", (F.col("vec_id") % 4).cast("int"))
+    want = _retrieval_mirror(vecs, labels, range(5), k=8)
+    got = {
+        r["q_id"]: (
+            r["k_requested"],
+            r["n_rel_corpus"],
+            r["n_relevant_topk"],
+            r["mrr_micros"],
+            r["dcg_micros"],
+            r["ndcg_micros"],
+        )
+        for r in retrieval_quality(df, F.col("vec_id") < 5, k=8).collect()
+    }
+    assert got == want
+
+
+def test_retrieval_quality_zero_hit_query_keeps_row(spark):
+    # one query whose label appears nowhere else: n_rel_corpus == 0,
+    # all metrics 0, row present
+    from lakeflow.operators.metrics import retrieval_quality
+
+    df, _ = _quant_corpus(spark, n=20, dim=5)
+    df = df.withColumn(
+        "label", F.when(F.col("vec_id") == 0, 99).otherwise(1).cast("int")
+    )
+    rows = {r["q_id"]: r for r in retrieval_quality(df, F.col("vec_id") < 2, k=5).collect()}
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    assert (
+        r0["n_rel_corpus"],
+        r0["n_relevant_topk"],
+        r0["mrr_micros"],
+        r0["dcg_micros"],
+        r0["ndcg_micros"],
+    ) == (0, 0, 0, 0, 0)
+
+    # when EVERY corpus doc is relevant, any top-k is ideal: nDCG and
+    # MRR are exactly 1e6 and hits == k
+    uniform = df.withColumn("label", F.lit(1).cast("int"))
+    r = retrieval_quality(uniform, F.col("vec_id") == 0, k=5).collect()[0]
+    assert (
+        r["n_relevant_topk"],
+        r["mrr_micros"],
+        r["ndcg_micros"],
+    ) == (5, 1_000_000, 1_000_000)
+
+
+def test_retrieval_gain_tables_are_consistent(spark):
+    from lakeflow.operators.metrics import gain_micros, prefix_gain_micros
+
+    g = gain_micros(10)
+    p = prefix_gain_micros(10)
+    assert g[0] == 1_000_000 and len(g) == 10 and len(p) == 11
+    assert all(a > b for a, b in zip(g, g[1:]))  # strictly decreasing
+    assert p[0] == 0 and all(p[i + 1] - p[i] == g[i] for i in range(10))
+
+
+def test_pca_fit_from_triples_matches_pca_fit(spark):
+    from lakeflow.operators.pca import gram_triples, pca_fit, pca_fit_from_triples
+
+    df, _ = _quant_corpus(spark, n=40, dim=6)
+    direct = pca_fit(df, k=3)
+    via_triples = pca_fit_from_triples(gram_triples(df).collect(), k=3)
+    assert via_triples == direct  # frozen dataclass: exact equality
+    # triple invariants: upper triangle, sx/n ride the diagonal only
+    rows = gram_triples(df).collect()
+    assert all(r["j"] >= r["i"] for r in rows)
+    assert all(int(r["sx"]) == 0 and r["n"] == 0 for r in rows if r["i"] != r["j"])
+    import pytest
+
+    with pytest.raises(ValueError, match="empty statistics"):
+        pca_fit_from_triples([], k=2)
+
+
+def _cms_mirror(values, probes, seed="cms"):
+    import hashlib
+
+    from lakeflow.operators.sketches import CMS_D, CMS_W
+
+    cells = {}
+    for v in values:
+        for d in range(CMS_D):
+            h = int(hashlib.md5(f"{seed}{d}|{v}".encode()).hexdigest()[:15], 16)
+            key = (d, h % CMS_W)
+            cells[key] = cells.get(key, 0) + 1
+    out = {}
+    for p in probes:
+        ests = []
+        for d in range(CMS_D):
+            h = int(hashlib.md5(f"{seed}{d}|{p}".encode()).hexdigest()[:15], 16)
+            ests.append(cells.get((d, h % CMS_W), 0))
+        out[p] = min(ests)
+    return out
+
+
+def test_cms_sketch_and_lookup_match_python_mirror(spark):
+    from collections import Counter
+
+    from lakeflow.operators.sketches import cms_lookup, cms_sketch
+
+    vals = [f"u{i % 120}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    probes = [f"u{i}" for i in range(10)] + ["never-seen"]
+    pdf = spark.createDataFrame([(p,) for p in probes], "u string")
+    want = _cms_mirror(vals, probes)
+    got = {
+        r["probe"]: r["est_n"]
+        for r in cms_lookup(cms_sketch(df, "u"), pdf, "u").collect()
+    }
+    assert got == want
+    # the count-min contract: never an underestimate, and the
+    # never-seen probe either 0 or a pure collision artifact
+    true = Counter(vals)
+    for p in probes:
+        assert got[p] >= true.get(p, 0)
+
+
+def test_cms_is_additive_across_partitions(spark):
+    # sketch(a ∪ b) == cell-wise sum of sketch(a) + sketch(b): the
+    # algebra stream_cms relies on
+    from lakeflow.operators.sketches import cms_sketch
+
+    df = spark.createDataFrame(
+        [(f"k{i % 50}", i) for i in range(2000)], "u string, i long"
+    )
+    whole = {(r["seed_row"], r["bucket"]): r["n"] for r in cms_sketch(df, "u").collect()}
+    a = cms_sketch(df.filter("i % 2 = 0"), "u")
+    b = cms_sketch(df.filter("i % 2 = 1"), "u")
+    summed = {}
+    for r in a.unionByName(b).collect():
+        k = (r["seed_row"], r["bucket"])
+        summed[k] = summed.get(k, 0) + r["n"]
+    assert summed == whole

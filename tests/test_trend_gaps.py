@@ -346,3 +346,76 @@ def test_grouped_ks_partitioning_invariant(spark):
         )
     )
     assert base == re13
+
+
+# --------------------------------------------- quantiles from counts
+
+
+def test_quantiles_from_value_counts_matches_percentile_disc(spark):
+    # percentile_disc semantics: smallest v with cum >= ceil(p * N)
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.profile import quantiles_from_value_counts
+
+    vals = [1, 1, 2, 3, 3, 3, 7, 9, 9, 50]  # N = 10, dup-heavy
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    counts = df.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    probs = [0.1, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        r["p_micros"]: (r["value"], r["n_total"])
+        for r in quantiles_from_value_counts(counts, "v", "n", probs).collect()
+    }
+    sv = sorted(vals)
+    for p in probs:
+        pm = int(p * 1_000_000 + 0.5)
+        want = sv[math.ceil(p * len(sv)) - 1]
+        assert got[pm] == (want, 10), (p, got[pm])
+
+
+def test_quantiles_from_value_counts_grouped(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.profile import quantiles_from_value_counts
+
+    rows = [("g0", v) for v in range(1, 101)] + [("g1", v * v) for v in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    counts = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        (r["g"], r["p_micros"]): (r["value"], r["n_total"])
+        for r in quantiles_from_value_counts(
+            counts, "v", "n", [0.5, 0.99], "g"
+        ).collect()
+    }
+    for g, vals in [("g0", list(range(1, 101))), ("g1", [v * v for v in range(1, 8)])]:
+        for p in [0.5, 0.99]:
+            pm = int(p * 1_000_000 + 0.5)
+            want = sorted(vals)[math.ceil(p * len(vals)) - 1]
+            assert got[(g, pm)] == (want, len(vals))
+
+
+def test_quantiles_partitioning_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.profile import quantiles_from_value_counts
+
+    df = spark.createDataFrame([(i % 37,) for i in range(500)], "v long")
+    counts = df.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    a = sorted(
+        map(
+            tuple,
+            quantiles_from_value_counts(counts, "v", "n", [0.5, 0.9]).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            quantiles_from_value_counts(
+                counts.repartition(13), "v", "n", [0.5, 0.9]
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -613,3 +613,57 @@ def test_cdf_guard_survives_mid_swap_crash(spark, tmp_path):
         r["grp"]: (r["n"], r["sum_v"])
         for r in read_cdf_aggregate(spark, agg).collect()
     } == {"a": (2, 15)}
+
+
+def test_cdf_quantiles_track_batch_recompute(spark, tmp_path):
+    # r8 continuation-2: the FOURTH read-time statistic on the same
+    # maintained counts table — exact quantiles equal the
+    # counts-derived batch quantiles over the current snapshot at
+    # every version
+    from lakeflow.operators.profile import quantiles_from_value_counts
+    from lakeflow.streaming.cdf import advance_cdf_aggregate, read_cdf_quantiles
+
+    path = str(tmp_path / "src")
+    agg = str(tmp_path / "qcounts")
+    probs = [0.5, 0.9]
+
+    def gdf(rows):
+        return spark.createDataFrame(rows, "k long, g string, v long")
+
+    def truth():
+        counts = (
+            read_table(spark, path)
+            .groupBy("g", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return sorted(
+            map(
+                tuple,
+                quantiles_from_value_counts(counts, "v", "n", probs, "g").collect(),
+            )
+        )
+
+    def state():
+        return sorted(
+            map(
+                tuple,
+                read_cdf_quantiles(spark, agg, "v", probs, "g").collect(),
+            )
+        )
+
+    write_table(
+        spark,
+        gdf([(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 5), (5, "b", 7)]),
+        path,
+    )
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["g", "v"], []) == 1
+    assert state() == truth()
+    # v2: upsert moves a value and a group
+    merge_upsert_table(spark, gdf([(2, "a", 99), (4, "a", 5)]), path, ["k"])
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["g", "v"], []) == 2
+    assert state() == truth()
+    # v3: delete + append
+    delete_where(spark, path, F.col("k") == 1)
+    append_table(spark, gdf([(6, "b", 100), (7, "b", 2)]), path)
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["g", "v"], []) == 4
+    assert state() == truth()
