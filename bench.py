@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     "q_retrieval_metrics",
     "q_exact_quantiles",
     "q_cms_estimate",
+    "q_grouped_chi2",
+    "q_matryoshka_recall",
     # q_apss_join stays OUT of the headline (the q_cdf_aggregate rule:
     # not a steady-state query shape on this data): the synthetic
     # documents table draws uniform tokens from a tiny shared

@@ -189,3 +189,119 @@ def sql_retrieval_quality(
                      ELSE 0 END AS BIGINT) AS ndcg_micros
     FROM qs JOIN scored s ON s.q_id = qs.q_id
     """
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    query_pred: Column,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Truncation-recall curve for prefix-sliced embeddings: per query
+    and kept-dimension count d, the overlap between exact cosine
+    top-k on the FULL vectors and top-k on the first d dimensions —
+    (q_id, dims_kept, k_requested, n_overlap, recall_micros).
+
+    This is the serving question matryoshka-style embeddings answer
+    ("how many dims can the ANN scan drop before ranking quality
+    moves"), measured the same way as the int8 recall contract: both
+    sides are corpus-scan x broadcast(queries) through the bounded
+    two-phase top-k with the (cos DESC, id) tie-break, overlap via a
+    hit-flag left join so zero-overlap queries keep their rows. One
+    extra corpus scan per probed dimension — |dims| is a handful, and
+    at 100 TB each truncated scan reads d/64ths of the vector bytes
+    (the point of the exercise)."""
+    from lakeflow.operators.similarity import brute_force_topk
+
+    full = brute_force_topk(
+        emb, query_pred, k=k, id_col=id_col, vec_col=vec_col
+    ).select(F.col("q_id"), F.col(id_col))
+
+    out = None
+    for d in dims:
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, d).alias("__sv"),
+        )
+        top_d = brute_force_topk(
+            sliced, query_pred, k=k, id_col=id_col, vec_col="__sv"
+        ).select("q_id", F.col(id_col), F.lit(1).alias("__hit"))
+        scored = (
+            full.join(top_d, ["q_id", id_col], "left")
+            .groupBy("q_id")
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"))
+            .select(
+                "q_id",
+                F.lit(d).cast("long").alias("dims_kept"),
+                F.lit(k).cast("long").alias("k_requested"),
+                F.col("n_overlap").cast("long"),
+                F.expr(f"(n_overlap * 1000000) div {k}").alias("recall_micros"),
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def sql_matryoshka_recall(
+    dims: list[int],
+    k: int = 10,
+    query_filter: str = "vec_id < 8",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle mirror of :func:`matryoshka_recall` — the full
+    top-k CTE once, then per probed dimension a sliced-vector top-k
+    and a hit-flag overlap, UNION ALL over dims."""
+    vec_sql = (
+        "[CAST(FLOOR(x * 1000000e0 + 0.5e0) AS BIGINT) "
+        "for x in embedding::DOUBLE[]]"
+    )
+    per_d = []
+    for d in dims:
+        per_d.append(f"""
+    SELECT e.q_id, CAST({d} AS BIGINT) AS dims_kept,
+           CAST({k} AS BIGINT) AS k_requested,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST((SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000) // {k} AS BIGINT) AS recall_micros
+    FROM etop e LEFT JOIN (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, n.vec_id,
+               CAST(FLOOR(list_dot_product(n.dv, q.dv)
+                          / (sqrt(list_dot_product(n.dv, n.dv))
+                             * sqrt(list_dot_product(q.dv, q.dv)))
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS cm,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY CAST(FLOOR(list_dot_product(n.dv, q.dv)
+                          / (sqrt(list_dot_product(n.dv, n.dv))
+                             * sqrt(list_dot_product(q.dv, q.dv)))
+                          * 1000000e0 + 0.5e0) AS BIGINT) DESC,
+                          n.vec_id) AS rnk
+        FROM (SELECT vec_id, v[1:{d}] AS dv FROM e) n
+        JOIN (SELECT vec_id AS q_id, v[1:{d}] AS dv FROM e
+              WHERE {query_filter}) q
+          ON n.vec_id <> q.q_id)
+      WHERE rnk <= {k}) t
+      ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+    GROUP BY e.q_id""")
+    union = "\n    UNION ALL\n".join(per_d)
+    return f"""
+    WITH e AS (SELECT vec_id, {vec_sql} AS v FROM {table}),
+    en AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+    eq AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM en
+           WHERE {query_filter}),
+    es AS (
+      SELECT q.q_id, n.vec_id,
+             CAST(FLOOR(list_dot_product(n.v, q.qv)
+                        / (sqrt(n.n2) * sqrt(q.qn2))
+                        * 1000000e0 + 0.5e0) AS BIGINT) AS cm
+      FROM en n JOIN eq q ON n.vec_id <> q.q_id),
+    etop AS (SELECT q_id, vec_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cm DESC, vec_id) AS rnk FROM es)
+      WHERE rnk <= {k})
+    {union}
+    """

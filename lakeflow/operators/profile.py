@@ -513,3 +513,65 @@ def quantiles_from_value_counts(
         "n_total",
     )
     return out
+
+
+def grouped_chi2_distance(
+    df: DataFrame,
+    group_col: str,
+    bin_col,
+    a_pred,
+    out_col: str = "chi2_micros",
+) -> DataFrame:
+    """Per-GROUP exact chi-squared distance: one row (``group_col``,
+    n_a, n_b, ``out_col``) per group — the fleet form of
+    :func:`chi2_distance`, completing the grouped drift pair with
+    :func:`grouped_ks_statistic` (KS answers WHICH groups' value
+    ORDER drifted; this answers WHICH groups' rare bins moved). Same
+    exactness shape: per-(group, bin) counts in ONE map-side-combined
+    hash aggregate, integer micro proportions, bounded-BIGINT per-bin
+    terms summed order-independently.
+
+    Same empty-side contract as the grouped KS, deliberately unlike
+    the single-pair assert: groups where either sample is empty are
+    DROPPED (undefined there) rather than job-killing — a fleet
+    monitor must not die because one new source has no baseline rows
+    yet."""
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    per_bin = (
+        df.select(
+            F.col(group_col),
+            b.cast("long").alias("__x2b"),
+            F.when(a_pred, 1).otherwise(0).cast("long").alias("__x2ia"),
+        )
+        .groupBy(group_col, "__x2b")
+        .agg(
+            F.sum("__x2ia").alias("__x2ca"),
+            (F.count(F.lit(1)) - F.sum("__x2ia")).alias("__x2cb"),
+        )
+    )
+    totals = per_bin.groupBy(group_col).agg(
+        F.sum("__x2ca").cast("long").alias("__x2na"),
+        F.sum("__x2cb").cast("long").alias("__x2nb"),
+    )
+    p = F.expr("(__x2ca * 1000000) div nullif(__x2na, 0)")
+    q = F.expr("(__x2cb * 1000000) div nullif(__x2nb, 0)")
+    term = F.when(
+        F.col("__x2p") + F.col("__x2q") > 0,
+        F.expr("((__x2p - __x2q) * (__x2p - __x2q)) div (__x2p + __x2q)"),
+    ).otherwise(F.lit(0))
+    return (
+        per_bin.join(F.broadcast(totals), group_col)
+        .select(
+            group_col, "__x2na", "__x2nb", p.alias("__x2p"), q.alias("__x2q")
+        )
+        .select(group_col, "__x2na", "__x2nb", term.alias("__x2t"))
+        .groupBy(group_col, "__x2na", "__x2nb")
+        .agg(F.sum("__x2t").alias("__x2sum"))
+        .filter((F.col("__x2na") > 0) & (F.col("__x2nb") > 0))
+        .select(
+            F.col(group_col),
+            F.col("__x2na").alias("n_a"),
+            F.col("__x2nb").alias("n_b"),
+            F.col("__x2sum").cast("long").alias(out_col),
+        )
+    )

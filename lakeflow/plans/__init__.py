@@ -54,7 +54,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q12_shipmode_buckets, q13_order_distribution, q14_promo_share,
     # q18_large_volume_orders, q19_disjunctive_predicates,
     # q22_dormant_customers — each keeps in-window family siblings
-    # q17/q5/q7/q4/q_anti_join_customers/q_correlated_subquery and
+    # q17/q5/q7/q_anti_join_customers/q_correlated_subquery and
     # stays green in the local gate; they carry to the r9 refresh with
     # q_window_running, q_winnow_fingerprint, q_text_stats, and the
     # seven continuation-2 displacements annotated inline below) — a
@@ -69,7 +69,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_kcenter_select",
     "q_grouped_ks",
     # --- latest row r2 (12 of 19) ---
-    "q4_priority_check",
+    # q4_priority_check displaced for the continuation-2-built
+    # q_grouped_chi2 (the EXISTS/correlated family keeps its in-window
+    # row via q_correlated_subquery; carries to the r9 refresh)
+    "q_grouped_chi2",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     # q8_market_share displaced for the continuation-2-built
@@ -102,7 +105,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q_scalar_funcs_wide's r5 ledger row and q_winsorize r7; carries
     # to the r9 refresh)
     "q_retrieval_metrics",
-    "q_string_funcs",
+    # q_string_funcs displaced for the continuation-2-built
+    # q_matryoshka_recall (F1 string family keeps in-window coverage
+    # via q_sanitize_names r7 and q_scalar_funcs_wide's r5 ledger row;
+    # carries to the r9 refresh)
+    "q_matryoshka_recall",
     # --- latest row r3 (14) ---
     "q17_small_quantity_parts",
     "q5_local_supplier_volume",

@@ -5483,6 +5483,91 @@ def q_cms_estimate(spark, sf_dir):
     return cms_lookup(sketch, probes, "user_id")
 
 
+@query(
+    "q_grouped_chi2",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             least(CAST(FLOOR(value / 50e0) AS BIGINT), 9) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ia
+      FROM events),
+    c AS (
+      SELECT event_type, bin, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+      FROM b GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb
+          FROM c GROUP BY 1),
+    terms AS (
+      SELECT c.event_type, na, nb,
+             (ca * 1000000) // na AS p, (cb * 1000000) // nb AS q
+      FROM c JOIN t USING (event_type)
+      WHERE na > 0 AND nb > 0)
+    SELECT event_type, na AS n_a, nb AS n_b,
+           CAST(SUM(CASE WHEN p + q > 0
+                         THEN ((p - q) * (p - q)) // (p + q)
+                         ELSE 0 END) AS BIGINT) AS chi2_micros
+    FROM terms GROUP BY 1, 2, 3
+    """,
+    description="Per-GROUP exact chi-squared distance drift "
+    "(operators/profile.grouped_chi2_distance, r8): for every "
+    "event_type, the rare-bin-sensitive distance between the first "
+    "and second half of the stream over fixed value bins — the fleet "
+    "form completing the grouped drift pair with q_grouped_ks (KS "
+    "answers WHICH groups' value order drifted; this answers WHICH "
+    "groups' rare bins moved). Per-(group, bin) counts in ONE "
+    "map-side-combined hash aggregate, integer micro proportions, "
+    "bounded-BIGINT per-bin terms summed order-independently — "
+    "bit-identical across engines. Groups with an empty side are "
+    "DROPPED (undefined), not job-killing, deliberately unlike the "
+    "single-pair assert.",
+    refs=("§2.12", "A5"),
+)
+def q_grouped_chi2(spark, sf_dir):
+    from lakeflow.functions.exact import lit_ts
+    from lakeflow.operators.profile import grouped_chi2_distance
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (F.col("ts") < lit_ts(ev, "ts", "2024-01-16")).alias("ia"),
+    )
+    return grouped_chi2_distance(binned, "event_type", "bin", F.col("ia"))
+
+
+def _matryoshka_oracle() -> str:
+    from lakeflow.operators.metrics import sql_matryoshka_recall
+
+    return sql_matryoshka_recall([8, 16, 32], k=10, query_filter="vec_id < 8")
+
+
+@query(
+    "q_matryoshka_recall",
+    oracle=_matryoshka_oracle(),
+    description="Matryoshka truncation-recall curve "
+    "(operators/metrics.matryoshka_recall, r8): per query and "
+    "kept-dimension count (8/16/32 of 64), the overlap between exact "
+    "cosine top-10 on the full vectors and top-10 on the prefix "
+    "slice — the serving question prefix-truncatable embeddings "
+    "answer ('how many dims can the ANN scan drop before ranking "
+    "moves'), priced the same way as the int8 recall contract. Both "
+    "sides are corpus-scan x broadcast(queries) through the bounded "
+    "two-phase top-k with the (cos DESC, id) tie-break; overlap via "
+    "a hit-flag left join so zero-overlap rows survive; one extra "
+    "corpus scan per probed dimension, each reading d/64ths of the "
+    "vector bytes at scale.",
+    refs=("§2.12",),
+)
+def q_matryoshka_recall(spark, sf_dir):
+    from lakeflow.operators.metrics import matryoshka_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_recall(emb, F.col("vec_id") < 8, [8, 16, 32], k=10)
+
+
 def _source_overlap_oracle(k: int = 16) -> str:
     from lakeflow.functions.hashing import sql_hash_slices
 

@@ -1851,3 +1851,40 @@ def test_cms_is_additive_across_partitions(spark):
         k = (r["seed_row"], r["bucket"])
         summed[k] = summed.get(k, 0) + r["n"]
     assert summed == whole
+
+
+def test_matryoshka_recall_matches_python_mirror(spark):
+    import math
+
+    from lakeflow.operators.metrics import matryoshka_recall
+
+    df, vecs = _quant_corpus(spark, n=30, dim=6)
+    xm = [[math.floor(x * 1_000_000 + 0.5) for x in v] for v in vecs]
+    k, dims, qids = 5, [2, 4, 6], range(4)
+
+    def topk(vs, q):
+        order = sorted(
+            (i for i in range(len(vs)) if i != q),
+            key=lambda i: (-_cos_micros_py(vs[i], vs[q]), i),
+        )
+        return set(order[:k])
+
+    want = {}
+    for q in qids:
+        full = topk(xm, q)
+        for d in dims:
+            sl = [v[:d] for v in xm]
+            n = len(full & topk(sl, q))
+            want[(q, d)] = (k, n, n * 1_000_000 // k)
+    got = {
+        (r["q_id"], r["dims_kept"]): (
+            r["k_requested"],
+            r["n_overlap"],
+            r["recall_micros"],
+        )
+        for r in matryoshka_recall(df, F.col("vec_id") < 4, dims, k=k).collect()
+    }
+    assert got == want
+    # full-width slice recovers perfect recall; narrower never beats it
+    for q in qids:
+        assert got[(q, 6)] == (k, k, 1_000_000)

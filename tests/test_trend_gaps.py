@@ -419,3 +419,53 @@ def test_quantiles_partitioning_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_grouped_chi2_matches_single_group(spark):
+    # per-group chi2 == chi2_distance run on each group's rows alone
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.profile import chi2_distance, grouped_chi2_distance
+
+    rows = []
+    for g, vals in [("a", [(0, 1)] * 8 + [(1, 0)] * 6 + [(2, 1)] * 3),
+                    ("b", [(0, 0)] * 5 + [(3, 1)] * 5)]:
+        rows += [(g, b, ia) for b, ia in vals]
+    df = spark.createDataFrame(rows, "g string, bin long, ia int")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["chi2_micros"])
+        for r in grouped_chi2_distance(df, "g", "bin", F.col("ia") == 1).collect()
+    }
+    for g in ["a", "b"]:
+        solo = chi2_distance(
+            df.filter(F.col("g") == g), "bin", F.col("ia") == 1
+        ).collect()[0]
+        assert got[g] == (solo["n_a"], solo["n_b"], solo["chi2_micros"])
+
+
+def test_grouped_chi2_drops_one_sided_groups(spark):
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.profile import grouped_chi2_distance
+
+    rows = [("ok", 0, 1), ("ok", 1, 0), ("onlya", 0, 1), ("onlyb", 2, 0)]
+    df = spark.createDataFrame(rows, "g string, bin long, ia int")
+    got = grouped_chi2_distance(df, "g", "bin", F.col("ia") == 1).collect()
+    assert [r["g"] for r in got] == ["ok"]
+
+
+def test_grouped_chi2_partitioning_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.profile import grouped_chi2_distance
+
+    rows = [(f"g{i % 4}", i % 7, i % 3 == 0) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, bin long, ia boolean")
+    a = sorted(map(tuple, grouped_chi2_distance(df, "g", "bin", F.col("ia")).collect()))
+    b = sorted(
+        map(
+            tuple,
+            grouped_chi2_distance(df.repartition(17), "g", "bin", F.col("ia")).collect(),
+        )
+    )
+    assert a == b
