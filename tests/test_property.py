@@ -653,3 +653,120 @@ def test_slop_search_equals_brute_force(spark, docs, q, slop):
         if best <= slop:
             want.add((i, best))
     assert got == want
+
+
+# --------------------------------------------- r8 continuation-2 ops
+
+
+@slow
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(1, 5)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.floats(0.01, 1.0, allow_nan=False), min_size=1, max_size=4
+    ),
+)
+def test_quantiles_from_counts_match_ceil_rank_definition(spark, vc, probs):
+    # percentile_disc: smallest v with cumulative count >= ceil(p * N),
+    # against a brute expansion of the counts multiset
+    import math
+
+    from lakeflow.operators.profile import quantiles_from_value_counts
+
+    counts = {}
+    for v, n in vc:
+        counts[v] = counts.get(v, 0) + n
+    df = spark.createDataFrame(list(counts.items()), "v long, n long")
+    expanded = sorted(v for v, n in counts.items() for _ in range(n))
+    got = {
+        r["p_micros"]: (r["value"], r["n_total"])
+        for r in quantiles_from_value_counts(df, "v", "n", probs).collect()
+    }
+    for p in probs:
+        pm = int(p * 1_000_000 + 0.5)
+        # mirror the operator's exact integer threshold (cum*1e6 >= pm*N),
+        # which equals ceil-rank for pm derived from p the same way
+        n_tot = len(expanded)
+        rank = next(
+            i + 1
+            for i in range(n_tot)
+            if (i + 1) * 1_000_000 >= pm * n_tot
+        )
+        assert got[pm] == (expanded[rank - 1], n_tot)
+
+
+@slow
+@given(
+    st.lists(st.text("ab", min_size=1, max_size=4), min_size=1, max_size=60)
+)
+def test_cms_never_underestimates(spark, vals):
+    from collections import Counter
+
+    from lakeflow.operators.sketches import cms_lookup, cms_sketch
+
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    probes = spark.createDataFrame(
+        [(v,) for v in sorted(set(vals))], "u string"
+    )
+    got = {
+        r["probe"]: r["est_n"]
+        for r in cms_lookup(cms_sketch(df, "u"), probes, "u").collect()
+    }
+    true = Counter(vals)
+    assert all(got[v] >= n for v, n in true.items())
+    # and the total overage is bounded by collisions, never negative
+    assert sum(got.values()) >= sum(true.values())
+
+
+@slow
+@given(
+    st.lists(st.text("xyz", min_size=1, max_size=5), min_size=1, max_size=80),
+    st.integers(1, 79),
+)
+def test_hll_split_merge_equals_whole(spark, vals, cut):
+    # registers of (head) MAX-merged with registers of (tail) == the
+    # whole corpus's registers, for ANY split point — the streaming
+    # maintainer's algebra, property-formed
+    from lakeflow.operators.sketches import hll_registers
+
+    cut = min(cut, len(vals))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, u string"
+    )
+    whole = sorted(
+        map(tuple, hll_registers(df, "u").collect())
+    )
+    a = hll_registers(df.filter(F.col("i") < cut), "u")
+    b = hll_registers(df.filter(F.col("i") >= cut), "u")
+    merged = sorted(
+        map(
+            tuple,
+            a.unionByName(b)
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+            .collect(),
+        )
+    )
+    assert merged == whole
+
+
+@slow
+@given(
+    st.integers(-(10**20), 10**20),
+    st.integers(1, 10**9),
+)
+def test_trunc_div_truncates_toward_zero_on_decimals(spark, a, b):
+    from lakeflow.functions.exact import trunc_div
+
+    df = spark.createDataFrame([(str(a), b)], "a string, b long")
+    got = df.select(
+        trunc_div(
+            F.col("a").cast("decimal(38,0)"), F.col("b")
+        ).alias("q")
+    ).collect()[0]["q"]
+    want = abs(a) // b
+    want = -want if a < 0 else want
+    assert got == want
