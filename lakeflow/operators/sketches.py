@@ -102,9 +102,17 @@ def hll_estimate(
     per_group = registers.groupBy(*group_cols).agg(
         (F.lit(M) - F.count(F.lit(1))).cast("long").alias("n_zero"),
         # python-side F.shiftleft wants a literal bit count; the SQL
-        # form takes the per-row expression
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({RHO_MAX} - rho AS INT))")
+        # form takes the per-row expression. coalesce: an EMPTY global
+        # sketch (no registers at all) must yield the deterministic
+        # all-zero-registers estimate (raw ~ alpha*m; corrected_estimate
+        # linear-counts it to 0), not a NULL row
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({RHO_MAX} - rho AS INT))"
+                )
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("__present"),

@@ -1888,3 +1888,21 @@ def test_matryoshka_recall_matches_python_mirror(spark):
     # full-width slice recovers perfect recall; narrower never beats it
     for q in qids:
         assert got[(q, 6)] == (k, k, 1_000_000)
+
+
+def test_hll_empty_corpus_is_deterministic_zero(spark):
+    # an empty sketch yields the all-zero-registers row (raw estimate
+    # alpha*m, corrected to 0), never a NULL
+    from lakeflow.operators.sketches import (
+        M,
+        RHO_MAX,
+        corrected_estimate,
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame([], "u string")
+    r = hll_distinct(df, "u").collect()[0]
+    assert r["n_zero"] == M
+    assert r["sum_pow"] == M * (1 << RHO_MAX)
+    assert r["est_micros"] is not None
+    assert corrected_estimate(r["est_micros"], r["n_zero"]) == 0.0
