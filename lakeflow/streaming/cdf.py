@@ -343,3 +343,28 @@ def read_cdf_quantiles(
     return quantiles_from_value_counts(
         counts, value_col, "__qn", probs, group_col
     )
+
+
+def read_cdf_topk(
+    spark: SparkSession,
+    agg_path: str,
+    value_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent values from a CDF-maintained per-value
+    counts table (the FIFTH read-time statistic on the same consumer):
+    (rnk, value, n) in (n DESC, value) order — the heavy-hitters view
+    of a mutable source, current at every version from |changes|-
+    bounded maintenance. TakeOrderedAndProject over the value-domain-
+    bounded counts table, never a full sort, never the corpus; the
+    deterministic (n DESC, value) tie-break matches the batch
+    ``vocab_heavy_hitters`` convention."""
+    from pyspark.sql import Window
+
+    counts = read_cdf_aggregate(spark, agg_path)
+    per_v = counts.groupBy(value_col).agg(F.sum("n").cast("long").alias("n"))
+    topk = per_v.orderBy(F.desc("n"), F.asc(value_col)).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc(value_col))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("rnk").cast("long"), F.col(value_col), "n"
+    )

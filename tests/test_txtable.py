@@ -667,3 +667,41 @@ def test_cdf_quantiles_track_batch_recompute(spark, tmp_path):
     append_table(spark, gdf([(6, "b", 100), (7, "b", 2)]), path)
     assert advance_cdf_aggregate(spark, path, agg, ["k"], ["g", "v"], []) == 4
     assert state() == truth()
+
+
+def test_cdf_topk_tracks_batch_recompute(spark, tmp_path):
+    # r8 continuation-2: the FIFTH read-time statistic on the same
+    # maintained counts table — top-k frequent values equal the batch
+    # heavy-hitters recompute over the current snapshot at every
+    # version, with the deterministic (n DESC, value) tie-break
+    from lakeflow.streaming.cdf import advance_cdf_aggregate, read_cdf_topk
+
+    path = str(tmp_path / "src")
+    agg = str(tmp_path / "hhcounts")
+
+    def gdf(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def truth(k=3):
+        counts = read_table(spark, path).groupBy("v").count()
+        rows = sorted(
+            ((int(r["count"]), int(r["v"])) for r in counts.collect()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        return [(i + 1, v, n) for i, (n, v) in enumerate(rows)]
+
+    def state(k=3):
+        return [tuple(r) for r in read_cdf_topk(spark, agg, "v", k).collect()]
+
+    write_table(
+        spark, gdf([(i, i % 4) for i in range(20)] + [(100, 9)]), path
+    )
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["v"], []) == 1
+    assert state() == truth()
+    # v2: upsert moves rows between values; v3: delete shrinks a winner
+    merge_upsert_table(spark, gdf([(0, 9), (1, 9), (2, 9)]), path, ["k"])
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["v"], []) == 2
+    assert state() == truth()
+    delete_where(spark, path, F.col("v") == 9)
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["v"], []) == 3
+    assert state() == truth()
