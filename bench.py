@@ -274,6 +274,12 @@ BENCH_QUERIES = [
     # raw candidate rows -> 327 candidates -> 188 pairs, 9.7 s
     # (SCALING.md, 'weighted-cosine APSS'). The driver gate certifies
     # it at sf0.01 against the ground-truth all-pairs oracle.
+    # q_incremental_apss (round 9) stays out for the same reason: its
+    # new×stored tier probes the same near-clique corpus at the same
+    # 0.85 threshold (1/7 of docs vs the stored 6/7 — the answer set is
+    # the pair clique's new-touching slice). Driver-gate certified at
+    # sf0.01 against the ground-truth snapshot-weighted oracle; the
+    # zipf-corpus scale probe is in SCALING.md.
 ]
 
 
@@ -298,6 +304,22 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     probes: list[float] = [_calibrate(spark)]
 
+    # Queries whose fn() executes driver-side greedy/iterative rounds
+    # EAGERLY (localCheckpoint loops, TakeOrdered selection rounds):
+    # timing only the final write would report the last projection and
+    # silently absorb the real work into untimed fn() (VERDICT r8 task
+    # #4 — q_mmr_select's benched 0.06 s vs its true ~2 s). For these,
+    # the timed region is fn()+write — the TRUE end-to-end cost — and
+    # the artifact lists them under "eager_timed" so round-over-round
+    # readers know these rows changed basis in round 9.
+    DRIVER_EAGER = {
+        "q_dup_clusters",
+        "q_entity_resolution",
+        "q_incremental_entities",
+        "q_mmr_select",
+        "q_kcenter_select",
+    }
+
     # steady-state timing: min of 3 runs per query — the first run pays
     # one-time whole-stage-codegen JIT compilation (~1s/query), which at
     # sf0.1 would swamp the actual execution being measured
@@ -319,21 +341,21 @@ def main() -> None:
             #
             # Timed region = the noop write only (plan execution),
             # matching rounds 1-2 methodology so round-over-round
-            # comparisons hold. Caveat: queries built on iterative
-            # driver-side loops with eager localCheckpoints
-            # (q_dup_clusters, q_entity_resolution,
-            # q_incremental_entities, q_mmr_select's and
-            # q_kcenter_select's greedy rounds;
-            # q_pagerank's unrolled rounds run
-            # lazily and ARE timed; the components family is not)
-            # execute most of their work during fn(), so their rows
-            # here reflect only the final projection — their true cost
-            # is the component breakdown in SCALING.md, not this number.
+            # comparisons hold — EXCEPT for the DRIVER_EAGER set, where
+            # fn() itself executes the work (driver-side greedy rounds
+            # with eager localCheckpoints/TakeOrdered) and the timed
+            # region is therefore fn()+write, the true end-to-end cost
+            # (round 9; previously those rows timed only the final
+            # projection with the caveat living in SCALING.md).
+            # q_pagerank's unrolled rounds run lazily and were always
+            # fully timed either way.
+            eager = name in DRIVER_EAGER
             runs = []
             with scoped_cache():
                 for _ in range(3):
+                    t_eager = time.perf_counter()
                     df = spec.fn(spark, sf_dir)
-                    t0 = time.perf_counter()
+                    t0 = time.perf_counter() if not eager else t_eager
                     df.write.format("noop").mode("overwrite").save()
                     runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 3)
@@ -415,6 +437,10 @@ def main() -> None:
         "build_pq_fit_sec": build_pq_fit_sec,
         "session_passes": n_passes,
         "session_pass_totals": pass_totals,
+        # rows whose timed region is fn()+write (true end-to-end cost
+        # of driver-eager greedy rounds) rather than write-only — their
+        # round-9+ numbers are NOT comparable to their rounds 1-8 rows
+        "eager_timed": sorted(DRIVER_EAGER & set(names)),
     }
     # The per-query map (now ~80 entries, twice) outgrew the driver's
     # stdout tail capture in round 4 — the captured tail began mid-map

@@ -35,13 +35,27 @@ def trunc_div(num: Column, den: Column) -> Column:
     remainder identity trunc(a/b) = (a - a % b) / b: Spark's % takes
     the dividend's sign (trunc-style), the subtraction makes the
     division exact (so its decimal rounding mode can never matter),
-    and the result casts to BIGINT losslessly. Works for LONG and
-    DECIMAL(38,0) numerators alike — the latter is why this exists:
-    BIGINT-overflowing accumulations (a 1e12-row corpus at micro^2
-    magnitudes, HLL's 27-digit estimate numerator) divide back down
-    to a BIGINT-bounded surface in one exact step. Mirror in SQL with
-    a sign-split `//` (or bare `//` when both operands are known
-    non-negative)."""
+    and the result casts to BIGINT losslessly.
+
+    The numerator is ALWAYS routed through DECIMAL(38,0): Spark
+    promotes long/long division to DOUBLE, so a raw LONG numerator
+    above 2^53 would round before the cast and the quotient could come
+    back off by one (caught in review round 8 — pca_project feeds sums
+    up to ~1.3e17). Casting the numerator pins the whole expression in
+    Spark's exact decimal lattice (decimal % integral stays decimal;
+    decimal/integral divides exactly because the remainder was
+    subtracted), for LONG and DECIMAL(38,0) numerators alike. That
+    exact wide path is why this exists: BIGINT-overflowing
+    accumulations (a 1e12-row corpus at micro^2 magnitudes, HLL's
+    27-digit estimate numerator) divide back down to a BIGINT-bounded
+    surface in one exact step.
+
+    Contract: the QUOTIENT must fit BIGINT — callers bound it by
+    construction; outside that domain the final cast raises a loud
+    ANSI overflow (never a silent wrap; property-tested). Mirror in
+    SQL with a sign-split `//` (or bare `//` when both operands are
+    known non-negative)."""
+    num = num.cast("decimal(38,0)")
     return ((num - num % den) / den).cast("long")
 
 

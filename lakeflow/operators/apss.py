@@ -20,12 +20,15 @@ prefix filter (WWW'07, public literature), Spark-first:
    bit-identical everywhere. Normalized vectors have norm ~1e6, so
    every pair dot stays ~1e12 < 2^53 — the cosine division is then
    the house ``cosine_micros``.
-2. PREFIX FILTER: terms globally ordered by (corpus max weight DESC,
-   term) — the Bayardo order, heaviest-bounding terms first so
-   suffixes bound tightly; per document, a term is PREFIX iff the
-   suffix strictly after it still bounds >= t, where the suffix bound
-   is sum over suffix terms of w_t * maxw_t (the probe-side upper
-   bound on what the suffix alone can contribute, in 1e12 units).
+2. PREFIX FILTER: terms globally ordered by (df ASC, term) —
+   rarest-first, replacing Bayardo's (corpus max weight DESC) order;
+   see ``_prefix_terms`` for why (rare terms carry the largest
+   inverse-df weights here, so putting them first both bounds
+   suffixes tightly AND keeps prefix postings short). Per document, a
+   term is PREFIX iff the suffix strictly after it still bounds >= t,
+   where the suffix bound is sum over suffix terms of w_t * maxw_t
+   (the probe-side upper bound on what the suffix alone can
+   contribute, in 1e12 units).
    The guarantee is one-sided and needs no pair symmetry: if
    cos(a, b) >= t and NO term of a matched b's prefix, every shared
    term lies in b's suffix, so cos <= bound(suffix(b)) < t —
@@ -41,10 +44,11 @@ Scale: two narrow aggregates + one window per document (a document's
 terms fit one task by definition) + an equi-join whose probe side is
 only the prefix postings — the same candidate-bound behavior the
 setsim family probes at 10x/30x. A hot ubiquitous term lands at the
-FRONT of the global order, where documents' prefixes rarely reach
-(high maxw terms are cheap to exclude: their own w * maxw mass is
-spent early), so the prefix postings of stopword-like terms stay
-small — the weighted analogue of setsim's rarest-first order.
+BACK of the rarest-first order, i.e. in the SUFFIX of nearly every
+document (its inverse-df weight is tiny, so the suffix bound
+threshold is reached long before the prefix sweep would include it),
+so the stopword-like terms whose postings are huge almost never enter
+the prefix join — setsim's rarest-first economics, carried over.
 """
 
 from __future__ import annotations
@@ -118,7 +122,10 @@ def weighted_terms(
 
 
 def _prefix_terms(
-    w: DataFrame, id_col: str, threshold_micros: int
+    w: DataFrame,
+    id_col: str,
+    threshold_micros: int,
+    mw_bound: bool = True,
 ) -> DataFrame:
     """The indexed subset: per document, the RAREST-FIRST head terms
     (global order: corpus document frequency ASC, term — the setsim
@@ -142,38 +149,55 @@ def _prefix_terms(
     order indexed 71% of all term occurrences on the sf0.1 corpus
     (319M raw candidates, every pair a candidate); this order indexes
     the rare head only. A document's terms fit one task by
-    definition, so per-doc windows are the right tool."""
-    maxw = w.groupBy("term").agg(F.max("w").alias("__maxw"))
-    wm = w.join(maxw, "term")
+    definition, so per-doc windows are the right tool.
+
+    ``mw_bound=False`` drops the max-weight bound and keeps only the
+    norm bound. The norm bound is CORPUS-INDEPENDENT (it references
+    only the document's own weights), so a norm-only prefix stays
+    sound against documents that did not exist when it was built —
+    the property the incremental tier's persisted prefix index needs:
+    a future document can carry a term weight above today's corpus
+    max, which would break the frozen max-weight bound, but can never
+    change ||suffix||/||doc||. The price is somewhat longer prefixes
+    (more candidates), never a lost pair."""
     win = Window.partitionBy(id_col).orderBy(
         F.asc("df"), F.asc("term")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = Window.partitionBy(id_col)
-    wmw = F.col("w") * F.col("__maxw")
     ww = F.col("w") * F.col("w")
     # inclusive-from-here suffix aggregates: total - running + current.
     # (The strictly-after form would let the first excluded row itself
     # carry >= t mass and break the one-sided guarantee.)
-    suf_mw = F.sum(wmw).over(tot) - F.sum(wmw).over(win) + wmw
     suf_n2 = F.sum(ww).over(tot) - F.sum(ww).over(win) + ww
     t_slack = max(int(threshold_micros) - 16, 0)
-    t12 = F.lit(t_slack) * F.lit(1_000_000).cast("long")
     dec = "decimal(38,0)"
-    scored = wm.select(
+    cols = [
         F.col(id_col),
         "term",
         "w",
         "df",
         "n2",
         ww.alias("__w2"),
-        suf_mw.alias("__sufmw"),
         suf_n2.alias("__sufn2"),
-    )
-    cond_mw = F.col("__sufmw") >= t12
+    ]
+    if mw_bound:
+        maxw = w.groupBy("term").agg(F.max("w").alias("__maxw"))
+        wm = w.join(maxw, "term")
+        wmw = F.col("w") * F.col("__maxw")
+        suf_mw = F.sum(wmw).over(tot) - F.sum(wmw).over(win) + wmw
+        cols.append(suf_mw.alias("__sufmw"))
+    else:
+        wm = w
+    scored = wm.select(*cols)
     cond_norm = (
         F.col("__sufn2").cast(dec) * F.lit(10**12).cast(dec)
         >= F.lit(t_slack * t_slack).cast(dec) * F.col("n2").cast(dec)
     )
+    if mw_bound:
+        t12 = F.lit(t_slack) * F.lit(1_000_000).cast("long")
+        keep = (F.col("__sufmw") >= t12) & cond_norm
+    else:
+        keep = cond_norm
     # tail_norm = safe over-approximation (floor(sqrt)+1, micros) of
     # the norm of the doc's ENTIRE non-prefix tail — a per-doc
     # constant, < threshold by the very prefix cut (the norm-bound
@@ -181,7 +205,7 @@ def _prefix_terms(
     # accumulation filter's "what can everything beyond my prefix
     # still contribute": any shared term past the last shared prefix
     # term lives in this tail (prefixes are contiguous heads).
-    filtered = scored.filter(cond_mw & cond_norm)
+    filtered = scored.filter(keep)
     doc_w = Window.partitionBy(id_col)
     tail_n2 = F.max(F.col("n2")).over(doc_w) - F.sum(F.col("__w2")).over(doc_w)
     tail_norm = (F.floor(F.sqrt(tail_n2.cast("double"))) + 1).cast("long")
@@ -236,7 +260,19 @@ def apss_join(
     production funnel order (exact dedup BEFORE near-dup) while
     keeping the operator's contract self-contained."""
     w_all = weighted_terms(df, id_col, text_col, cache)
+    return _pairs_from_weights(w_all, id_col, threshold_micros, cache)
 
+
+def _pairs_from_weights(
+    w_all: DataFrame,
+    id_col: str,
+    threshold_micros: int,
+    cache: CacheScope | None = None,
+) -> DataFrame:
+    """The self-join machinery of :func:`apss_join` given an already-
+    built weight relation — shared with the incremental tier, whose
+    new×new half is exactly this machinery over the batch's
+    snapshot-weighted relation."""
     # vector fingerprint: md5 of the sorted (term, w) entries — the
     # exact_dedup identity, computed without leaving codegen
     fp = w_all.groupBy(id_col).agg(
@@ -399,3 +435,272 @@ def apss_join(
         )
         out = cross.unionByName(within)
     return out
+
+
+def apss_prefix_index(
+    weights: DataFrame, id_col: str, threshold_micros: int
+) -> DataFrame:
+    """The PERSISTED prefix index for the incremental tier: per stored
+    document, its rarest-first prefix rows (``{id}``, ``term``, ``w``,
+    ``tail_norm``) under the NORM bound only.
+
+    The max-weight bound is deliberately dropped (``mw_bound=False``):
+    it references the corpus-wide max weight per term, and a FUTURE
+    document may carry a higher weight for a term than any document
+    that existed at build time — a frozen max-weight prefix could then
+    over-prune and lose a qualifying new×stored pair. The norm bound
+    references only the document's own weights, so a norm-only prefix
+    stays sound against any future probe document, at the price of
+    somewhat longer prefixes. Persist this relation (plus the full
+    weight relation) beside the corpus; a batch's incremental join
+    must use a query threshold >= the one the index was built with
+    (a lower query threshold would need longer prefixes than were
+    indexed)."""
+    return _prefix_terms(weights, id_col, threshold_micros, mw_bound=False)
+
+
+def snapshot_weights(
+    new_docs: DataFrame,
+    stored_weights: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Weight a batch of new documents against the STORED corpus's
+    document-frequency snapshot — the incremental tier's weighting
+    contract. Inverse-df weights are corpus-global by nature: a new
+    batch cannot change stored documents' weights without a
+    corpus-wide rebuild, so between rebuilds every batch is weighted
+    against the frozen df snapshot (the standard production near-dup
+    arrangement: score against the snapshot, rebuild periodically).
+    Terms UNSEEN in the snapshot take df = 1 — the rarest-possible,
+    maximum-weight reading, which is the conservative direction for
+    near-duplicate mining (two new documents sharing a brand-new term
+    look MORE similar, never less). Deterministic, so a crashed and
+    replayed batch re-derives identical weights. Output schema is
+    :func:`weighted_terms`'s (``{id}``, term, df, w, n2)."""
+    tf = (
+        new_docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    snap = stored_weights.groupBy("term").agg(F.max("df").alias("__snapdf"))
+    u = tf.join(snap, "term", "left").select(
+        F.col(id_col),
+        "term",
+        F.coalesce(F.col("__snapdf"), F.lit(1).cast("long")).alias("df"),
+        F.expr("(__tf * 1000000) div coalesce(__snapdf, 1)").alias("__u"),
+    )
+    norm2 = u.groupBy(id_col).agg(
+        F.sum(F.expr("CAST(__u * __u AS DECIMAL(38,0))")).alias("__n2u")
+    )
+    w = (
+        u.join(norm2, id_col)
+        .select(
+            F.col(id_col),
+            "term",
+            "df",
+            F.floor(
+                F.col("__u").cast("double")
+                * F.lit(1_000_000.0)
+                / F.sqrt(F.col("__n2u").cast("double"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    n2 = w.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    return w.join(n2, id_col)
+
+
+def incremental_apss_pairs(
+    new_docs: DataFrame,
+    stored_weights: DataFrame,
+    stored_prefix: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_micros: int = 600_000,
+    cache: CacheScope | None = None,
+    new_weights: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT weighted-cosine pairs involving at least one NEW document,
+    against the persisted weight + prefix relations — the incremental
+    tier of :func:`apss_join` (the pattern of
+    ``setsim.incremental_setsim_pairs``): an ingest batch costs
+    |batch| × prefix-posting density plus candidate-bound
+    verification, never |corpus|², and old×old pairs are never
+    regenerated.
+
+    - NEW×STORED: candidates are FULL(new) × stored PREFIX on term —
+      the one-sided suffix-bound guarantee holds per pair with the
+      stored document as the prefix side, and the norm-only persisted
+      prefix (:func:`apss_prefix_index`) stays sound against
+      documents that postdate it. The batch tier's pair ACCUMULATION
+      filter carries over: per pair, the exact partial dot over the
+      generated rows plus min(ns_after_new) * tail_norm_stored bounds
+      everything the generated rows missed (the new side's rarest-
+      first order is the SNAPSHOT df order — snapshot_weights keys it
+      — and unseen-in-snapshot terms can never be shared with a
+      stored document, so the shared-order argument is unchanged).
+      Verification joins the candidate pairs to per-doc (term, w)
+      maps built batch-bounded on the new side and CANDIDATE-bounded
+      on the stored side (a semi-join on the candidate ids gates the
+      stored groupBy — no corpus-wide array materialization per
+      batch).
+    - NEW×NEW: exactly the batch machinery (:func:`_pairs_from_weights`)
+      over the batch's snapshot-weighted relation, exact-duplicate
+      collapse included.
+
+    The new×stored tier collapses exact-duplicate NEW vectors to one
+    representative before the candidate join (k copies of a template
+    in one batch probe the stored prefix index once, not k times) and
+    expands representatives back through batch membership at output.
+    Same-id matches are dropped and the final union is DISTINCT, so a
+    crashed-and-replayed batch whose rows were already appended to the
+    stored relations degrades to duplicate pairs that collapse, never
+    wrong answers (weights re-derive deterministically from the
+    snapshot). ``threshold_micros`` must be >= the threshold
+    ``stored_prefix`` was built with. Returns ({id}_a, {id}_b,
+    cos_micros) with id_a < id_b."""
+    if new_weights is None:
+        new_weights = snapshot_weights(new_docs, stored_weights, id_col, text_col)
+    if cache is not None or active_scope() is not None:
+        new_weights = maybe_persist(new_weights, cache)
+
+    # batch-side exact-duplicate collapse (the batch tier's wedge
+    # killer, scoped to the batch: stored docs index individually)
+    fp = new_weights.groupBy(id_col).agg(
+        F.md5(
+            F.to_json(F.array_sort(F.collect_list(F.struct("term", "w"))))
+        ).alias("__fp")
+    )
+    groups = fp.select(F.col(id_col), "__fp")
+    reps = groups.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    members = groups.join(reps, "__fp").select(
+        "__fp", F.col(id_col), F.col("__rep")
+    )
+    if cache is not None or active_scope() is not None:
+        members = maybe_persist(members, cache)
+    w_rep = new_weights.join(
+        members.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+    rel = _suffix_norms(w_rep, id_col).select(
+        F.col(id_col).alias("__ida"),
+        "term",
+        F.col("w").alias("__wa"),
+        F.col("ns_after").alias("__naa"),
+    )
+    pre = stored_prefix.select(
+        F.col(id_col).alias("__idb"),
+        "term",
+        F.col("w").alias("__wb"),
+        F.col("tail_norm").alias("__tnb"),
+    )
+    kill = F.lit(max(int(threshold_micros) - 64, 0)) * F.lit(1_000_000).cast(
+        "long"
+    )
+    cand = (
+        rel.join(pre, "term")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            "__ida",
+            "__idb",
+            (F.col("__wa") * F.col("__wb")).alias("__prod"),
+            F.col("__naa"),
+            F.col("__tnb"),
+        )
+        .groupBy("__ida", "__idb")
+        .agg(
+            (F.sum("__prod") + F.min("__naa") * F.max("__tnb")).alias("__ub")
+        )
+        .filter(F.col("__ub") >= kill)
+        .select(F.col("__ida").alias("__pa"), F.col("__idb").alias("__pb"))
+    )
+    if cache is not None or active_scope() is not None:
+        cand = maybe_persist(cand, cache)  # read by the semi-join AND the verify
+
+    def _arrs(wrel: DataFrame) -> DataFrame:
+        return wrel.groupBy(id_col).agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("term", "w")))
+            ).alias("__m"),
+            F.first("n2").alias("__n2"),
+        )
+
+    a = _arrs(w_rep).select(
+        F.col(id_col).alias("__pa"),
+        F.col("__m").alias("__ma"),
+        F.col("__n2").alias("__n2a"),
+    )
+    stored_cand_w = stored_weights.join(
+        cand.select(F.col("__pb").alias(id_col)), id_col, "left_semi"
+    )
+    b = _arrs(stored_cand_w).select(
+        F.col(id_col).alias("__pb"),
+        F.col("__m").alias("__mb"),
+        F.col("__n2").alias("__n2b"),
+    )
+    dot = F.aggregate(
+        F.map_entries("__ma"),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + e["value"]
+        * F.coalesce(F.element_at("__mb", e["key"]), F.lit(0).cast("long")),
+    )
+    rep_pairs = (
+        cand.join(a, "__pa")
+        .join(b, "__pb")
+        .select(
+            "__pa",
+            "__pb",
+            cosine_micros(dot, F.col("__n2a"), F.col("__n2b")).alias("cos_micros"),
+        )
+        .filter(F.col("cos_micros") >= F.lit(int(threshold_micros)))
+    )
+
+    # expand new-side representatives back through batch membership
+    ma = members.select(F.col("__rep").alias("__pa"), F.col(id_col).alias("__ea"))
+    ns = rep_pairs.join(ma, "__pa").select(
+        F.least("__ea", "__pb").alias(f"{id_col}_a"),
+        F.greatest("__ea", "__pb").alias(f"{id_col}_b"),
+        "cos_micros",
+    )
+    nn = _pairs_from_weights(new_weights, id_col, threshold_micros, cache)
+    return ns.unionByName(nn).distinct()
+
+
+def apss_index_fit(
+    seed_corpus: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micros: int = 600_000,
+) -> None:
+    """Build and persist the incremental APSS index from a seed corpus
+    (the build half of the build/serve split, mirroring
+    ``kmeans.semantic_index_fit``):
+
+    - ``{index_path}/weights``: the :func:`weighted_terms` relation —
+      the df SNAPSHOT every future batch is weighted against;
+    - ``{index_path}/prefix``: the norm-only
+      :func:`apss_prefix_index` rows at ``threshold_micros``.
+
+    Both are flat long/string relations (parquet-friendly, no maps).
+    df drift is handled by a periodic refit + index rebuild
+    (deterministic, replayable) — never per-batch mutation of stored
+    weights, which would require re-normalizing the whole corpus."""
+    w = weighted_terms(seed_corpus, id_col, text_col)
+    w.write.mode("overwrite").parquet(f"{index_path}/weights")
+    apss_prefix_index(
+        # re-read the just-written relation: the prefix window then
+        # scans parquet once instead of re-running the weight
+        # aggregates a second time inside the same job
+        w.sparkSession.read.parquet(f"{index_path}/weights"),
+        id_col,
+        threshold_micros,
+    ).write.mode("overwrite").parquet(f"{index_path}/prefix")

@@ -79,7 +79,13 @@ def gram_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.posexplode("__v").alias("__i", "__xi"), "__v"
     )
     agged = rows.groupBy("__i").agg(
-        F.count(F.lit(1)).alias("__n"),
+        # non-null count, NOT count(*): a null-padded element at
+        # position i is skipped by the sums, so it must also lower n
+        # for that i — pca_fit's uniform-n assertion then catches
+        # null padding instead of silently averaging over fewer
+        # samples than it divides by. (Ragged SHORT vectors already
+        # fail loudly: ANSI element_at raises past the array end.)
+        F.count(F.col("__xi")).alias("__n"),
         F.sum(F.col("__xi").cast("decimal(38,0)")).alias("__sx"),
         *[
             F.sum(
@@ -140,12 +146,38 @@ def pca_fit(emb: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
     matrix and never touches row data."""
     import numpy as np
 
-    stats = gram_sums(emb, vec_col).collect()  # bounded: dim rows
+    try:
+        stats = gram_sums(emb, vec_col).collect()  # bounded: dim rows
+    except Exception as exc:  # ANSI element_at past a short vector
+        if "INVALID_ARRAY_INDEX" in str(exc):
+            raise ValueError(
+                "pca_fit: ragged or null-padded vector column — a vector "
+                "is shorter than the probed dimension; every vector must "
+                "be a null-free array of the same length"
+            ) from exc
+        raise
     if not stats:
         raise ValueError("pca_fit: empty corpus")
     dim = len(stats[0]["sxy"])
     if not 1 <= k <= dim:
         raise ValueError(f"pca_fit: k={k} outside [1, dim={dim}]")
+    # Ragged / null-padded guard: a short vector contributes no row
+    # for its missing dimensions and a null element is excluded from
+    # that dimension's non-null n, so ANY non-uniform vector shows up
+    # as per-dimension counts that disagree (or as extra/missing
+    # dimension rows vs the 1-row probe). Without this, F.sum's
+    # null-skipping would silently fit statistics over different
+    # sample sets per cell.
+    dims_seen = sorted(int(r["i"]) for r in stats)
+    ns = {int(r["n"]) for r in stats}
+    if dims_seen != list(range(dim)) or len(ns) != 1:
+        raise ValueError(
+            "pca_fit: ragged or null-padded vector column — "
+            f"per-dimension sample counts {sorted(ns)} over dimensions "
+            f"[{dims_seen[0]}..{dims_seen[-1]}] ({len(dims_seen)} of "
+            f"{dim}); every vector must be a null-free array of the "
+            "same length"
+        )
     n = int(stats[0]["n"])
     sx = np.zeros(dim)
     s2 = np.zeros((dim, dim))

@@ -27,123 +27,83 @@ from lakeflow.plans import scalar_ops  # noqa: F401
 #: 103 distinct queries; COVERAGE.md's ledger maps every §2 ref to its
 #: certifying round).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-8 ROTATION (VERDICT r7 tasks #1, #6): three must-certify
-    # rows — q_empty_to_null, reshaped to a flat JSON-serialized
-    # surface after its r7 driver row errred in the driver's pandas
-    # canonicalizer on raw list cells (the window now structurally
-    # bans nested output columns, tests/test_oracle_parity.py), and
-    # the two round-8-built capabilities q_slop_search (proximity
-    # search over the positional index) and q_corpus_overlap
-    # (corpus-level minhash overlap). The other 47 slots refresh the STALEST
-    # certifications: CERTIFIED.json now records each query's LATEST
-    # green driver round, and every query whose most recent row
-    # predates round 4 rotates in (all 19 r2-latest + all 14
-    # r3-latest + 14 of the 17 r4-latest, including q_ivf_ann whose
-    # serving path changed this round — prebuilt centroids, VERDICT
-    # r7 task #3). After this round no query's newest driver row
-    # predates round 4. The rotated-out r07 rows remain the evidence
-    # of record (COVERAGE.md ledger + CERTIFIED.json).
+    # ROUND-9 ROTATION, generated from CERTIFIED.json via
+    # scripts/certified_ledger.py (VERDICT r8 tasks #2, #10):
+    # oldest-certification-first, must-certify new builds on top.
+    # Composition: 1 must-certify round-9 build (q_incremental_apss,
+    # the incremental tier of the weighted APSS join — VERDICT r8
+    # task #5), all 15 queries whose latest driver row is still
+    # round 2 (the carries displaced by the r8 continuation builds),
+    # all 3 whose latest row is round 4 (q_text_stats,
+    # q_window_running, q_winnow_fingerprint — carried from the r8
+    # rotation), and 31 of the 36 whose latest row is round 5. The 5
+    # r5 rows left for the r10 refresh each keep an in-window family
+    # sibling this round and stay green in the local gate:
+    # q_scalar_funcs_wide (granular F1-F6 siblings q_date_funcs/
+    # q_math_funcs/q_string_funcs/q_conditional_null are ALL in this
+    # window), q_set_ops (D4 sibling q_intersect_custkeys in window),
+    # q_like_between (predicate sibling q19_disjunctive_predicates in
+    # window), q_funnel_steps (sibling q_gold_funnel_join in window),
+    # q_pivot_event_types (A4/pivot sibling q12_shipmode_buckets in
+    # window). After this round the ledger's minimum latest-round is
+    # 5, held only by those five annotated carries. The rotated-out
+    # r7/r8 rows remain the evidence of record (COVERAGE.md ledger +
+    # CERTIFIED.json).
     #
-    # --- must-certify (2) ---
-    "q_empty_to_null",
-    "q_slop_search",
-    # --- round-8-continuation builds (7): chi-squared drift, int8
-    # quantization error profile + recall contract, MMR selection,
-    # source-overlap matrix, k-center coreset, per-group KS. These
-    # take the slots of seven r2-latest TPC-H rows (q10_returned_items,
-    # q12_shipmode_buckets, q13_order_distribution, q14_promo_share,
-    # q18_large_volume_orders, q19_disjunctive_predicates,
-    # q22_dormant_customers — each keeps in-window family siblings
-    # q17/q5/q7/q_anti_join_customers/q_correlated_subquery and
-    # stays green in the local gate; they carry to the r9 refresh with
-    # q_window_running, q_winnow_fingerprint, q_text_stats, and the
-    # seven continuation-2 displacements annotated inline below) — a
-    # NEW capability's first driver row outranks re-certifying a
-    # stable one (and test_every_query_windowed_or_certified enforces
-    # that a new query cannot ship windowless).
-    "q_chi2_drift",
-    "q_int8_quantize",
-    "q_int8_recall",
-    "q_mmr_select",
-    "q_source_overlap",
-    "q_kcenter_select",
-    "q_grouped_ks",
-    # --- latest row r2 (12 of 19) ---
-    # q4_priority_check displaced for the continuation-2-built
-    # q_grouped_chi2 (the EXISTS/correlated family keeps its in-window
-    # row via q_correlated_subquery; carries to the r9 refresh)
-    "q_grouped_chi2",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    # q8_market_share displaced for the continuation-2-built
-    # q_apss_join (the multi-join J2 family keeps in-window rows via
-    # q5/q7; carries to the r9 refresh)
-    "q_apss_join",
-    # q_semi_join_customers displaced for the continuation-2-built
-    # q_cms_estimate (J3 semi/anti family keeps its in-window row via
-    # q_anti_join_customers; carries to the r9 refresh)
-    "q_cms_estimate",
-    "q_anti_join_customers",
-    # q_conditional_null displaced for the continuation-2-built
-    # q_hll_distinct (the F6 conditional family keeps in-window rows
-    # via q_scalar_funcs_wide's certified r5 ledger and the local
-    # gate; carries to the r9 refresh)
-    "q_hll_distinct",
-    # q_date_funcs displaced for the continuation-2-built
-    # q_exact_quantiles (the F2 date family keeps in-window coverage
-    # via the timeseries rows q_tumbling_hourly/q_sliding_2h and
-    # q_scalar_funcs_wide's r5 ledger row; carries to the r9 refresh)
-    "q_exact_quantiles",
-    "q_except_custkeys",
-    # q_intersect_custkeys displaced for the continuation-2-built
-    # q_pca_gram (family sibling q_except_custkeys keeps a D4 row in
-    # the window; q_intersect_custkeys stays green in the local gate
-    # and carries to the r9 refresh)
-    "q_pca_gram",
-    # q_math_funcs displaced for the continuation-2-built
-    # q_retrieval_metrics (F5 math family keeps in-window coverage via
-    # q_scalar_funcs_wide's r5 ledger row and q_winsorize r7; carries
-    # to the r9 refresh)
-    "q_retrieval_metrics",
-    # q_string_funcs displaced for the continuation-2-built
-    # q_matryoshka_recall (F1 string family keeps in-window coverage
-    # via q_sanitize_names r7 and q_scalar_funcs_wide's r5 ledger row;
-    # carries to the r9 refresh)
-    "q_matryoshka_recall",
-    # --- latest row r3 (14) ---
-    "q17_small_quantity_parts",
-    "q5_local_supplier_volume",
-    "q_analytic_windows",
-    "q_count_distinct",
-    "q_cube_orders",
-    "q_grouping_sets",
-    "q_having",
-    "q_median_price",
-    "q_range_pairs_events",
-    "q_sliding_2h",
-    "q_trailing_window",
-    "q_tumbling_hourly",
-    "q_unpivot_metrics",
-    "q_variant_extract",
-    # --- round-8-built capability (1) ---
-    "q_corpus_overlap",
-    # --- latest row r4 (14 of 17; q_window_running,
-    # q_winnow_fingerprint and q_text_stats — displaced for the
-    # round-8-built q_corpus_overlap — carry to the r9 rotation) ---
-    "q_approx_distinct",
-    "q_cohort_retention",
-    "q_correlated_subquery",
-    "q_doc_fingerprint",
-    "q_edit_distance_pairs",
-    "q_embedding_stats",
-    "q_exact_dedup_docs",
-    "q_ivf_ann",
-    "q_kmeans_cells",
-    "q_lsh_ann",
-    "q_ngram_jaccard",
-    "q_rollup_lineitem",
-    "q_token_classes",
-    "q_topk_orders_per_customer",
+    # --- must-certify round-9 build (1) ---
+    "q_incremental_apss",
+    # --- latest row r2 (15) ---
+    "q10_returned_items",
+    "q12_shipmode_buckets",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "q4_priority_check",
+    "q8_market_share",
+    "q_conditional_null",
+    "q_date_funcs",
+    "q_intersect_custkeys",
+    "q_math_funcs",
+    "q_semi_join_customers",
+    "q_string_funcs",
+    # --- latest row r4 (3) ---
+    "q_text_stats",
+    "q_window_running",
+    "q_winnow_fingerprint",
+    # --- latest row r5 (31 of 36; the 5 carries annotated above) ---
+    "q16_supplier_relationship",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "q3_shipping_priority",
+    "q_array_ops",
+    "q_asof_latest_order",
+    "q_boilerplate",
+    "q_collocations",
+    "q_dedup_latest_event",
+    "q_doc_surprisal",
+    "q_drift_tvd",
+    "q_dup_clusters",
+    "q_embedding_near_dup",
+    "q_gold_funnel_join",
+    "q_heavy_hitters_approx",
+    "q_ivf_pq_ann",
+    "q_json_extract_events",
+    "q_keyword_search",
+    "q_mode_event_type",
+    "q_multimodal_meta",
+    "q_pack_sequences",
+    "q_percent_rank",
+    "q_pii_redact",
+    "q_quality_band",
+    "q_repeated_spans",
+    "q_salted_agg",
+    "q_sessionize_batch",
+    "q_simhash",
+    "q_snapshot_diff",
+    "q_tfidf_terms",
+    "q_theta_join_richer",
 )
 
 

@@ -942,6 +942,85 @@ def stream_semantic_index(
     return writer.start()
 
 
+def stream_apss_index(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micros: int = 600_000,
+    trigger_available_now: bool = True,
+):
+    """Streaming weighted-cosine APSS intake against a PREBUILT index
+    (``apss.apss_index_fit`` on a seed corpus — the semantic-index
+    arrangement): each micro-batch is weighted against the persisted
+    df SNAPSHOT (``apss.snapshot_weights``), its qualifying cosine
+    pairs against the stored corpus (new×stored via the persisted
+    norm-only prefix + new×new via the batch machinery, exact-dup
+    collapse included — old×old never regenerated) append to
+    ``pairs_path``, then the batch's snapshot-weighted rows join
+    ``{index_path}/weights`` and its norm-only prefix rows join
+    ``{index_path}/prefix``. Per-batch cost is |batch| ×
+    prefix-posting density plus candidate-bound verification. df
+    drift is handled by a periodic ``apss_index_fit`` rebuild
+    (deterministic, replayable), never per-batch re-weighting of
+    stored documents.
+
+    Ordering and replay contracts mirror the exact-neardup stream:
+    pairs are written BEFORE the batch's rows join the index, and a
+    crashed-and-replayed batch whose rows already reached the index
+    produces no self-pairs (``incremental_apss_pairs`` drops same-id
+    matches; snapshot weighting re-derives identical weights), so
+    replays degrade to duplicate pair rows that consumers
+    ``distinct()`` away."""
+    from lakeflow.operators.apss import (
+        apss_prefix_index,
+        incremental_apss_pairs,
+        snapshot_weights,
+    )
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    weights_path = f"{index_path}/weights"
+    prefix_path = f"{index_path}/prefix"
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        stored_w = spark.read.parquet(weights_path)  # prebuilt: must exist
+        stored_p = spark.read.parquet(prefix_path)
+        new_w = snapshot_weights(batch, stored_w, id_col, text_col)
+        new_w = new_w.persist()  # three consumers: pairs + both appends
+        try:
+            from lakeflow.caching import scoped_cache
+
+            with scoped_cache():
+                pairs = incremental_apss_pairs(
+                    batch,
+                    stored_w,
+                    stored_p,
+                    id_col,
+                    text_col,
+                    threshold_micros,
+                    new_weights=new_w,
+                )
+                pairs.write.mode("append").parquet(pairs_path)
+            new_w.write.mode("append").parquet(weights_path)
+            apss_prefix_index(new_w, id_col, threshold_micros).write.mode(
+                "append"
+            ).parquet(prefix_path)
+        finally:
+            new_w.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_inverted_index(
     spark: SparkSession,
     path: str,

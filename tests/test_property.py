@@ -753,12 +753,23 @@ def test_hll_split_merge_equals_whole(spark, vals, cut):
     assert merged == whole
 
 
+@st.composite
+def _trunc_div_args(draw):
+    """Inputs honoring trunc_div's documented contract: the QUOTIENT
+    must fit BIGINT. Draw the divisor first, then a numerator bounded
+    by b * (2^63 - 1) — the round-8 unconstrained strategy drew
+    a=2^63, b=1 and (correctly) hit the loud ANSI overflow, which is
+    asserted by its own test below, not by this one."""
+    b = draw(st.integers(1, 10**9))
+    bound = b * (2**63 - 1)
+    a = draw(st.integers(-bound, bound))
+    return a, b
+
+
 @slow
-@given(
-    st.integers(-(10**20), 10**20),
-    st.integers(1, 10**9),
-)
-def test_trunc_div_truncates_toward_zero_on_decimals(spark, a, b):
+@given(_trunc_div_args())
+def test_trunc_div_truncates_toward_zero_on_decimals(spark, ab):
+    a, b = ab
     from lakeflow.functions.exact import trunc_div
 
     df = spark.createDataFrame([(str(a), b)], "a string, b long")
@@ -770,3 +781,62 @@ def test_trunc_div_truncates_toward_zero_on_decimals(spark, a, b):
     want = abs(a) // b
     want = -want if a < 0 else want
     assert got == want
+
+
+@slow
+@given(
+    st.integers(-(2**63) + 1, 2**63 - 1),
+    st.integers(1, 10**9),
+)
+def test_trunc_div_exact_on_longs(spark, a, b):
+    """LONG numerators must take the exact decimal path: Spark promotes
+    long/long division to DOUBLE, so above 2^53 a naive quotient can
+    round to q±1 (review round-8 finding — pca_project feeds sums up
+    to ~1.3e17). |a| <= 2^63-1 keeps the quotient BIGINT-bounded for
+    every b >= 1."""
+    from lakeflow.functions.exact import trunc_div
+
+    df = spark.createDataFrame([(a, b)], "a long, b long")
+    got = df.select(trunc_div(F.col("a"), F.col("b")).alias("q")).collect()[0]["q"]
+    want = abs(a) // b
+    want = -want if a < 0 else want
+    assert got == want
+
+
+def test_trunc_div_exact_on_longs_above_2p53(spark):
+    """Pinned regression for the double-rounding defect: 2^53+1 is the
+    first long a DOUBLE cannot represent; the pre-fix long/long path
+    rounded it to 2^53 and returned q-1 for b=1."""
+    from lakeflow.functions.exact import trunc_div
+
+    cases = [
+        (2**53 + 1, 1),
+        (-(2**53) - 1, 1),
+        (2**63 - 1, 1),
+        (2**63 - 1, 10),
+        (134_217_728_000_000_017, 3),  # ~1.3e17, the pca_project magnitude
+    ]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = df.select(
+        "a", "b", trunc_div(F.col("a"), F.col("b")).alias("q")
+    ).collect()
+    for row in got:
+        a, b = row["a"], row["b"]
+        want = abs(a) // b
+        want = -want if a < 0 else want
+        assert row["q"] == want, (a, b)
+
+
+def test_trunc_div_overflowing_quotient_raises_loudly(spark):
+    """Outside the BIGINT-quotient contract the final cast must raise
+    a LOUD ANSI overflow — never wrap silently. a=2^63, b=1 is the
+    falsifying example hypothesis found in round 8."""
+    from pyspark.errors import ArithmeticException
+
+    from lakeflow.functions.exact import trunc_div
+
+    df = spark.createDataFrame([(str(2**63), 1)], "a string, b long")
+    with pytest.raises(ArithmeticException):
+        df.select(
+            trunc_div(F.col("a").cast("decimal(38,0)"), F.col("b")).alias("q")
+        ).collect()

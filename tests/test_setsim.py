@@ -368,3 +368,143 @@ def test_apss_prefix_filter_is_lossless_on_random_docs(spark):
         for r in apss_join(df, "doc_id", "text", 300_000).collect()
     }
     assert got == want
+
+
+def _apss_incr_mirror(stored, new, t_micros):
+    """Pure-Python mirror of incremental_apss_pairs' exact contract:
+    df snapshot over STORED docs only, unseen terms df=1, output pairs
+    touching at least one new doc. ``stored``/``new`` are id->text."""
+    import math
+    from collections import Counter
+
+    tf = {i: Counter(s.split()) for i, s in {**stored, **new}.items()}
+    for c in tf.values():
+        c.pop("", None)
+    df = Counter(t for i in stored for t in tf[i])
+    w = {}
+    for i, c in tf.items():
+        u = {t: (n * 1_000_000) // df.get(t, 1) for t, n in c.items()}
+        n2u = sum(x * x for x in u.values())
+        if n2u == 0:
+            w[i] = {}
+            continue
+        wi = {
+            t: math.floor(x * 1_000_000 / math.sqrt(n2u) + 0.5)
+            for t, x in u.items()
+        }
+        w[i] = {t: x for t, x in wi.items() if x > 0}
+    n2 = {i: sum(x * x for x in wi.values()) for i, wi in w.items()}
+    out = {}
+    for a in w:
+        for b in w:
+            if a >= b or (a in stored and b in stored):
+                continue
+            dot = sum(w[a][t] * w[b].get(t, 0) for t in w[a])
+            if dot == 0:
+                continue
+            cos = math.floor(
+                dot / (math.sqrt(n2[a]) * math.sqrt(n2[b])) * 1_000_000 + 0.5
+            )
+            if cos >= t_micros:
+                out[(a, b)] = cos
+    return out
+
+
+def test_incremental_apss_matches_snapshot_brute_force(spark):
+    # raw-text path: the batch is weighted against the stored df
+    # snapshot (unseen terms df=1); every pair touching a new doc and
+    # nothing else, exactly the mirror's answer
+    from lakeflow.operators.apss import (
+        apss_prefix_index,
+        incremental_apss_pairs,
+        weighted_terms,
+    )
+
+    texts = _apss_corpus()
+    stored = {i: s for i, s in enumerate(texts) if i % 2 == 0}
+    new = {i: s for i, s in enumerate(texts) if i % 2 == 1}
+    sdf = spark.createDataFrame(list(stored.items()), "doc_id long, text string")
+    ndf = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    for t in [400_000, 800_000]:
+        sw = weighted_terms(sdf, "doc_id", "text")
+        pre = apss_prefix_index(sw, "doc_id", t)
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["cos_micros"]
+            for r in incremental_apss_pairs(
+                ndf, sw, pre, "doc_id", "text", t
+            ).collect()
+        }
+        want = _apss_incr_mirror(stored, new, t)
+        assert got == want, (t, got, want)
+
+
+def test_incremental_apss_random_corpus_is_lossless(spark):
+    import random
+
+    from lakeflow.operators.apss import (
+        apss_prefix_index,
+        incremental_apss_pairs,
+        weighted_terms,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(5, 25))) for _ in range(40)
+    ]
+    stored = {i: s for i, s in enumerate(texts) if i % 3 != 0}
+    new = {i: s for i, s in enumerate(texts) if i % 3 == 0}
+    sdf = spark.createDataFrame(list(stored.items()), "doc_id long, text string")
+    ndf = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    sw = weighted_terms(sdf, "doc_id", "text")
+    pre = apss_prefix_index(sw, "doc_id", 300_000)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["cos_micros"]
+        for r in incremental_apss_pairs(
+            ndf, sw, pre, "doc_id", "text", 300_000
+        ).collect()
+    }
+    assert got == _apss_incr_mirror(stored, new, 300_000)
+
+
+def test_incremental_apss_equals_batch_on_shared_snapshot(spark):
+    # incremental == batch when both see the SAME weight snapshot: pass
+    # the full-corpus weight rows for the batch (new_weights=...) and
+    # the incremental tier must reproduce apss_join(full corpus) minus
+    # the stored x stored pairs, cosines included
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.apss import (
+        apss_join,
+        apss_prefix_index,
+        incremental_apss_pairs,
+        weighted_terms,
+    )
+
+    texts = _apss_corpus()
+    full = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    for t in [400_000, 800_000]:
+        w_full = weighted_terms(full, "doc_id", "text")
+        stored_w = w_full.filter(F.col("doc_id") % 2 == 0)
+        new_w = w_full.filter(F.col("doc_id") % 2 == 1)
+        pre = apss_prefix_index(stored_w, "doc_id", t)
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["cos_micros"]
+            for r in incremental_apss_pairs(
+                full.filter(F.col("doc_id") % 2 == 1),
+                stored_w,
+                pre,
+                "doc_id",
+                "text",
+                t,
+                new_weights=new_w,
+            ).collect()
+        }
+        want = {
+            (r["doc_id_a"], r["doc_id_b"]): r["cos_micros"]
+            for r in apss_join(full, "doc_id", "text", t).collect()
+            if r["doc_id_a"] % 2 == 1 or r["doc_id_b"] % 2 == 1
+        }
+        assert got == want, (t, got, want)

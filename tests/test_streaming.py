@@ -688,6 +688,90 @@ def test_stream_exact_neardup_index_incremental(spark, tmp_path):
     } == {1, 2, 3, 10, 11}
 
 
+def test_stream_apss_index_three_waves(spark, tmp_path):
+    # weighted-cosine APSS intake against a prebuilt seed index: three
+    # waves (each a fresh stream start = the restart path), every
+    # wave's pairs come from new x stored via the persisted norm-only
+    # prefix + new x new, old x old never re-emitted, and the weights/
+    # prefix tables grow by exactly the batch's rows
+    from lakeflow.operators.apss import apss_index_fit
+    from lakeflow.streaming.corpus_intake import stream_apss_index
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "completely different content with other words entirely here"
+
+    seed = spark.createDataFrame(
+        [(1, tmpl), (2, tmpl), (3, other)], "doc_id long, text string"
+    )
+    apss_index_fit(seed, idx, "doc_id", "text", 850_000)
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/weights").select("doc_id").distinct().collect()
+    } == {1, 2, 3}
+
+    # wave 1: an exact copy of the stored template + an unrelated doc
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"doc_id": 10, "ts": "2024-01-01T00:00:00", "text": tmpl},
+            {"doc_id": 11, "ts": "2024-01-01T00:01:00", "text": "yet more unrelated words in this separate document"},
+        ],
+    )
+    q = stream_apss_index(spark, src, schema, idx, prs, ck, threshold_micros=850_000)
+    q.awaitTermination(120)
+    pairs1 = {
+        (r["doc_id_a"], r["doc_id_b"], r["cos_micros"])
+        for r in spark.read.parquet(prs).distinct().collect()
+    }
+    # identical texts under the same snapshot weighting: cos exactly 1e6;
+    # the seed pair (1,2) is old x old and must NOT appear
+    assert pairs1 == {(1, 10, 1_000_000), (2, 10, 1_000_000)}
+
+    # wave 2 (restart): another copy joins the template cluster
+    _write_events(
+        src,
+        "w2.json",
+        [{"doc_id": 20, "ts": "2024-01-01T01:00:00", "text": tmpl}],
+    )
+    q = stream_apss_index(spark, src, schema, idx, prs, ck, threshold_micros=850_000)
+    q.awaitTermination(120)
+    pairs2 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in spark.read.parquet(prs).distinct().collect()
+    }
+    assert pairs2 == {(1, 10), (2, 10), (1, 20), (2, 20), (10, 20)}
+    # no old x old re-emission: raw row count equals the distinct count
+    assert spark.read.parquet(prs).count() == 5
+
+    # wave 3 (restart): unrelated-only batch adds index rows, no pairs
+    _write_events(
+        src,
+        "w3.json",
+        [{"doc_id": 30, "ts": "2024-01-01T02:00:00", "text": "nothing shared with any earlier document at all"}],
+    )
+    q = stream_apss_index(spark, src, schema, idx, prs, ck, threshold_micros=850_000)
+    q.awaitTermination(120)
+    assert spark.read.parquet(prs).count() == 5
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/weights").select("doc_id").distinct().collect()
+    }
+    assert ids == {1, 2, 3, 10, 11, 20, 30}
+    # the prefix table covers every doc too (norm-only prefixes are
+    # non-empty at any threshold <= 1e6)
+    pids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/prefix").select("doc_id").distinct().collect()
+    }
+    assert pids == {1, 2, 3, 10, 11, 20, 30}
+
+
 def test_stream_entity_index_incremental(spark, tmp_path):
     # continuous entity resolution: wave 2's records link against the
     # PERSISTED record set and fold into the persisted assignment

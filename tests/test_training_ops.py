@@ -1438,6 +1438,25 @@ def test_pca_gram_means_upper_triangle_trunc(spark):
     assert any(r["mean_micro2"] < 0 for r in rows)
 
 
+def test_pca_fit_rejects_ragged_and_null_padded_vectors(spark):
+    """Review round-8 finding: element_at past a short vector yields
+    NULL and F.sum skips it, so ragged/null-padded corpora used to fit
+    silently-wrong statistics. pca_fit must raise instead."""
+    from lakeflow.operators.pca import pca_fit
+
+    ragged = spark.createDataFrame(
+        [([0.1, 0.2, 0.3],), ([0.4, 0.5],)], "embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged or null-padded"):
+        pca_fit(ragged, k=2)
+
+    padded = spark.createDataFrame(
+        [([0.1, 0.2, 0.3],), ([0.4, None, 0.6],)], "embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged or null-padded"):
+        pca_fit(padded, k=2)
+
+
 def test_pca_fit_model_shape_and_sign_convention(spark):
     import numpy as np
 

@@ -669,6 +669,89 @@ def test_cdf_quantiles_track_batch_recompute(spark, tmp_path):
     assert state() == truth()
 
 
+def test_cdf_topk_heavy_value_churn_across_versions(spark, tmp_path):
+    # VERDICT r8 task #9 — the adversarial exercise of the newest
+    # read-time statistic: heavy values that ENTER and LEAVE the top-k
+    # across versions through upserts, deletes (including a leader
+    # deleted down to COUNT ZERO — its n=0 counts row must not resurface
+    # in the read), brand-new values landing straight in the top-k, and
+    # an exact tie resolved by the (n DESC, value ASC) convention.
+    # read == batch top-k at EVERY version.
+    from lakeflow.streaming.cdf import advance_cdf_aggregate, read_cdf_topk
+
+    path = str(tmp_path / "src")
+    agg = str(tmp_path / "churncounts")
+
+    def gdf(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def truth(k=3):
+        counts = read_table(spark, path).groupBy("v").count()
+        rows = sorted(
+            ((int(r["count"]), int(r["v"])) for r in counts.collect()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        return [(i + 1, v, n) for i, (n, v) in enumerate(rows)]
+
+    def state(k=3):
+        return [tuple(r) for r in read_cdf_topk(spark, agg, "v", k).collect()]
+
+    # v1: counts 1->5, 2->4, 3->3, 4->2, 5->1; top3 = (1,2,3)
+    rows = (
+        [(i, 1) for i in range(5)]
+        + [(10 + i, 2) for i in range(4)]
+        + [(20 + i, 3) for i in range(3)]
+        + [(30 + i, 4) for i in range(2)]
+        + [(40, 5)]
+    )
+    write_table(spark, gdf(rows), path)
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["v"], []) == 1
+    assert state() == truth()
+
+    # v2: value 5 ENTERS (3 upserted rows -> count 4), value 3 LEAVES
+    merge_upsert_table(spark, gdf([(41, 5), (42, 5), (43, 5)]), path, ["k"])
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["v"], []) == 2
+    assert state() == truth()
+    # 5 in, 3 out; 2 and 5 tie at 4 and order by value ASC
+    assert [t[1] for t in state()] == [1, 2, 5]
+
+    # v3: the LEADER (value 1) is deleted to COUNT ZERO — it must leave
+    # the top-k entirely, not linger as an n=0 row
+    delete_where(spark, path, F.col("v") == 1)
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["v"], []) == 3
+    assert state() == truth()
+    assert all(t[2] > 0 for t in state(k=6))
+    assert 1 not in [t[1] for t in state(k=6)]
+
+    # v4: a brand-new value 6 appends straight into first place
+    append_table(spark, gdf([(50 + i, 6) for i in range(7)]), path)
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["v"], []) == 4
+    assert state() == truth()
+    assert state()[0][1] == 6
+
+    # v5: upsert engineers an exact TIE (value 3 rises to value 5's
+    # count of 4): (n DESC, value ASC) puts 3 before 5
+    merge_upsert_table(spark, gdf([(60, 3)]), path, ["k"])
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["v"], []) == 5
+    assert state() == truth()
+    got = state(k=6)
+    by_val = {t[1]: t[2] for t in got}
+    tied = [v for v, n in by_val.items() if list(by_val.values()).count(n) > 1]
+    assert tied, got  # the version engineered at least one tie
+    vals = [t[1] for t in got]
+    for n in set(by_val.values()):
+        grp = [v for v in vals if by_val[v] == n]
+        assert grp == sorted(grp)  # ties ordered by value ASC
+
+    # v6: delete + upsert in the SAME advance window (two versions
+    # folded in one |changes|-bounded advance)
+    delete_where(spark, path, F.col("v") == 6)
+    merge_upsert_table(spark, gdf([(70, 3), (71, 3)]), path, ["k"])
+    assert advance_cdf_aggregate(spark, path, agg, ["k"], ["v"], []) == 7
+    assert state() == truth()
+    assert state(k=10) == truth(k=10)
+
+
 def test_cdf_topk_tracks_batch_recompute(spark, tmp_path):
     # r8 continuation-2: the FIFTH read-time statistic on the same
     # maintained counts table — top-k frequent values equal the batch
