@@ -261,6 +261,68 @@ def ivf_centroids(
     return [[int(x) for x in r["__v"]] for r in picked]
 
 
+def _cell_scores_fn(cents: list[list[int]]):
+    """Compact cell-scoring expression builder shared by assignment
+    and probing: ONE nested-array literal + higher-order functions
+    instead of n_cells x dim scalar literal nodes. The old form (16
+    cells x 64 dims = 1024 Literal nodes, duplicated on the corpus and
+    probe sides) cost ~1 s of Catalyst re-optimization per ACTION at
+    ANY data size — plan-size overhead, not row work (measured r9:
+    2,000-row sf0.1 corpus, 1.5 s ann vs 0.6 s brute force). The
+    ~20-node zip_with/aggregate tree optimizes in milliseconds;
+    per-row it trades whole-stage codegen for interpreted HOF
+    evaluation, the right trade everywhere the corpus side is
+    PREBUILT (``assignments=``) and only bounded query rows evaluate
+    it. Scores are (s, i) structs so array_max keeps the historical
+    tie resolution (max score, then max cell index)."""
+    n_cells = len(cents)
+    cmat = F.lit([[int(x) for x in c] for c in cents])
+    c2l = F.lit([int(sum(x * x for x in c)) for c in cents])
+    idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+
+    def cell_scores(v: Column) -> Column:
+        # argmin ||v-c||^2 == argmax 2*v.c - c.c (exact longs)
+        scores = F.zip_with(
+            cmat,
+            c2l,
+            lambda c, c2: F.aggregate(
+                F.zip_with(v, c, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(2)
+            - c2,
+        )
+        return F.zip_with(
+            scores, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+        )
+
+    return cell_scores
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The inverted-file ASSIGNMENT relation (id, cell) — the second
+    build-half of the IVF split (centroids being the first): one
+    narrow map over the corpus scan, no shuffle. Persist this beside
+    the corpus (append each ingest batch's rows — assignment is
+    per-row and centroid-frozen) and pass it to :func:`ivf_ann_topk`
+    as ``assignments=`` so serving never re-scores the corpus against
+    the centroids: at 100 TB the corpus side of a query is then a
+    column-pruned scan + equi-join on cell, zero per-row centroid
+    math."""
+    cell_scores = _cell_scores_fn(centroids)
+    base = _with_vectors(emb, id_col, vec_col)
+    return base.select(
+        F.col(id_col),
+        F.array_max(cell_scores(F.col("__v"))).getField("i").alias("cell"),
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -270,6 +332,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[int]] | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate NN: partition the corpus into ``n_cells``
     Voronoi cells around deterministic centroids, probe the ``n_probe``
@@ -287,7 +350,11 @@ def ivf_ann_topk(
     never moves. Pass prebuilt ``centroids`` (from
     :func:`ivf_centroids`, persisted beside the corpus) to skip the
     pick scan entirely — the serving path then runs ZERO build jobs.
-    Returns (q_id, vec_id, cos_micros, rnk)."""
+    Pass a prebuilt ``assignments`` relation too (:func:`ivf_assign`,
+    persisted beside the corpus) and the corpus side stops re-scoring
+    vectors against centroids at query time altogether — the full
+    inverted-file serving shape. Returns (q_id, vec_id, cos_micros,
+    rnk)."""
     base = _with_vectors(emb, id_col, vec_col)
     if centroids is None:
         centroids = ivf_centroids(emb, n_cells, id_col, vec_col)
@@ -295,31 +362,20 @@ def ivf_ann_topk(
         raise ValueError(
             f"centroids holds {len(centroids)} vectors, expected n_cells={n_cells}"
         )
-    cents = centroids
-    c2s = [sum(x * x for x in c) for c in cents]
+    cell_scores = _cell_scores_fn(centroids)
 
-    def cell_scores(v: Column) -> Column:
-        # argmin ||v-c||^2 == argmax 2*v.c - c.c (exact longs)
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        dot_long(v, F.array([F.lit(x) for x in cents[c]]))
-                        * F.lit(2)
-                        - F.lit(c2s[c])
-                    ).alias("s"),
-                    F.lit(c).alias("i"),
-                )
-                for c in range(n_cells)
-            ]
+    if assignments is not None:
+        # serving path: the corpus's (id, cell) relation is prebuilt
+        # (ivf_assign, persisted beside the corpus) — zero corpus-side
+        # centroid math per query
+        corpus = base.join(assignments.select(id_col, "cell"), id_col)
+    else:
+        corpus = base.select(
+            id_col,
+            "__v",
+            "__n2",
+            F.array_max(cell_scores(F.col("__v"))).getField("i").alias("cell"),
         )
-
-    corpus = base.select(
-        id_col,
-        "__v",
-        "__n2",
-        F.array_max(cell_scores(F.col("__v"))).getField("i").alias("cell"),
-    )
     probes = (
         base.filter(query_pred)
         .select(

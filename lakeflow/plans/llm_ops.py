@@ -457,6 +457,7 @@ def q_ivf_ann(spark, sf_dir):
     ann = ivf_ann_topk(
         emb, pred, k=5, n_cells=16, n_probe=8,
         centroids=_ivf_centroids(spark, sf_dir, n_cells=16),
+        assignments=_ivf_assignments(spark, sf_dir, n_cells=16),
     )
     exact = brute_force_topk(emb, pred, k=5)
     hits = ann.join(
@@ -2355,6 +2356,36 @@ def _ivf_centroids(spark, sf_dir: str, n_cells: int = 16) -> list[list[int]]:
             os.unlink(tmp)  # lost a build race
     with open(path) as fh:
         return json.load(fh)
+
+
+def _ivf_assignments(spark, sf_dir: str, n_cells: int = 16):
+    """Build-once-per-corpus IVF (id, cell) assignment relation for
+    q_ivf_ann — the SECOND build half beside :func:`_ivf_centroids`
+    (r9, VERDICT r8 task #3): in a real inverted-file deployment the
+    assignment IS the index, built once and appended per ingest batch
+    (``similarity.ivf_assign``); re-deriving it per query re-scored
+    the whole corpus against every centroid at serve time. Persisted
+    as parquet under /tmp keyed by the corpus content fingerprint;
+    deterministic contents (frozen centroids, exact integer argmax);
+    race-safe via unique-tmp dir + rename."""
+    import os
+    import shutil
+    import uuid
+
+    from lakeflow.operators.similarity import ivf_assign
+
+    key = _corpus_cache_key(sf_dir)
+    path = f"/tmp/lakeflow_ivfasg_{key}_{n_cells}"
+    if not os.path.isdir(path):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = _ivf_centroids(spark, sf_dir, n_cells)
+        tmp = f"{path}._build_{uuid.uuid4().hex[:8]}"
+        ivf_assign(emb, cents).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a build race
+    return spark.read.parquet(path)
 
 
 def _pq_index(spark, sf_dir: str) -> str:
