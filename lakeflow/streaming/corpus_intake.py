@@ -942,6 +942,51 @@ def stream_semantic_index(
     return writer.start()
 
 
+def stream_ivf_assign(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    centroids: list[list[int]],
+    assignments_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Continuous IVF inverted-file maintenance (r9, the index half of
+    ``similarity.ivf_ann_topk``'s ``assignments=`` serving path): as
+    vectors stream in, each micro-batch's (id, cell) assignment rows
+    against the FROZEN centroid list append to ``assignments_path`` —
+    assignment is per-row and centroid-frozen, so maintenance is one
+    narrow map per batch, no shuffle, no read of the stored index at
+    all. Centroid drift is handled by a periodic re-pick + index
+    rebuild (deterministic), never per-batch centroid mutation — the
+    same arrangement as the semantic-dedup and APSS index streams.
+
+    Replay-safe by construction: assignment is a pure deterministic
+    function of (vector, centroids), so a crashed-and-replayed batch
+    re-appends identical rows, and serving joins the assignment
+    relation on the id key where duplicates cannot change any
+    query's candidate cell set (they re-verify to the same top-k;
+    consumers that want byte-tidy tables distinct() on (id, cell))."""
+    from lakeflow.operators.similarity import ivf_assign
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        ivf_assign(batch, centroids, id_col, vec_col).write.mode(
+            "append"
+        ).parquet(assignments_path)
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_apss_index(
     spark: SparkSession,
     path: str,

@@ -688,6 +688,94 @@ def test_stream_exact_neardup_index_incremental(spark, tmp_path):
     } == {1, 2, 3, 10, 11}
 
 
+def test_stream_ivf_assign_maintains_serving_index(spark, tmp_path):
+    # continuous inverted-file maintenance: per-batch (id, cell) rows
+    # against FROZEN centroids append to the assignment relation; the
+    # maintained table equals a fresh full recompute at every wave and
+    # serves ivf_ann_topk identically to in-query assignment
+    import random
+
+    from lakeflow.operators.similarity import (
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_centroids,
+    )
+    from lakeflow.streaming.corpus_intake import stream_ivf_assign
+
+    rng = random.Random(3)
+
+    def vec():
+        return [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+
+    src = str(tmp_path / "vecs")
+    asg = str(tmp_path / "assignments")
+    ck = str(tmp_path / "ck")
+    schema = "vec_id long, ts timestamp, embedding array<double>"
+    seed_rows = [(i, vec()) for i in range(20)]
+    seed = spark.createDataFrame(seed_rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(seed, n_cells=4)
+    ivf_assign(seed, cents).write.mode("overwrite").parquet(asg)
+
+    wave1 = [(100 + i, vec()) for i in range(10)]
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"vec_id": i, "ts": "2024-01-01T00:00:00", "embedding": v}
+            for i, v in wave1
+        ],
+    )
+    q = stream_ivf_assign(spark, src, schema, cents, asg, ck)
+    q.awaitTermination(120)
+
+    all_rows = seed_rows + wave1
+    full = spark.createDataFrame(all_rows, "vec_id long, embedding array<double>")
+    stored = {
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(asg).collect()
+    }
+    fresh = {(r["vec_id"], r["cell"]) for r in ivf_assign(full, cents).collect()}
+    assert stored == fresh
+
+    # serving parity: prebuilt assignments vs in-query assignment
+    pred = F.col("vec_id") < 3
+    a = {
+        (r["q_id"], r["vec_id"], r["cos_micros"])
+        for r in ivf_ann_topk(
+            full, pred, k=3, n_cells=4, n_probe=2, centroids=cents,
+            assignments=spark.read.parquet(asg),
+        ).collect()
+    }
+    b = {
+        (r["q_id"], r["vec_id"], r["cos_micros"])
+        for r in ivf_ann_topk(
+            full, pred, k=3, n_cells=4, n_probe=2, centroids=cents
+        ).collect()
+    }
+    assert a == b
+
+    # wave 2 (restart path): maintained still equals fresh recompute
+    wave2 = [(200 + i, vec()) for i in range(5)]
+    _write_events(
+        src,
+        "w2.json",
+        [
+            {"vec_id": i, "ts": "2024-01-01T01:00:00", "embedding": v}
+            for i, v in wave2
+        ],
+    )
+    q = stream_ivf_assign(spark, src, schema, cents, asg, ck)
+    q.awaitTermination(120)
+    full2 = spark.createDataFrame(
+        all_rows + wave2, "vec_id long, embedding array<double>"
+    )
+    stored2 = {
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(asg).collect()
+    }
+    assert stored2 == {
+        (r["vec_id"], r["cell"]) for r in ivf_assign(full2, cents).collect()
+    }
+
+
 def test_stream_apss_index_three_waves(spark, tmp_path):
     # weighted-cosine APSS intake against a prebuilt seed index: three
     # waves (each a fresh stream start = the restart path), every
