@@ -263,6 +263,10 @@ BENCH_QUERIES = [
     "q_cms_estimate",
     "q_grouped_chi2",
     "q_matryoshka_recall",
+    # round 9: mergeable log-histogram quantile sketch (the
+    # unbounded-domain quantile path; q_incremental_apss stays out —
+    # see the apss note below)
+    "q_loghist_quantiles",
     # q_apss_join stays OUT of the headline (the q_cdf_aggregate rule:
     # not a steady-state query shape on this data): the synthetic
     # documents table draws uniform tokens from a tiny shared

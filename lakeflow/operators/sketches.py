@@ -304,3 +304,101 @@ def sql_cms_estimate(
     FROM pc LEFT JOIN sk USING (seed_row, bucket)
     GROUP BY pc.probe
     """
+
+
+# ----------------------------------------------------- quantile sketch
+
+#: default sub-bins per power-of-two bucket: relative error <= 1/S
+LOGHIST_SUB_BINS = 4096
+
+
+def loghist_key(v: Column, sub_bins: int = LOGHIST_SUB_BINS) -> Column:
+    """Deterministic log-histogram bin key for a LONG value — the
+    quantile-sketch sibling of the HLL/CMS family, for value domains
+    too large to count exactly (``q_exact_quantiles``'s counts table
+    is value-domain-bounded; a 100 TB corpus of high-resolution
+    micros is not). Each power-of-two magnitude bucket splits into
+    ``sub_bins`` linear sub-bins, so the key space is
+    O(64 * sub_bins) regardless of the data and the representative
+    value of a bin is within RELATIVE error 1/sub_bins of every value
+    it absorbs — the KLL/t-digest use case WITHOUT their
+    order/randomness nondeterminism (both engines replay the binning
+    bit-for-bit; the sketch is a plain additive counts table, so
+    merge = SUM and streaming maintenance is the CMS SUM-fold).
+
+    key = sign(v) * (bit_length(|v|) * sub_bins + sub) with
+    sub = ((|v| - 2^(b-1)) * sub_bins) div 2^(b-1); key(0) = 0.
+    MONOTONE in v (larger value -> larger key), so percentile_disc
+    selection over keys lands in the bin containing the true
+    quantile. bit_length via length(bin(x)) — identical on Spark and
+    DuckDB (the HLL rho precedent); 2^(b-1) via pow(2, b-1), exact in
+    a double for every BIGINT magnitude; the sub-bin division runs in
+    DECIMAL(38,0) (``trunc_div``) because (|v| - lo) * sub_bins can
+    pass 2^63."""
+    m = F.abs(v)
+    bucket = F.length(F.bin(m)).cast("long")  # floor(log2 m) + 1, m > 0
+    lo = F.pow(F.lit(2.0), (bucket - 1).cast("double")).cast("long")
+    sub = trunc_div(
+        (m - lo).cast("decimal(38,0)") * F.lit(int(sub_bins)), lo
+    )
+    sgn = F.when(v < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    return F.when(v == F.lit(0), F.lit(0).cast("long")).otherwise(
+        sgn * (bucket * F.lit(int(sub_bins)) + sub)
+    )
+
+
+def loghist_decode(key: Column, sub_bins: int = LOGHIST_SUB_BINS) -> Column:
+    """Representative value (the bin's signed LOWER magnitude edge) of
+    a :func:`loghist_key`: |decoded| <= |v| < |decoded| + 2^(b-1)/S
+    for every v the bin absorbed — relative error <= 1/sub_bins."""
+    a = F.abs(key)
+    bucket = trunc_div(a, F.lit(int(sub_bins)).cast("long"))
+    sub = a % F.lit(int(sub_bins))
+    lo = F.pow(F.lit(2.0), (bucket - 1).cast("double")).cast("long")
+    off = trunc_div(sub.cast("decimal(38,0)") * lo, F.lit(int(sub_bins)))
+    sgn = F.when(key < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    return F.when(key == F.lit(0), F.lit(0).cast("long")).otherwise(
+        sgn * (lo + off)
+    )
+
+
+def loghist_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    sub_bins: int = LOGHIST_SUB_BINS,
+) -> DataFrame:
+    """The maintained sketch relation: (group..., key, n) — ONE hash
+    aggregate over the scan, map-side combined to the key-space bound
+    (<= 64 * sub_bins rows per group) before a tiny shuffle. Additive
+    and mergeable: counts from any corpus split SUM to the whole
+    (``sinks/merge.merge_additive`` / ``stream_loghist`` maintain it
+    from a stream with the CMS commit-token contract)."""
+    key = loghist_key(F.col(value_col), sub_bins).alias("key")
+    return df.groupBy(*group_cols, key).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def loghist_quantiles(
+    counts: DataFrame,
+    probs: Sequence[float],
+    group_col: str | None = None,
+    sub_bins: int = LOGHIST_SUB_BINS,
+) -> DataFrame:
+    """Approximate quantiles from the maintained counts: exact
+    percentile_disc selection over the MONOTONE keys (the certified
+    ``profile.quantiles_from_value_counts`` machinery), then decode —
+    so ``approx_micros`` is within relative error 1/sub_bins of the
+    exact percentile_disc answer, at any corpus size, from a
+    key-space-bounded read. Output (group?, p_micros, approx_micros,
+    n_total)."""
+    from lakeflow.operators.profile import quantiles_from_value_counts
+
+    q = quantiles_from_value_counts(counts, "key", "n", probs, group_col)
+    cols = ([group_col] if group_col else []) + ["p_micros"]
+    return q.select(
+        *cols,
+        loghist_decode(F.col("value"), sub_bins).alias("approx_micros"),
+        "n_total",
+    )

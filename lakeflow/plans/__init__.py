@@ -30,15 +30,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-9 ROTATION, generated from CERTIFIED.json via
     # scripts/certified_ledger.py (VERDICT r8 tasks #2, #10):
     # oldest-certification-first, must-certify new builds on top.
-    # Composition: 1 must-certify round-9 build (q_incremental_apss,
+    # Composition: 2 must-certify round-9 builds (q_incremental_apss,
     # the incremental tier of the weighted APSS join — VERDICT r8
-    # task #5), all 15 queries whose latest driver row is still
+    # task #5 — and q_loghist_quantiles, the mergeable log-histogram
+    # quantile sketch), all 15 queries whose latest driver row is still
     # round 2 (the carries displaced by the r8 continuation builds),
     # all 3 whose latest row is round 4 (q_text_stats,
     # q_window_running, q_winnow_fingerprint — carried from the r8
-    # rotation), and 31 of the 36 whose latest row is round 5. The 5
+    # rotation), and 30 of the 36 whose latest row is round 5. The 6
     # r5 rows left for the r10 refresh each keep an in-window family
     # sibling this round and stay green in the local gate:
+    # q_heavy_hitters_approx (sketch family siblings q_cms_estimate/
+    # q_hll_distinct certified r8, q_loghist_quantiles in this window),
     # q_scalar_funcs_wide (granular F1-F6 siblings q_date_funcs/
     # q_math_funcs/q_string_funcs/q_conditional_null are ALL in this
     # window), q_set_ops (D4 sibling q_intersect_custkeys in window),
@@ -46,12 +49,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window), q_funnel_steps (sibling q_gold_funnel_join in window),
     # q_pivot_event_types (A4/pivot sibling q12_shipmode_buckets in
     # window). After this round the ledger's minimum latest-round is
-    # 5, held only by those five annotated carries. The rotated-out
+    # 5, held only by those six annotated carries. The rotated-out
     # r7/r8 rows remain the evidence of record (COVERAGE.md ledger +
     # CERTIFIED.json).
     #
-    # --- must-certify round-9 build (1) ---
+    # --- must-certify round-9 builds (2) ---
     "q_incremental_apss",
+    "q_loghist_quantiles",
     # --- latest row r2 (15) ---
     "q10_returned_items",
     "q12_shipmode_buckets",
@@ -87,7 +91,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_dup_clusters",
     "q_embedding_near_dup",
     "q_gold_funnel_join",
-    "q_heavy_hitters_approx",
+    # q_heavy_hitters_approx (r5) displaced for the round-9-built
+    # q_loghist_quantiles (the sketch family keeps in-window rows via
+    # q_cms_estimate/q_hll_distinct r8 and the new loghist row; it
+    # stays green in the local gate and carries to the r10 refresh)
     "q_ivf_pq_ann",
     "q_json_extract_events",
     "q_keyword_search",

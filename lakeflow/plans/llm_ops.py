@@ -5459,6 +5459,74 @@ def q_exact_quantiles(spark, sf_dir):
 
 
 @query(
+    "q_loghist_quantiles",
+    oracle="""
+    WITH v AS (SELECT event_type,
+                      CAST(FLOOR(value * 1000000e0 + 0.5e0) AS BIGINT) AS v
+               FROM events),
+    k AS (SELECT event_type,
+            CASE WHEN v = 0 THEN 0 ELSE
+              (CASE WHEN v < 0 THEN -1 ELSE 1 END) *
+              (CAST(length(bin(abs(v))) AS BIGINT) * 4096 +
+               CAST(((abs(v) - (1::BIGINT << (length(bin(abs(v))) - 1)))::HUGEINT
+                     * 4096)
+                    // (1::BIGINT << (length(bin(abs(v))) - 1)) AS BIGINT))
+            END AS key
+          FROM v),
+    c AS (SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n
+          FROM k GROUP BY 1, 2),
+    cum AS (SELECT event_type, key, n,
+                   SUM(n) OVER (PARTITION BY event_type ORDER BY key) AS cum
+            FROM c),
+    t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS N FROM c GROUP BY 1),
+    p AS (SELECT unnest([500000, 900000, 990000]) AS p_micros),
+    sel AS (SELECT cum.event_type, CAST(p.p_micros AS BIGINT) AS p_micros,
+                   MIN(CASE WHEN cum.cum * 1000000 >= p.p_micros * t.N
+                            THEN cum.key END) AS key,
+                   t.N AS n_total
+            FROM cum JOIN t USING (event_type) CROSS JOIN p
+            GROUP BY 1, 2, t.N)
+    SELECT event_type, p_micros,
+           CASE WHEN key = 0 THEN 0 ELSE
+             (CASE WHEN key < 0 THEN -1 ELSE 1 END) *
+             ((1::BIGINT << CAST(abs(key) // 4096 - 1 AS INTEGER)) +
+              CAST(((abs(key) % 4096)::HUGEINT
+                    * (1::BIGINT << CAST(abs(key) // 4096 - 1 AS INTEGER)))
+                   // 4096 AS BIGINT))
+           END AS approx_micros,
+           n_total
+    FROM sel
+    """,
+    description="Mergeable log-histogram QUANTILE SKETCH "
+    "(operators/sketches.loghist_*, r9): p50/p90/p99 of the event "
+    "value per event type from a bounded additive counts table — the "
+    "quantile sibling of the portable HLL (cardinality) and CMS "
+    "(frequency) sketches, for value domains too large for "
+    "q_exact_quantiles' exact CDF counts. Each power-of-two magnitude "
+    "bucket splits into 4096 linear sub-bins (key space O(64*4096) "
+    "regardless of data; relative error <= 1/4096 GUARANTEED, unlike "
+    "KLL/t-digest whose randomness/order-dependence breaks "
+    "cross-engine replay); bit_length via length(bin(x)) — identical "
+    "on both engines, the HLL rho precedent; sub-bin splits in "
+    "DECIMAL(38,0)/HUGEINT; selection is the certified "
+    "percentile_disc machinery over the MONOTONE keys; merge = SUM "
+    "(streaming maintainer stream_loghist under the CMS commit-token "
+    "contract). The oracle replays bins, selection and decode "
+    "bit-for-bit.",
+    refs=("§2.12", "A5"),
+)
+def q_loghist_quantiles(spark, sf_dir):
+    from lakeflow.functions.exact import micros
+    from lakeflow.operators.sketches import loghist_counts, loghist_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = loghist_counts(
+        ev.select("event_type", micros("value").alias("v")), "v", ["event_type"]
+    )
+    return loghist_quantiles(counts, [0.5, 0.9, 0.99], "event_type")
+
+
+@query(
     "q_apss_join",
     oracle=f"""
     WITH tk AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),

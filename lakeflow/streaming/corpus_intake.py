@@ -484,6 +484,78 @@ def read_cms(spark: SparkSession, target_path: str) -> DataFrame:
     return sk
 
 
+def stream_loghist(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    target_path: str,
+    checkpoint: str,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    sub_bins: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous quantile-sketch maintenance (r9): each micro-batch's
+    log-histogram counts (``operators/sketches.loghist_counts`` — a
+    key-space-bounded additive relation) SUM-fold into a running
+    table via ``merge_additive`` under the batch-id commit token
+    (counts are additive, not idempotent — the CMS replay contract).
+    The maintained table equals the batch sketch over everything ever
+    streamed, so :func:`read_loghist_quantiles` answers "what is p50/
+    p99 of everything so far" at any instant from bounded state with
+    relative error <= 1/sub_bins — the quantile sibling of
+    :func:`stream_hll` (cardinality) and :func:`stream_cms`
+    (frequency), for value domains too large for the exact CDF
+    counts table."""
+    from lakeflow.operators.sketches import LOGHIST_SUB_BINS, loghist_counts
+    from lakeflow.sinks.merge import has_commit_token, merge_additive
+    from lakeflow.streaming.pipeline import stream_ndjson
+
+    sb = sub_bins or LOGHIST_SUB_BINS
+    stream = stream_ndjson(spark, path, schema)
+
+    def _batch(batch, batch_id: int) -> None:
+        token = f"b{batch_id}"
+        if has_commit_token(target_path, token):
+            return
+        delta = loghist_counts(batch, value_col, group_cols, sb)
+        merge_additive(
+            spark, target_path, delta,
+            [*group_cols, "key"], ["n"],
+            commit_token=token,
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_loghist_quantiles(
+    spark: SparkSession,
+    target_path: str,
+    probs,
+    group_col: str | None = None,
+    sub_bins: int | None = None,
+) -> DataFrame:
+    """Approximate quantiles of everything streamed so far, from the
+    maintained log-histogram counts table (key-space-bounded read;
+    exact percentile_disc selection over the monotone keys, then
+    decode — relative error <= 1/sub_bins vs the exact answer)."""
+    from lakeflow.operators.sketches import LOGHIST_SUB_BINS, loghist_quantiles
+    from lakeflow.sinks.merge import read_target_if_exists
+
+    counts = read_target_if_exists(spark, target_path)
+    if counts is None:
+        raise FileNotFoundError(
+            f"read_loghist_quantiles: no sketch table at {target_path!r} — "
+            f"the log-histogram stream has not committed its first batch yet"
+        )
+    return loghist_quantiles(counts, probs, group_col, sub_bins or LOGHIST_SUB_BINS)
+
+
 def stream_gram_stats(
     spark: SparkSession,
     path: str,

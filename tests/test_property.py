@@ -840,3 +840,91 @@ def test_trunc_div_overflowing_quotient_raises_loudly(spark):
         df.select(
             trunc_div(F.col("a").cast("decimal(38,0)"), F.col("b")).alias("q")
         ).collect()
+
+
+def _loghist_mirror_key(v: int, s: int = 4096) -> int:
+    if v == 0:
+        return 0
+    m = abs(v)
+    b = m.bit_length()
+    lo = 1 << (b - 1)
+    return (1 if v > 0 else -1) * (b * s + ((m - lo) * s) // lo)
+
+
+def _loghist_mirror_decode(k: int, s: int = 4096) -> int:
+    if k == 0:
+        return 0
+    a = abs(k)
+    b, sub = a // s, a % s
+    lo = 1 << (b - 1)
+    return (1 if k > 0 else -1) * (lo + (sub * lo) // s)
+
+
+@slow
+@given(st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=12))
+def test_loghist_key_mirror_monotone_and_error_bound(spark, vals):
+    # r9 quantile sketch: Spark's key/decode match the pure-Python
+    # mirror bit-for-bit, keys are monotone in the value, and the
+    # decoded representative is within relative error 1/sub_bins
+    from lakeflow.operators.sketches import loghist_decode, loghist_key
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select(
+        "v",
+        loghist_key(F.col("v")).alias("k"),
+        loghist_decode(loghist_key(F.col("v"))).alias("d"),
+    ).collect()
+    S = 4096
+    for r in rows:
+        assert r["k"] == _loghist_mirror_key(r["v"])
+        assert r["d"] == _loghist_mirror_decode(r["k"])
+        # |decoded| <= |v| and the gap is <= |v| / S
+        assert abs(r["d"]) <= abs(r["v"])
+        assert (abs(r["v"]) - abs(r["d"])) * S <= abs(r["v"])
+    ordered = sorted(vals)
+    keys = [_loghist_mirror_key(v) for v in ordered]
+    assert keys == sorted(keys)  # monotone
+
+
+@slow
+@given(
+    st.lists(st.integers(-(10**9), 10**9), min_size=3, max_size=40),
+    st.integers(1, 5),
+)
+def test_loghist_quantiles_track_exact_percentile_disc(spark, vals, cut):
+    # the sketch's quantile is within relative error 1/sub_bins of the
+    # exact percentile_disc answer, and the counts table is MERGEABLE:
+    # summing two halves' sketches answers identically to one pass
+    import math
+
+    from lakeflow.operators.sketches import loghist_counts, loghist_quantiles
+
+    S = 4096
+    probs = [0.5, 0.9]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    whole = {
+        r["p_micros"]: r["approx_micros"]
+        for r in loghist_quantiles(loghist_counts(df, "v"), probs).collect()
+    }
+    n = len(vals)
+    ordered = sorted(vals)
+    for p in probs:
+        exact = ordered[math.ceil(p * n) - 1]
+        a = whole[int(p * 1e6)]
+        assert abs(a) <= abs(exact) + 1
+        assert (abs(exact) - abs(a)) * S <= abs(exact) + S, (p, a, exact)
+    cut = cut % len(vals)
+    half1 = spark.createDataFrame([(v,) for v in vals[:cut]] or [(0,)], "v long")
+    half2 = spark.createDataFrame([(v,) for v in vals[cut:]] or [(0,)], "v long")
+    if cut and cut < len(vals):
+        merged = (
+            loghist_counts(half1, "v")
+            .unionByName(loghist_counts(half2, "v"))
+            .groupBy("key")
+            .agg(F.sum("n").alias("n"))
+        )
+        got = {
+            r["p_micros"]: r["approx_micros"]
+            for r in loghist_quantiles(merged, probs).collect()
+        }
+        assert got == whole

@@ -1682,6 +1682,67 @@ def test_stream_gram_stats_maintains_pca_model(spark, tmp_path):
     assert read_pca_model(spark, tgt, k=2) == batch_model([w1, w2])
 
 
+def test_stream_loghist_matches_batch_and_replays_tokened(spark, tmp_path):
+    # r9: SUM-fold-maintained log-histogram counts == the batch sketch
+    # over everything ever streamed, so maintained quantiles == batch
+    # sketch quantiles at every instant; replay is a no-op via the
+    # batch-id commit token (counts are NOT idempotent — CMS contract)
+    from lakeflow.operators.sketches import loghist_counts, loghist_quantiles
+    from lakeflow.streaming.corpus_intake import (
+        read_loghist_quantiles,
+        stream_loghist,
+    )
+
+    src = str(tmp_path / "ev")
+    tgt = str(tmp_path / "lh")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, v long"
+    w1 = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00", "v": (i * 7919) % 100_000}
+        for i in range(300)
+    ]
+    w2 = [
+        {"event_id": 1000 + i, "ts": "2024-01-01T01:00:00", "v": -(i * 31) % 977 - 1}
+        for i in range(100)
+    ]
+    probs = [0.5, 0.9, 0.99]
+
+    def batch_q(waves):
+        rows = [(d["v"],) for w in waves for d in w]
+        df = spark.createDataFrame(rows, "v long")
+        return sorted(
+            tuple(r)
+            for r in loghist_quantiles(loghist_counts(df, "v"), probs).collect()
+        )
+
+    _write_events(src, "w1.json", w1)
+    q = stream_loghist(spark, src, schema, tgt, ck, "v")
+    q.awaitTermination(120)
+    got1 = sorted(
+        tuple(r) for r in read_loghist_quantiles(spark, tgt, probs).collect()
+    )
+    assert got1 == batch_q([w1])
+
+    _write_events(src, "w2.json", w2)
+    q = stream_loghist(spark, src, schema, tgt, ck, "v")
+    q.awaitTermination(120)
+    got2 = sorted(
+        tuple(r) for r in read_loghist_quantiles(spark, tgt, probs).collect()
+    )
+    assert got2 == batch_q([w1, w2])
+
+    # full-history replay under a fresh checkpoint: tokens no-op it
+    import shutil
+
+    shutil.rmtree(ck)
+    q = stream_loghist(spark, src, schema, tgt, str(tmp_path / "ck2"), "v")
+    q.awaitTermination(120)
+    got3 = sorted(
+        tuple(r) for r in read_loghist_quantiles(spark, tgt, probs).collect()
+    )
+    assert got3 == got2
+
+
 def test_stream_cms_matches_batch_and_replays_free(spark, tmp_path):
     # r8 continuation-2: SUM-fold-maintained count-min cells == the
     # batch sketch over everything ever streamed; replay is a no-op
