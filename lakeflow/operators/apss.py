@@ -515,6 +515,113 @@ def snapshot_weights(
     return w.join(n2, id_col)
 
 
+def snapshot_staleness(
+    new_docs: DataFrame,
+    stored_weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    unseen_ppm_threshold: int = 100_000,
+    chi2_micros_threshold: int = 100_000,
+    cache: CacheScope | None = None,
+) -> DataFrame:
+    """Drift monitor for the FROZEN df snapshot the incremental tier
+    scores against (VERDICT r9 task #4 — the missing last piece of
+    the incremental story): every batch is weighted against the
+    snapshot built at ``apss_index_fit`` time, which is sound but
+    degrades as the live term distribution drifts away from it
+    (unseen terms all take the maximum-weight df=1 reading; stale df
+    ranks mis-order prefixes, lengthening them). This probe measures
+    that drift per batch with two cheap integer statistics and says
+    REBUILD when either crosses its threshold — the
+    ``txtable.auto_optimize`` arrangement (measure, threshold,
+    trigger), applied to index freshness:
+
+    - ``unseen_ppm``: parts-per-million of the batch's (doc, term)
+      occurrence rows whose term the snapshot has never seen — i.e.
+      the rate at which ``snapshot_weights``'s conservative df=1
+      fallback is actually firing. New vocabulary is the loudest
+      drift signal and costs one anti-join-shaped aggregate.
+    - ``chi2_micros``: the exact chi-squared DISTANCE
+      (``profile.chi2_from_bin_counts`` — integer micros, range
+      [0, 2e6]) between the snapshot's and the batch's (doc, term)
+      occupancy over log2(df) buckets, with unseen terms reading
+      df=1. Catches REDISTRIBUTION drift that unseen-rate misses: a
+      once-rare term going ubiquitous moves occurrence mass across
+      df magnitudes with zero new vocabulary.
+
+    Both statistics are bounded integer algebra over <= ~40 df
+    buckets plus one term-keyed join against the bounded per-term
+    snapshot — per-batch cost is one pass over the batch's tokens,
+    nothing corpus-sized. Deterministic, so a SQL oracle replays it
+    bit-for-bit. Returns ONE row: (n_snapshot, n_batch, unseen_ppm,
+    chi2_micros, rebuild) with ``rebuild`` 1 when either statistic
+    crosses its threshold. The trigger's contract mirrors
+    ``auto_optimize``: the CALLER runs ``apss_index_fit`` on
+    rebuild=1 (a monitor must never mutate the index it measures
+    mid-stream)."""
+    from lakeflow.operators.profile import chi2_from_bin_counts
+
+    tf = (
+        new_docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .select(F.col(id_col), "term")
+    )
+    snap = stored_weights.groupBy("term").agg(F.max("df").alias("__sdf"))
+    probe = tf.join(snap, "term", "left")
+    # two consumers (bucket occupancy + unseen-rate aggregate) — persist
+    # only under an explicit or ambient scope (the weighted_terms rule)
+    if cache is not None or active_scope() is not None:
+        probe = maybe_persist(probe, cache)
+
+    # log2-magnitude df bucket: length(bin(df)) — the loghist/HLL rho
+    # device, identical on both engines; unseen terms read df=1
+    def _bucket(dfc: Column) -> Column:
+        return F.length(F.bin(dfc)).cast("long")
+
+    obs = probe.groupBy(
+        _bucket(F.coalesce(F.col("__sdf"), F.lit(1).cast("long"))).alias("__bk")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+    # snapshot side: stored_weights is already one row per (doc, term)
+    exp = stored_weights.groupBy(_bucket(F.col("df")).alias("__bk")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    per_bin = (
+        exp.join(obs, "__bk", "full_outer")
+        .select(
+            "__bk",
+            F.coalesce(F.col("__na"), F.lit(0).cast("long")).alias("__na"),
+            F.coalesce(F.col("__nb"), F.lit(0).cast("long")).alias("__nb"),
+        )
+    )
+    chi2 = chi2_from_bin_counts(per_bin, "__bk", "__na", "__nb").select(
+        F.col("n_a").alias("n_snapshot"),
+        F.col("n_b").alias("n_batch"),
+        "chi2_micros",
+    )
+    unseen = probe.agg(
+        F.expr(
+            "CAST((CAST(SUM(CASE WHEN __sdf IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) * 1000000) div COUNT(*) AS BIGINT)"
+        ).alias("unseen_ppm")
+    )
+    return chi2.crossJoin(F.broadcast(unseen)).select(
+        "n_snapshot",
+        "n_batch",
+        "unseen_ppm",
+        "chi2_micros",
+        F.when(
+            (F.col("unseen_ppm") > F.lit(int(unseen_ppm_threshold)))
+            | (F.col("chi2_micros") > F.lit(int(chi2_micros_threshold))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rebuild"),
+    )
+
+
 def incremental_apss_pairs(
     new_docs: DataFrame,
     stored_weights: DataFrame,
@@ -637,9 +744,19 @@ def incremental_apss_pairs(
         F.col("__m").alias("__ma"),
         F.col("__n2").alias("__n2a"),
     )
+    # dedup AFTER the semi-join (candidate-bounded, so the extra
+    # shuffle touches only candidate docs, never the corpus): a
+    # crashed-and-replayed ingest batch appends its (id, term) weight
+    # rows twice (stream_apss_index appends are not token-fenced), and
+    # duplicate keys would raise DUPLICATE_MAP_KEY in the map build
+    # below. Replay rows are bit-identical, so dropDuplicates is
+    # deterministic. (The df snapshot is already dup-safe — snapshot
+    # df is a MAX per term — and duplicated stored PREFIX rows only
+    # inflate the candidate upper bound, which is sound: extra
+    # candidates re-verify exactly, no pair is ever lost.)
     stored_cand_w = stored_weights.join(
         cand.select(F.col("__pb").alias(id_col)), id_col, "left_semi"
-    )
+    ).dropDuplicates([id_col, "term"])
     b = _arrs(stored_cand_w).select(
         F.col(id_col).alias("__pb"),
         F.col("__m").alias("__mb"),
@@ -663,9 +780,18 @@ def incremental_apss_pairs(
         .filter(F.col("cos_micros") >= F.lit(int(threshold_micros)))
     )
 
-    # expand new-side representatives back through batch membership
+    # expand new-side representatives back through batch membership.
+    # The __ea != __pb guard mirrors the candidate join's
+    # __ida != __idb filter one level later: when a replayed batch's
+    # rows already reached the index AND the batch contains in-batch
+    # exact duplicates, a non-representative member __ea can equal the
+    # stored id __pb — without the filter the expansion would emit a
+    # self-pair (id_a == id_b, cos 1e6), violating the id_a < id_b
+    # contract.
     ma = members.select(F.col("__rep").alias("__pa"), F.col(id_col).alias("__ea"))
-    ns = rep_pairs.join(ma, "__pa").select(
+    ns = rep_pairs.join(ma, "__pa").filter(
+        F.col("__ea") != F.col("__pb")
+    ).select(
         F.least("__ea", "__pb").alias(f"{id_col}_a"),
         F.greatest("__ea", "__pb").alias(f"{id_col}_b"),
         "cos_micros",

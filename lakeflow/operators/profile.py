@@ -456,7 +456,7 @@ def quantiles_from_value_counts(
     value_col: str,
     n_col: str,
     probs: Sequence[float],
-    group_col: str | None = None,
+    group_col: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Exact lower quantiles from PER-DISTINCT-VALUE counts: for each
     probability p, the smallest value v with cumulative count >=
@@ -475,12 +475,35 @@ def quantiles_from_value_counts(
     from the distributed bucketed prefix sum (a hot group spreads
     across partial buckets, never one task), and the per-probability
     pick is a MIN aggregate — order-independent, bit-identical on any
-    engine."""
+    engine.
+
+    ``group_col`` may be a single column name, a SEQUENCE of names
+    (the fleet-monitor form: per-(source, lang) quantiles in one
+    pass), or None. Multi-column groups pack into one struct key for
+    the prefix-sum/aggregate machinery and unpack at output — the
+    plan shape (one hash aggregate + bucketed running sum) is
+    identical to the single-column form."""
     from lakeflow.operators.prefix import bucketed_running_sum
 
-    g = group_col if group_col is not None else "__qtg"
+    gcols = (
+        [group_col]
+        if isinstance(group_col, str)
+        else list(group_col)
+        if group_col is not None
+        else []
+    )
+    multi = len(gcols) > 1
+    if not gcols:
+        g = "__qtg"
+        gexpr = [F.lit(0).alias(g)]
+    elif multi:
+        g = "__qtg"
+        gexpr = [F.struct(*[F.col(c) for c in gcols]).alias(g)]
+    else:
+        g = gcols[0]
+        gexpr = [F.col(g)]
     base = per_v.select(
-        *([F.col(group_col)] if group_col else [F.lit(0).alias(g)]),
+        *gexpr,
         F.col(value_col).cast("long").alias("__qtv"),
         F.col(n_col).cast("long").alias("__qtn"),
     )
@@ -507,7 +530,13 @@ def quantiles_from_value_counts(
         "n_total",
         f"stack({len(p_micros)}, {stack}) AS (p_micros, value)",
     ).select(
-        *([F.col(group_col)] if group_col else []),
+        *(
+            [F.col(f"{g}.{c}").alias(c) for c in gcols]
+            if multi
+            else [F.col(g)]
+            if gcols
+            else []
+        ),
         "p_micros",
         F.col("value").cast("long").alias("value"),
         "n_total",

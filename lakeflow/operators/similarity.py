@@ -367,8 +367,15 @@ def ivf_ann_topk(
     if assignments is not None:
         # serving path: the corpus's (id, cell) relation is prebuilt
         # (ivf_assign, persisted beside the corpus) — zero corpus-side
-        # centroid math per query
-        corpus = base.join(assignments.select(id_col, "cell"), id_col)
+        # centroid math per query. distinct() first: a crashed-and-
+        # replayed ingest batch (stream_ivf_assign appends are not
+        # token-fenced) leaves duplicate (id, cell) rows, and a
+        # duplicated id would occupy two of the k ranks and displace a
+        # genuinely distinct k-th neighbor. Cheap — the relation is
+        # two longs.
+        corpus = base.join(
+            assignments.select(id_col, "cell").distinct(), id_col
+        )
     else:
         corpus = base.select(
             id_col,

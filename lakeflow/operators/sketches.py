@@ -383,7 +383,7 @@ def loghist_counts(
 def loghist_quantiles(
     counts: DataFrame,
     probs: Sequence[float],
-    group_col: str | None = None,
+    group_col: str | Sequence[str] | None = None,
     sub_bins: int = LOGHIST_SUB_BINS,
 ) -> DataFrame:
     """Approximate quantiles from the maintained counts: exact
@@ -391,12 +391,21 @@ def loghist_quantiles(
     ``profile.quantiles_from_value_counts`` machinery), then decode —
     so ``approx_micros`` is within relative error 1/sub_bins of the
     exact percentile_disc answer, at any corpus size, from a
-    key-space-bounded read. Output (group?, p_micros, approx_micros,
-    n_total)."""
+    key-space-bounded read. ``group_col`` follows the fleet-monitor
+    contract of the KS/chi²/exact-quantile family: a name, a SEQUENCE
+    of names (per-(source, lang) in one pass), or None. Output
+    (group..., p_micros, approx_micros, n_total)."""
     from lakeflow.operators.profile import quantiles_from_value_counts
 
     q = quantiles_from_value_counts(counts, "key", "n", probs, group_col)
-    cols = ([group_col] if group_col else []) + ["p_micros"]
+    gcols = (
+        [group_col]
+        if isinstance(group_col, str)
+        else list(group_col)
+        if group_col is not None
+        else []
+    )
+    cols = gcols + ["p_micros"]
     return q.select(
         *cols,
         loghist_decode(F.col("value"), sub_bins).alias("approx_micros"),

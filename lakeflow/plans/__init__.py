@@ -27,90 +27,77 @@ from lakeflow.plans import scalar_ops  # noqa: F401
 #: 103 distinct queries; COVERAGE.md's ledger maps every §2 ref to its
 #: certifying round).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-9 ROTATION, generated from CERTIFIED.json via
-    # scripts/certified_ledger.py (VERDICT r8 tasks #2, #10):
-    # oldest-certification-first, must-certify new builds on top.
-    # Composition: 2 must-certify round-9 builds (q_incremental_apss,
-    # the incremental tier of the weighted APSS join — VERDICT r8
-    # task #5 — and q_loghist_quantiles, the mergeable log-histogram
-    # quantile sketch), all 15 queries whose latest driver row is still
-    # round 2 (the carries displaced by the r8 continuation builds),
-    # all 3 whose latest row is round 4 (q_text_stats,
-    # q_window_running, q_winnow_fingerprint — carried from the r8
-    # rotation), and 30 of the 36 whose latest row is round 5. The 6
-    # r5 rows left for the r10 refresh each keep an in-window family
-    # sibling this round and stay green in the local gate:
-    # q_heavy_hitters_approx (sketch family siblings q_cms_estimate/
-    # q_hll_distinct certified r8, q_loghist_quantiles in this window),
-    # q_scalar_funcs_wide (granular F1-F6 siblings q_date_funcs/
-    # q_math_funcs/q_string_funcs/q_conditional_null are ALL in this
-    # window), q_set_ops (D4 sibling q_intersect_custkeys in window),
-    # q_like_between (predicate sibling q19_disjunctive_predicates in
-    # window), q_funnel_steps (sibling q_gold_funnel_join in window),
-    # q_pivot_event_types (A4/pivot sibling q12_shipmode_buckets in
-    # window). After this round the ledger's minimum latest-round is
-    # 5, held only by those six annotated carries. The rotated-out
-    # r7/r8 rows remain the evidence of record (COVERAGE.md ledger +
-    # CERTIFIED.json).
+    # ROUND-10 ROTATION, generated from CERTIFIED.json (freshly folded
+    # with the 50/50-green CORRECTNESS_r09 rows) via
+    # scripts/certified_ledger.py: oldest-certification-first,
+    # must-certify new builds on top. Composition: 2 must-certify
+    # round-10 builds (q_snapshot_staleness, the drift monitor +
+    # rebuild trigger for the incremental tiers' frozen df snapshot —
+    # VERDICT r9 task #4 — and q_grouped_loghist, the fleet-monitor
+    # per-(source, lang) form of the log-histogram quantile sketch —
+    # task #5), the 6 queries whose latest driver row is still round 5
+    # (the carries annotated in the r9 rotation, each green in the
+    # local gate since), all 34 whose latest row is round 6, and the
+    # first 8 (alphabetical — all r7 rows are equally stale) of the 49
+    # whose latest row is round 7. After this round the ledger's
+    # minimum latest-round is 7, held by the 41 remaining r7 rows that
+    # seed the r11 refresh. The rotated-out r8/r9 rows remain the
+    # evidence of record (COVERAGE.md ledger + CERTIFIED.json).
     #
-    # --- must-certify round-9 builds (2) ---
-    "q_incremental_apss",
-    "q_loghist_quantiles",
-    # --- latest row r2 (15) ---
-    "q10_returned_items",
-    "q12_shipmode_buckets",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q22_dormant_customers",
-    "q4_priority_check",
-    "q8_market_share",
-    "q_conditional_null",
-    "q_date_funcs",
-    "q_intersect_custkeys",
-    "q_math_funcs",
-    "q_semi_join_customers",
-    "q_string_funcs",
-    # --- latest row r4 (3) ---
-    "q_text_stats",
-    "q_window_running",
-    "q_winnow_fingerprint",
-    # --- latest row r5 (31 of 36; the 5 carries annotated above) ---
-    "q16_supplier_relationship",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "q3_shipping_priority",
-    "q_array_ops",
-    "q_asof_latest_order",
-    "q_boilerplate",
-    "q_collocations",
-    "q_dedup_latest_event",
-    "q_doc_surprisal",
-    "q_drift_tvd",
-    "q_dup_clusters",
-    "q_embedding_near_dup",
-    "q_gold_funnel_join",
-    # q_heavy_hitters_approx (r5) displaced for the round-9-built
-    # q_loghist_quantiles (the sketch family keeps in-window rows via
-    # q_cms_estimate/q_hll_distinct r8 and the new loghist row; it
-    # stays green in the local gate and carries to the r10 refresh)
-    "q_ivf_pq_ann",
-    "q_json_extract_events",
-    "q_keyword_search",
-    "q_mode_event_type",
-    "q_multimodal_meta",
-    "q_pack_sequences",
-    "q_percent_rank",
-    "q_pii_redact",
-    "q_quality_band",
-    "q_repeated_spans",
-    "q_salted_agg",
-    "q_sessionize_batch",
-    "q_simhash",
-    "q_snapshot_diff",
-    "q_tfidf_terms",
-    "q_theta_join_richer",
+    # --- must-certify round-10 builds (2) ---
+    "q_snapshot_staleness",
+    "q_grouped_loghist",
+    # --- latest row r5 (all 6) ---
+    "q_funnel_steps",
+    "q_heavy_hitters_approx",
+    "q_like_between",
+    "q_pivot_event_types",
+    "q_scalar_funcs_wide",
+    "q_set_ops",
+    # --- latest row r6 (all 34) ---
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q20_potential_promotion",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation",
+    "q_bigram_surprisal",
+    "q_cluster_purity",
+    "q_cluster_safe_split",
+    "q_corpus_prep",
+    "q_domain_percent_rank",
+    "q_dsir_weights",
+    "q_embedding_dim_stats",
+    "q_entity_resolution",
+    "q_expectations",
+    "q_full_outer_activity",
+    "q_image_dims",
+    "q_incremental_entities",
+    "q_incremental_linkage",
+    "q_interval_join",
+    "q_mad_outliers",
+    "q_multimodal_frames",
+    "q_profile_orders",
+    "q_quality_band_approx",
+    "q_repetition_metrics",
+    "q_resample_locf",
+    "q_shard_assignment",
+    "q_sketch_rollup",
+    "q_stats_moments",
+    "q_stratified_sample",
+    "q_token_budget_mix",
+    "q_ts_gaps",
+    "q_union_drifting",
+    "q_zonemap_scan",
+    "q_zorder_key",
+    # --- latest row r7 (first 8 of 49) ---
+    "q_ann_serving",
+    "q_bitmap_rollup",
+    "q_bloom_prune_join",
+    "q_bm25_search",
+    "q_bpe_merges",
+    "q_cdf_aggregate",
+    "q_chunk_windows",
+    "q_clean_lines",
 )
 
 

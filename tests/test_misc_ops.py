@@ -612,3 +612,65 @@ def test_corpus_cache_key_tracks_content(tmp_path):
     kd1 = _corpus_cache_key(str(d))
     (d / "embeddings.parquet" / "part-1.parquet").write_bytes(b"b")
     assert _corpus_cache_key(str(d)) != kd1
+
+
+def test_ivf_serving_dedups_replay_duplicated_assignments(spark):
+    # ADVICE r9 (medium): stream_ivf_assign replays append duplicate
+    # (id, cell) rows; the serving join must distinct() them or a
+    # duplicated vec_id occupies two of the k ranks and displaces a
+    # genuinely distinct k-th neighbor. Duplicated relation must serve
+    # the IDENTICAL top-k as the clean one, with no repeated vec_id
+    # per query.
+    from lakeflow.operators.similarity import (
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    pred = F.col("vec_id") < 6
+    cents = ivf_centroids(emb, 16)
+    asg = ivf_assign(emb, cents)
+    clean = ivf_ann_topk(
+        emb, pred, k=5, n_cells=16, n_probe=4, centroids=cents, assignments=asg
+    )
+    dup = ivf_ann_topk(
+        emb, pred, k=5, n_cells=16, n_probe=4, centroids=cents,
+        assignments=asg.unionByName(asg),
+    )
+    a = sorted(map(tuple, clean.collect()))
+    b = sorted(map(tuple, dup.collect()))
+    assert a == b
+    seen = set()
+    for q, v, *_ in b:
+        assert (q, v) not in seen
+        seen.add((q, v))
+
+
+def test_quantiles_from_value_counts_multi_group(spark):
+    # r10: multi-column fleet-monitor grouping (struct-packed key) —
+    # per-(g1, g2) percentile_disc must equal the single-group answer
+    # computed per slice, and unpack the group columns flat.
+    from lakeflow.operators.profile import quantiles_from_value_counts
+
+    rows = [
+        (g1, g2, v, n)
+        for g1 in ("a", "b")
+        for g2 in (0, 1)
+        for v, n in [(1, 3), (5, 2), (9, 1 + (g1 == "b") * 4)]
+    ]
+    per_v = spark.createDataFrame(rows, "g1 string, g2 long, v long, n long")
+    multi = quantiles_from_value_counts(per_v, "v", "n", [0.5, 0.9], ["g1", "g2"])
+    assert multi.columns == ["g1", "g2", "p_micros", "value", "n_total"]
+    got = {
+        (r["g1"], r["g2"], r["p_micros"]): (r["value"], r["n_total"])
+        for r in multi.collect()
+    }
+    for g1 in ("a", "b"):
+        for g2 in (0, 1):
+            single = quantiles_from_value_counts(
+                per_v.filter((F.col("g1") == g1) & (F.col("g2") == g2)),
+                "v", "n", [0.5, 0.9],
+            )
+            for r in single.collect():
+                assert got[(g1, g2, r["p_micros"])] == (r["value"], r["n_total"])

@@ -508,3 +508,103 @@ def test_incremental_apss_equals_batch_on_shared_snapshot(spark):
             if r["doc_id_a"] % 2 == 1 or r["doc_id_b"] % 2 == 1
         }
         assert got == want, (t, got, want)
+
+
+def test_incremental_apss_survives_replay_duplicated_index(spark):
+    # ADVICE r9 (medium): a crashed-and-replayed ingest batch appends
+    # its (id, term) weight + prefix rows TWICE (the stream's appends
+    # are not token-fenced). The stored-side verification map build
+    # must dedup on read — without it map_from_entries raises
+    # DUPLICATE_MAP_KEY and the stream bricks — and the answer must
+    # equal the clean-index answer exactly.
+    from lakeflow.operators.apss import (
+        apss_prefix_index,
+        incremental_apss_pairs,
+        weighted_terms,
+    )
+
+    texts = _apss_corpus()
+    stored = {i: s for i, s in enumerate(texts) if i % 2 == 0}
+    new = {i: s for i, s in enumerate(texts) if i % 2 == 1}
+    sdf = spark.createDataFrame(list(stored.items()), "doc_id long, text string")
+    ndf = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    sw = weighted_terms(sdf, "doc_id", "text")
+    pre = apss_prefix_index(sw, "doc_id", 400_000)
+    # replay: every index row present twice
+    sw2 = sw.unionByName(sw)
+    pre2 = pre.unionByName(pre)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["cos_micros"]
+        for r in incremental_apss_pairs(
+            ndf, sw2, pre2, "doc_id", "text", 400_000
+        ).collect()
+    }
+    assert got == _apss_incr_mirror(stored, new, 400_000)
+
+
+def test_incremental_apss_replayed_batch_emits_no_self_pairs(spark):
+    # ADVICE r9 (low): replayed batch whose rows ALREADY reached the
+    # index + in-batch exact duplicates — a non-representative batch
+    # member can equal a stored id, and representative expansion must
+    # not emit a self-pair (id_a == id_b) for it.
+    from lakeflow.operators.apss import (
+        apss_prefix_index,
+        incremental_apss_pairs,
+        weighted_terms,
+    )
+
+    # docs 5 and 7 are exact duplicates; the whole batch {5, 7} was
+    # already appended to the index by the crashed first attempt
+    stored = {0: "alpha beta gamma", 5: "x y z", 7: "x y z"}
+    batch = {5: "x y z", 7: "x y z"}
+    sdf = spark.createDataFrame(list(stored.items()), "doc_id long, text string")
+    ndf = spark.createDataFrame(list(batch.items()), "doc_id long, text string")
+    sw = weighted_terms(sdf, "doc_id", "text")
+    pre = apss_prefix_index(sw, "doc_id", 600_000)
+    rows = incremental_apss_pairs(
+        ndf, sw, pre, "doc_id", "text", 600_000
+    ).collect()
+    assert all(r["doc_id_a"] < r["doc_id_b"] for r in rows), rows
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["cos_micros"] for r in rows}
+    # the one real pair, exactly once, cos == 1.0
+    assert got == {(5, 7): 1_000_000}
+
+
+def test_snapshot_staleness_trips_on_drift_not_on_stable(spark):
+    # VERDICT r9 task #4: the frozen-snapshot drift monitor. A batch
+    # drawn from the SNAPSHOT's own distribution must not trip the
+    # rebuild trigger; a batch of brand-new vocabulary must (unseen
+    # rate) — and a redistribution batch (old vocab, inverted rarity)
+    # must move chi2 even with zero new vocabulary.
+    from lakeflow.operators.apss import snapshot_staleness, weighted_terms
+
+    stored = {
+        i: ("common " * 8 + f"rare{i}") for i in range(30)
+    }  # 'common' df=30, each rare{i} df=1
+    sdf = spark.createDataFrame(list(stored.items()), "doc_id long, text string")
+    sw = weighted_terms(sdf, "doc_id", "text").persist()
+
+    # stable: same shape (ubiquitous term + one already-seen rare term)
+    stable = {100 + i: ("common " * 8 + f"rare{i}") for i in range(10)}
+    bdf = spark.createDataFrame(list(stable.items()), "doc_id long, text string")
+    row = snapshot_staleness(bdf, sw, "doc_id", "text").collect()[0]
+    assert row["rebuild"] == 0, row
+    assert row["unseen_ppm"] == 0
+
+    # drifted: brand-new vocabulary everywhere -> unseen rate fires
+    drifted = {200 + i: f"nova{i} flux{i} quark{i}" for i in range(10)}
+    ddf = spark.createDataFrame(list(drifted.items()), "doc_id long, text string")
+    row = snapshot_staleness(ddf, sw, "doc_id", "text").collect()[0]
+    assert row["rebuild"] == 1, row
+    assert row["unseen_ppm"] > 500_000
+
+    # redistribution: only old vocab, but all mass on the rare terms
+    # (df=1 bucket) vs the snapshot's common-heavy occupancy -> chi2
+    # fires with ZERO unseen terms
+    redis = {300 + i: f"rare{i % 30} rare{(i + 1) % 30} rare{(i + 2) % 30}"
+             for i in range(10)}
+    rdf = spark.createDataFrame(list(redis.items()), "doc_id long, text string")
+    row = snapshot_staleness(rdf, sw, "doc_id", "text").collect()[0]
+    assert row["unseen_ppm"] == 0, row
+    assert row["chi2_micros"] > 100_000 and row["rebuild"] == 1, row
+    sw.unpersist()

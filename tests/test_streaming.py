@@ -859,6 +859,23 @@ def test_stream_apss_index_three_waves(spark, tmp_path):
     }
     assert pids == {1, 2, 3, 10, 11, 20, 30}
 
+    # staleness monitor (r10): one drift row per batch, tagged with the
+    # batch id, persisted beside the index. Waves 1-3 are mostly NEW
+    # vocabulary against the tiny 3-doc seed snapshot, so the unseen
+    # rate fires and the rebuild trigger says REBUILD — which is the
+    # correct maintenance answer after tripling the corpus.
+    st = spark.read.parquet(f"{idx}/staleness").collect()
+    assert len(st) == 3
+    assert {r["batch_id"] for r in st} == {0, 1, 2}
+    for r in st:
+        assert r["n_batch"] > 0 and 0 <= r["unseen_ppm"] <= 1_000_000
+        assert 0 <= r["chi2_micros"] <= 2_000_000
+        assert r["rebuild"] in (0, 1)
+    # wave 1 and wave 3 carry heavy new vocabulary -> must trip
+    by_unseen = sorted(r["unseen_ppm"] for r in st)
+    assert by_unseen[-1] > 100_000
+    assert any(r["rebuild"] == 1 for r in st)
+
 
 def test_stream_entity_index_incremental(spark, tmp_path):
     # continuous entity resolution: wave 2's records link against the
@@ -1801,3 +1818,28 @@ def test_stream_cms_matches_batch_and_replays_free(spark, tmp_path):
         for r in cms_lookup(read_cms(spark, tgt), probes, "user_id").collect()
     )
     assert got3 == got2
+
+
+def test_stream_kafka_topic_lights_up_with_connector(spark):
+    # VERDICT r9 task #7: presence-gated integration for the live
+    # Kafka path. Today the sandbox lacks the spark-sql-kafka JAR, so
+    # this SKIPS with a reason naming the missing connector (the PIL
+    # gate arrangement) — but it first asserts the scaffold's error
+    # rewrite carries the copy-pasteable --packages coordinate. The
+    # day the sandbox ships the connector, the same test exercises
+    # real reader construction + the dump-contract flatten (no broker
+    # needed: the kafka source connects at query START, not load()).
+    from lakeflow.streaming.kafka_live import kafka_package, stream_kafka_topic
+
+    schema = "user_id long, action string"
+    try:
+        sdf = stream_kafka_topic(spark, "localhost:9092", "probe", schema)
+    except RuntimeError as e:
+        assert "--packages" in str(e) and "spark-sql-kafka" in str(e)
+        pytest.skip(
+            "spark-sql-kafka connector JAR absent in this environment; "
+            f"launch with --packages {kafka_package()} to exercise the "
+            "live reader"
+        )
+    assert sdf.isStreaming
+    assert {"user_id", "action"} <= set(sdf.columns)
