@@ -267,6 +267,15 @@ BENCH_QUERIES = [
     # unbounded-domain quantile path; q_incremental_apss stays out —
     # see the apss note below)
     "q_loghist_quantiles",
+    # round 10: the grouped (fleet-monitor) loghist form and the
+    # snapshot-staleness drift monitor — both steady-state plan shapes
+    # (one hash agg + bounded selection; one token pass + bounded
+    # chi2), so both ARE benchable, unlike their apss-family cousin
+    # q_incremental_apss (exclusion reviewed this rotation: the
+    # staleness probe never generates pairs, so the near-clique
+    # degeneration that keeps the apss joins out does not apply to it)
+    "q_grouped_loghist",
+    "q_snapshot_staleness",
     # q_apss_join stays OUT of the headline (the q_cdf_aggregate rule:
     # not a steady-state query shape on this data): the synthetic
     # documents table draws uniform tokens from a tiny shared
@@ -286,6 +295,23 @@ BENCH_QUERIES = [
     # zipf-corpus scale probe is in SCALING.md.
 ]
 
+
+# Queries whose fn() executes driver-side greedy/iterative rounds
+# EAGERLY (localCheckpoint loops, TakeOrdered selection rounds): timing
+# only the final write would report the last projection and silently
+# absorb the real work into untimed fn() (VERDICT r8 task #4 —
+# q_mmr_select's benched 0.06 s vs its true ~2 s). For these, the timed
+# region is fn()+write — the TRUE end-to-end cost — and the artifact
+# lists them under "eager_timed" so round-over-round readers know these
+# rows changed basis in round 9. Module-level so scripts/scale_probe.py
+# times the SAME region at 10x/30x (VERDICT r9 task #3).
+DRIVER_EAGER = {
+    "q_dup_clusters",
+    "q_entity_resolution",
+    "q_incremental_entities",
+    "q_mmr_select",
+    "q_kcenter_select",
+}
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -307,22 +333,6 @@ def main() -> None:
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     probes: list[float] = [_calibrate(spark)]
-
-    # Queries whose fn() executes driver-side greedy/iterative rounds
-    # EAGERLY (localCheckpoint loops, TakeOrdered selection rounds):
-    # timing only the final write would report the last projection and
-    # silently absorb the real work into untimed fn() (VERDICT r8 task
-    # #4 — q_mmr_select's benched 0.06 s vs its true ~2 s). For these,
-    # the timed region is fn()+write — the TRUE end-to-end cost — and
-    # the artifact lists them under "eager_timed" so round-over-round
-    # readers know these rows changed basis in round 9.
-    DRIVER_EAGER = {
-        "q_dup_clusters",
-        "q_entity_resolution",
-        "q_incremental_entities",
-        "q_mmr_select",
-        "q_kcenter_select",
-    }
 
     # steady-state timing: min of 3 runs per query — the first run pays
     # one-time whole-stage-codegen JIT compilation (~1s/query), which at

@@ -13,8 +13,9 @@ which converges in O(log n) rounds with the same join-only shape.
 Scale shape per round: one shuffle join on node id + one hash-agg —
 the edge list never materializes on the driver; ``localCheckpoint``
 truncates lineage so round N's plan does not replay rounds 1..N-1.
-The per-round convergence probe is a count() — one scalar to the
-driver, not data.
+The per-round convergence probe is a 1-row aggregate over the fresh
+checkpoint (labels are monotone non-increasing, so their sum is a
+fixpoint detector) — one scalar to the driver, not data.
 """
 
 from __future__ import annotations
@@ -36,10 +37,44 @@ def min_label_components(
     distinct node: (out_id, out_label). Raises if ``max_iter`` rounds
     do not converge (diameter larger than expected — see module note).
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # symmetrize (+ SELF-EDGES) via ONE explode, not
+    # union(edges, reversed(edges)): the union form evaluates the
+    # upstream pair pipeline TWICE in the eager checkpoint job below
+    # (no subtree reuse across union branches), and for linkage/
+    # near-dup callers that upstream is the expensive blocked-scoring
+    # join — r10 profile: ~2.8 s of the q_entity_resolution row was
+    # the duplicate scoring pass. The self-edges make each node its
+    # own neighbor, so the per-round update collapses to ONE join+agg
+    # (min over self ∪ neighbors == least(own, neighbor-min)) instead
+    # of a propagation join FOLLOWED by a least() left-join — the r10
+    # decomposition measured the two-join round at ~0.85 s of fixed
+    # per-round stage overhead vs ~0.5 s for this form. (A pointer-
+    # jumping variant was measured and rejected: rounds only fell
+    # 10 -> 7 on the sf0.1 linkage graph while each round gained a
+    # checkpoint + two joins — see SCALING.md "entity-resolution
+    # round decomposition".)
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
+        .distinct()
+    )
     sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -47,26 +82,34 @@ def min_label_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_min = (
+    # convergence probe: labels are per-node NON-INCREASING (the self-
+    # edge keeps min() bounded by the node's own current label), so the
+    # label SUM strictly decreases every round until the fixpoint — one
+    # 1-row aggregate over the fresh checkpoint replaces the old
+    # changed-count filter-join. Probed every SECOND round: a probe
+    # costs a driver round-trip like the propagation itself, and the
+    # worst case of probing late is ONE wasted (idempotent) propagation
+    # round — the r10 interleaved measurement put every-round probing
+    # at 4.6-6.4 s and every-other-round at 3.8-4.8 s on the sf0.1
+    # linkage graph. DECIMAL(38,0): the sum is bounded by n * max_id,
+    # which overflows BIGINT on trillion-row graphs.
+    prev_sum = None
+    for i in range(max_iter):
+        labels = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
-            .agg(F.min("lbl").alias("nbl"))
-        )
-        proposed = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                "lbl",
-                F.least(F.col("lbl"), F.coalesce("nbl", "lbl")).alias("new_lbl"),
-            )
+            .agg(F.min("lbl").alias("lbl"))
+            .withColumnRenamed("src", "id")
         ).localCheckpoint(eager=True)
-        changed = proposed.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = proposed.select("id", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            return labels.select(
-                F.col("id").alias(out_id), F.col("lbl").alias(out_label)
-            )
+        if i % 2 == 1 or i >= max_iter - 2:
+            cur_sum = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if cur_sum == prev_sum:
+                return labels.select(
+                    F.col("id").alias(out_id), F.col("lbl").alias(out_label)
+                )
+            prev_sum = cur_sum
     raise RuntimeError(
         f"min_label_components did not converge in {max_iter} rounds "
         "(unexpectedly large component diameter; use star_contraction_components)"

@@ -85,6 +85,9 @@ def main() -> None:
             continue
         from lakeflow.caching import scoped_cache
 
+        from bench import DRIVER_EAGER
+
+        eager = name in DRIVER_EAGER
         times = []
         for sf_dir in (SRC, OUT):
             runs = []
@@ -93,14 +96,30 @@ def main() -> None:
                 # query's internal persists are released before the
                 # next run — at 30x a leaked shingle relation is GBs
                 with scoped_cache():
-                    df = spec.fn(spark, sf_dir)
-                    t0 = time.perf_counter()
-                    df.write.format("noop").mode("overwrite").save()
-                    runs.append(time.perf_counter() - t0)
+                    # driver-eager queries (bench.DRIVER_EAGER) time
+                    # fn()+write — fn() executes greedy/iterative
+                    # rounds eagerly, and a write-only probe would
+                    # absorb the real work into untimed code
+                    # (VERDICT r9 task #3)
+                    if eager:
+                        t0 = time.perf_counter()
+                        df = spec.fn(spark, sf_dir)
+                        df.write.format("noop").mode("overwrite").save()
+                        runs.append(time.perf_counter() - t0)
+                    else:
+                        df = spec.fn(spark, sf_dir)
+                        t0 = time.perf_counter()
+                        df.write.format("noop").mode("overwrite").save()
+                        runs.append(time.perf_counter() - t0)
             times.append(min(runs))
         ratio = times[1] / times[0] if times[0] > 0 else float("inf")
         flag = "  <-- superlinear" if ratio > K * 1.6 else ""
-        print(f"{name:34s} {times[0]:8.2f} {times[1]:8.2f} {ratio:6.1f}{flag}", flush=True)
+        tag = " (eager)" if eager else ""
+        print(
+            f"{name:34s} {times[0]:8.2f} {times[1]:8.2f} {ratio:6.1f}"
+            f"{tag}{flag}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
