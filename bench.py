@@ -276,6 +276,9 @@ BENCH_QUERIES = [
     # degeneration that keeps the apss joins out does not apply to it)
     "q_grouped_loghist",
     "q_snapshot_staleness",
+    # round 10 continuation: the discrete-bucket occupancy monitor
+    # (bounded aggregates over the frozen banding — steady-state shape)
+    "q_band_staleness",
     # q_apss_join stays OUT of the headline (the q_cdf_aggregate rule:
     # not a steady-state query shape on this data): the synthetic
     # documents table draws uniform tokens from a tiny shared
