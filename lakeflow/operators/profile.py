@@ -544,6 +544,58 @@ def quantiles_from_value_counts(
     return out
 
 
+def occupancy_staleness(
+    stored_bins: DataFrame,
+    batch_bins: DataFrame,
+    bin_col: str,
+    chi2_micros_threshold: int = 100_000,
+) -> DataFrame:
+    """Generic FROZEN-PARTITIONING drift monitor (r10 — the
+    discrete-bucket sibling of ``apss.snapshot_staleness``, completing
+    VERDICT r9 task #4 across the index families): given per-item
+    bucket assignments under a frozen partitioning — LSH band buckets,
+    IVF/semantic-dedup Voronoi cells, zonemap bins — for the STORED
+    corpus and for a live BATCH, the exact chi-squared distance
+    (:func:`chi2_from_bin_counts`, integer micros) between the two
+    occupancy distributions, plus the ``auto_optimize``-style rebuild
+    trigger. A partitioning tuned for yesterday's distribution
+    degrades silently as occupancy skews (hot LSH buckets blow up
+    candidate generation; empty IVF cells waste probes), and occupancy
+    is the one statistic every such index family already exposes as a
+    bounded relation.
+
+    Inputs are one row per item (``bin_col`` = the item's bucket id);
+    the stored side can be the persisted assignment relation itself
+    (``ivf_assign`` output, the LSH band table) — per-batch cost is
+    two bounded hash aggregates + <= |buckets| rows of integer
+    algebra. Deterministic; the trigger's contract mirrors
+    ``auto_optimize``: the CALLER rebuilds (re-pick centroids, re-band)
+    on rebuild=1. Returns ONE row:
+    (n_stored, n_batch, chi2_micros, rebuild)."""
+    na = stored_bins.groupBy(F.col(bin_col).alias("__ob")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    nb = batch_bins.groupBy(F.col(bin_col).alias("__ob")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nb")
+    )
+    per_bin = na.join(nb, "__ob", "full_outer").select(
+        "__ob",
+        F.coalesce(F.col("__na"), F.lit(0).cast("long")).alias("__na"),
+        F.coalesce(F.col("__nb"), F.lit(0).cast("long")).alias("__nb"),
+    )
+    return chi2_from_bin_counts(per_bin, "__ob", "__na", "__nb").select(
+        F.col("n_a").alias("n_stored"),
+        F.col("n_b").alias("n_batch"),
+        "chi2_micros",
+        F.when(
+            F.col("chi2_micros") > F.lit(int(chi2_micros_threshold)), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rebuild"),
+    )
+
+
 def grouped_chi2_distance(
     df: DataFrame,
     group_col: str,

@@ -30,7 +30,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-10 ROTATION, generated from CERTIFIED.json (freshly folded
     # with the 50/50-green CORRECTNESS_r09 rows) via
     # scripts/certified_ledger.py: oldest-certification-first,
-    # must-certify new builds on top. Composition: 2 must-certify
+    # must-certify new builds on top. Composition: 3 must-certify
     # round-10 builds (q_snapshot_staleness, the drift monitor +
     # rebuild trigger for the incremental tiers' frozen df snapshot —
     # VERDICT r9 task #4 — and q_grouped_loghist, the fleet-monitor
@@ -38,15 +38,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # task #5), the 6 queries whose latest driver row is still round 5
     # (the carries annotated in the r9 rotation, each green in the
     # local gate since), all 34 whose latest row is round 6, and the
-    # first 8 (alphabetical — all r7 rows are equally stale) of the 49
+    # first 7 (alphabetical — all r7 rows are equally stale) of the 49
     # whose latest row is round 7. After this round the ledger's
-    # minimum latest-round is 7, held by the 41 remaining r7 rows that
+    # minimum latest-round is 7, held by the 42 remaining r7 rows that
     # seed the r11 refresh. The rotated-out r8/r9 rows remain the
     # evidence of record (COVERAGE.md ledger + CERTIFIED.json).
     #
-    # --- must-certify round-10 builds (2) ---
+    # --- must-certify round-10 builds (3) ---
     "q_snapshot_staleness",
     "q_grouped_loghist",
+    # q_band_staleness (r10 continuation): the generic frozen-
+    # partitioning occupancy monitor — displaces the r7 re-cert
+    # q_clean_lines (a new capability's first driver row outranks
+    # re-certifying a stable one; q_clean_lines stays green in the
+    # local gate and seeds the r11 refresh with the other r7 rows)
+    "q_band_staleness",
     # --- latest row r5 (all 6) ---
     "q_funnel_steps",
     "q_heavy_hitters_approx",
@@ -89,7 +95,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_union_drifting",
     "q_zonemap_scan",
     "q_zorder_key",
-    # --- latest row r7 (first 8 of 49) ---
+    # --- latest row r7 (first 7 of 49) ---
     "q_ann_serving",
     "q_bitmap_rollup",
     "q_bloom_prune_join",
@@ -97,7 +103,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_bpe_merges",
     "q_cdf_aggregate",
     "q_chunk_windows",
-    "q_clean_lines",
 )
 
 

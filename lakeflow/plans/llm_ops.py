@@ -5653,6 +5653,83 @@ def q_snapshot_staleness(spark, sf_dir):
     return snapshot_staleness(batch, sw, "doc_id", "text")
 
 
+def _band_staleness_oracle() -> str:
+    h = SQL_SEEDED_HASH.format(seed="sim", x="tok")
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+
+    def side(pred: str) -> str:
+        return f"""(
+      SELECT CAST(({bits}) % 64 AS BIGINT) AS band FROM (
+        SELECT doc_id, {votes} FROM (
+          SELECT doc_id, {h} AS h FROM (
+            SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest({_SQL_TOKS}) AS tok
+              FROM documents WHERE {pred})))
+        GROUP BY doc_id))"""
+
+    return f"""
+    WITH sa AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS na
+                FROM {side("doc_id % 3 <> 0")} GROUP BY 1),
+    sb AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS nb
+           FROM {side("doc_id % 3 = 0")} GROUP BY 1),
+    pb AS (SELECT COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+           FROM sa FULL OUTER JOIN sb ON sa.band = sb.band),
+    tot AS (SELECT CAST(SUM(na) AS BIGINT) AS n_stored,
+                   CAST(SUM(nb) AS BIGINT) AS n_batch FROM pb),
+    terms AS (SELECT (na * 1000000) // t.n_stored AS p,
+                     (nb * 1000000) // t.n_batch AS q
+              FROM pb CROSS JOIN tot t),
+    chi AS (SELECT CAST(SUM(CASE WHEN p + q > 0
+                                 THEN ((p - q) * (p - q)) // (p + q)
+                                 ELSE 0 END) AS BIGINT) AS chi2_micros
+            FROM terms)
+    SELECT tot.n_stored, tot.n_batch, chi.chi2_micros,
+           CAST(CASE WHEN chi.chi2_micros > 100000 THEN 1 ELSE 0 END
+                AS BIGINT) AS rebuild
+    FROM tot CROSS JOIN chi
+    """
+
+
+@query(
+    "q_band_staleness",
+    oracle=_band_staleness_oracle(),
+    description="Frozen-PARTITIONING occupancy drift monitor "
+    "(operators/profile.occupancy_staleness, r10 — the discrete-bucket "
+    "sibling of q_snapshot_staleness, completing the staleness family "
+    "across the index types VERDICT r9 named: df snapshot, LSH bands, "
+    "semantic/IVF cells): exact chi-squared distance between the "
+    "STORED corpus's and a live batch's occupancy of the 64 SimHash "
+    "band buckets (the banding the LSH candidate generator joins on), "
+    "plus the auto_optimize-style rebuild trigger — hot buckets blow "
+    "up candidate generation quadratically, and occupancy is the one "
+    "statistic every bucketed index already exposes as a bounded "
+    "relation. Two bounded hash aggregates + <= 64 integer bucket "
+    "rows per probe; the same function monitors IVF/semantic cell "
+    "occupancy from the persisted ivf_assign relation "
+    "(tests/test_trend_gaps.py exercises that application against a "
+    "shifted batch). The oracle replays simhash, banding, occupancy "
+    "and the chi2/trigger algebra bit-for-bit.",
+    refs=("§2.12",),
+)
+def q_band_staleness(spark, sf_dir):
+    from lakeflow.operators.profile import occupancy_staleness
+    from lakeflow.operators.text import simhash16
+
+    docs = load_table(spark, sf_dir, "documents")
+    band = lambda side: simhash16(side, "doc_id", "text").select(  # noqa: E731
+        (F.col("simhash") % 64).alias("band")
+    )
+    stored = band(docs.filter(F.col("doc_id") % 3 != 0))
+    batch = band(docs.filter(F.col("doc_id") % 3 == 0))
+    return occupancy_staleness(stored, batch, "band")
+
+
 @query(
     "q_apss_join",
     oracle=f"""

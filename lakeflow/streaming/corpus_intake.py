@@ -537,13 +537,15 @@ def read_loghist_quantiles(
     spark: SparkSession,
     target_path: str,
     probs,
-    group_col: str | None = None,
+    group_col: "str | tuple[str, ...] | None" = None,
     sub_bins: int | None = None,
 ) -> DataFrame:
     """Approximate quantiles of everything streamed so far, from the
     maintained log-histogram counts table (key-space-bounded read;
     exact percentile_disc selection over the monotone keys, then
-    decode — relative error <= 1/sub_bins vs the exact answer)."""
+    decode — relative error <= 1/sub_bins vs the exact answer).
+    ``group_col`` accepts the fleet-monitor multi-column form (r10):
+    pass the same tuple the stream was maintained with."""
     from lakeflow.operators.sketches import LOGHIST_SUB_BINS, loghist_quantiles
     from lakeflow.sinks.merge import read_target_if_exists
 

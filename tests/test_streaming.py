@@ -1843,3 +1843,45 @@ def test_stream_kafka_topic_lights_up_with_connector(spark):
         )
     assert sdf.isStreaming
     assert {"user_id", "action"} <= set(sdf.columns)
+
+
+def test_stream_loghist_grouped_fleet_form(spark, tmp_path):
+    # r10: the GROUPED (multi-column) fleet-monitor form round-trips
+    # through the maintained table — per-(g1, g2) streamed quantiles ==
+    # the batch sketch per slice, read back with the same group tuple
+    from lakeflow.operators.sketches import loghist_counts, loghist_quantiles
+    from lakeflow.streaming.corpus_intake import (
+        read_loghist_quantiles,
+        stream_loghist,
+    )
+
+    src = str(tmp_path / "ev")
+    tgt = str(tmp_path / "lh")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, g1 string, g2 long, v long"
+    rows = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00",
+         "g1": ("a" if i % 2 else "b"), "g2": i % 3,
+         "v": (i * 7919) % 50_000}
+        for i in range(240)
+    ]
+    _write_events(src, "w1.json", rows)
+    q = stream_loghist(spark, src, schema, tgt, ck, "v", group_cols=("g1", "g2"))
+    q.awaitTermination(120)
+    probs = [0.5, 0.99]
+    got = sorted(
+        tuple(r)
+        for r in read_loghist_quantiles(
+            spark, tgt, probs, group_col=("g1", "g2")
+        ).collect()
+    )
+    df = spark.createDataFrame(
+        [(d["g1"], d["g2"], d["v"]) for d in rows], "g1 string, g2 long, v long"
+    )
+    want = sorted(
+        tuple(r)
+        for r in loghist_quantiles(
+            loghist_counts(df, "v", ["g1", "g2"]), probs, ["g1", "g2"]
+        ).collect()
+    )
+    assert got == want and len(got) == 12  # 2 g1 x 3 g2 x 2 probs

@@ -469,3 +469,72 @@ def test_grouped_chi2_partitioning_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_occupancy_staleness_stable_vs_shifted(spark):
+    # r10: frozen-partitioning occupancy drift. A batch occupying the
+    # buckets with the SAME distribution as the stored corpus must not
+    # trip the rebuild trigger; a batch concentrated in one bucket must.
+    from lakeflow.operators.profile import occupancy_staleness
+
+    stored = spark.createDataFrame(
+        [(i % 8,) for i in range(800)], "band long"
+    )
+    stable = spark.createDataFrame([(i % 8,) for i in range(160)], "band long")
+    row = occupancy_staleness(stored, stable, "band").collect()[0]
+    assert row["n_stored"] == 800 and row["n_batch"] == 160
+    assert row["chi2_micros"] == 0 and row["rebuild"] == 0
+
+    hot = spark.createDataFrame([(3,)] * 160, "band long")
+    row = occupancy_staleness(stored, hot, "band").collect()[0]
+    assert row["chi2_micros"] > 100_000 and row["rebuild"] == 1
+
+    # a bucket seen ONLY in the batch (new hot region) still works —
+    # the full-outer occupancy join zero-fills the stored side
+    novel = spark.createDataFrame([(99,)] * 160, "band long")
+    row = occupancy_staleness(stored, novel, "band").collect()[0]
+    assert row["rebuild"] == 1
+
+
+def test_occupancy_staleness_ivf_cells_application(spark):
+    # the semantic/IVF-cell application the COVERAGE row promises: cell
+    # assignments against FROZEN centroids, stored occupancy vs a batch
+    # whose vectors rotated into a different region -> trigger fires;
+    # a batch drawn from the stored distribution does not.
+    import random
+
+    from lakeflow.operators.profile import occupancy_staleness
+    from lakeflow.operators.similarity import ivf_assign, ivf_centroids
+
+    rng = random.Random(7)
+
+    def vec(center):
+        return [round(center[j] + rng.uniform(-0.1, 0.1), 3) for j in range(8)]
+
+    c1 = [1.0] * 8
+    c2 = [-1.0] * 8
+    stored_rows = [(i, vec(c1 if i % 2 else c2)) for i in range(200)]
+    stored = spark.createDataFrame(
+        stored_rows, "vec_id long, embedding array<double>"
+    )
+    cents = ivf_centroids(stored, n_cells=4)
+    stored_cells = ivf_assign(stored, cents).select("cell")
+
+    stable = spark.createDataFrame(
+        [(1000 + i, vec(c1 if i % 2 else c2)) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    row = occupancy_staleness(
+        stored_cells, ivf_assign(stable, cents).select("cell"), "cell"
+    ).collect()[0]
+    assert row["rebuild"] == 0, row
+
+    # drifted: every new vector in ONE region (the c1 side only)
+    drifted = spark.createDataFrame(
+        [(2000 + i, vec(c1)) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    row = occupancy_staleness(
+        stored_cells, ivf_assign(drifted, cents).select("cell"), "cell"
+    ).collect()[0]
+    assert row["chi2_micros"] > 100_000 and row["rebuild"] == 1, row
