@@ -1026,6 +1026,7 @@ def stream_ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
+    staleness_path: str | None = None,
 ):
     """Continuous IVF inverted-file maintenance (r9, the index half of
     ``similarity.ivf_ann_topk``'s ``assignments=`` serving path): as
@@ -1045,16 +1046,43 @@ def stream_ivf_assign(
     rows through the join or occupy two of the k ranks. Consumers
     reading the relation directly should distinct() likewise; a
     periodic compaction (rewrite with distinct) keeps the file set
-    tidy."""
+    tidy.
+
+    ``staleness_path`` (r10, optional): when set, each batch's
+    frozen-CENTROID drift row (``profile.occupancy_staleness`` — exact
+    chi² between the stored assignment relation's cell occupancy and
+    the batch's, + the rebuild trigger) appends there tagged
+    ``batch_id``, measured BEFORE the batch's own rows join the
+    relation — the ``stream_apss_index`` monitor arrangement applied
+    to the centroid snapshot. The caller re-picks centroids + rebuilds
+    the inverted file when the flag fires; the monitor never mutates
+    what it measures."""
     from lakeflow.operators.similarity import ivf_assign
     from lakeflow.streaming.pipeline import stream_ndjson
 
     stream = stream_ndjson(spark, path, schema)
 
     def _batch(batch, batch_id: int) -> None:
-        ivf_assign(batch, centroids, id_col, vec_col).write.mode(
-            "append"
-        ).parquet(assignments_path)
+        asg = ivf_assign(batch, centroids, id_col, vec_col)
+        if staleness_path is not None:
+            from lakeflow.operators.profile import occupancy_staleness
+
+            stored = spark.read.parquet(assignments_path)  # must exist
+            occupancy_staleness(
+                # replay hygiene, the serving-join rule: duplicate
+                # (id, cell) rows from a replayed append must not
+                # double-count occupancy
+                stored.select(id_col, "cell").distinct().select("cell"),
+                asg.select("cell"),
+                "cell",
+            ).select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                "n_stored",
+                "n_batch",
+                "chi2_micros",
+                "rebuild",
+            ).write.mode("append").parquet(staleness_path)
+        asg.write.mode("append").parquet(assignments_path)
 
     writer = stream.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint

@@ -763,7 +763,8 @@ def test_stream_ivf_assign_maintains_serving_index(spark, tmp_path):
             for i, v in wave2
         ],
     )
-    q = stream_ivf_assign(spark, src, schema, cents, asg, ck)
+    stp = str(tmp_path / "staleness")
+    q = stream_ivf_assign(spark, src, schema, cents, asg, ck, staleness_path=stp)
     q.awaitTermination(120)
     full2 = spark.createDataFrame(
         all_rows + wave2, "vec_id long, embedding array<double>"
@@ -774,6 +775,14 @@ def test_stream_ivf_assign_maintains_serving_index(spark, tmp_path):
     assert stored2 == {
         (r["vec_id"], r["cell"]) for r in ivf_assign(full2, cents).collect()
     }
+    # r10: the optional frozen-centroid occupancy monitor appended one
+    # batch_id-tagged drift row, measured against the PRE-batch stored
+    # relation (n_stored == seed + wave1 rows)
+    st = spark.read.parquet(stp).collect()
+    assert len(st) == 1
+    r = st[0]
+    assert r["n_stored"] == 30 and r["n_batch"] == 5
+    assert 0 <= r["chi2_micros"] <= 2_000_000 and r["rebuild"] in (0, 1)
 
 
 def test_stream_apss_index_three_waves(spark, tmp_path):
