@@ -5718,6 +5718,7 @@ def _band_staleness_oracle() -> str:
     refs=("§2.12",),
 )
 def q_band_staleness(spark, sf_dir):
+    from lakeflow.caching import maybe_persist
     from lakeflow.operators.profile import occupancy_staleness
     from lakeflow.operators.text import simhash16
 
@@ -5725,8 +5726,13 @@ def q_band_staleness(spark, sf_dir):
     band = lambda side: simhash16(side, "doc_id", "text").select(  # noqa: E731
         (F.col("simhash") % 64).alias("band")
     )
-    stored = band(docs.filter(F.col("doc_id") % 3 != 0))
-    batch = band(docs.filter(F.col("doc_id") % 3 == 0))
+    # persist both band relations (the q_data_selection precedent):
+    # chi2_from_bin_counts consumes the occupancy relation twice
+    # (totals + per-bin terms), and without the persist each
+    # consumption re-runs BOTH simhash pipelines — measured 3.8 s vs
+    # ~1 s at sf0.1
+    stored = maybe_persist(band(docs.filter(F.col("doc_id") % 3 != 0)), None)
+    batch = maybe_persist(band(docs.filter(F.col("doc_id") % 3 == 0)), None)
     return occupancy_staleness(stored, batch, "band")
 
 
