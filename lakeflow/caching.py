@@ -131,11 +131,17 @@ def prebuilt_state(path: str, build_fn) -> str:
       can only ever be byte-equivalent to a fresh build and is safe to
       serve. ``build_fn`` must be deterministic for the same reason.
     - **Race-safe**: concurrent builders each build into a unique
-      ``{path}._build_{uuid}``; exactly one rename wins (atomic on
-      POSIX for files and for directories when the target is absent),
-      the loser discards its byte-identical copy. Readers never see a
-      partial artifact — the target appears only after a complete
-      build.
+      ``{path}._build_{uuid}``. For a FILE artifact, ``os.rename``
+      atomically REPLACES an existing target (POSIX), so every racer's
+      rename succeeds — last writer wins, harmless because the key
+      discipline makes all copies byte-identical. For a DIRECTORY
+      artifact, rename onto an existing non-empty target fails
+      (ENOTEMPTY/EEXIST) — exactly one racer wins and the losers take
+      the OSError path, discarding their copies. Either way readers
+      never see a partial artifact: the target path only ever holds a
+      complete build (ADVICE r10 wording fix — the old note claimed
+      "exactly one rename wins" for files too, which POSIX does not
+      provide).
     - **Eviction / size note**: artifacts live under the caller's
       chosen store (the query-layer sites use /tmp DELIBERATELY —
       OS-purged on reboot and size-managed by systemd-tmpfiles on

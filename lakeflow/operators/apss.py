@@ -558,7 +558,10 @@ def snapshot_staleness(
     crosses its threshold. The trigger's contract mirrors
     ``auto_optimize``: the CALLER runs ``apss_index_fit`` on
     rebuild=1 (a monitor must never mutate the index it measures
-    mid-stream)."""
+    mid-stream). Undefined on a batch with ZERO non-empty tokens —
+    unseen_ppm's denominator is the batch's (doc, term) row count and
+    chi2 carries the same empty-side assert as KS; streaming callers
+    skip the monitor row for such batches (``stream_apss_index``)."""
     from lakeflow.operators.profile import chi2_from_bin_counts
 
     tf = (

@@ -36,6 +36,10 @@ def min_label_components(
     from it (the canonical cluster representative). Returns one row per
     distinct node: (out_id, out_label). Raises if ``max_iter`` rounds
     do not converge (diameter larger than expected — see module note).
+    Budget note: convergence is detected by two equal consecutive
+    label-sum probes, so ``max_iter`` must cover the flood rounds
+    (graph diameter) PLUS one observation round — a diameter-d graph
+    needs ``max_iter >= d + 1``.
     """
     # symmetrize (+ SELF-EDGES) via ONE explode, not
     # union(edges, reversed(edges)): the union form evaluates the
@@ -93,6 +97,14 @@ def min_label_components(
     # at 4.6-6.4 s and every-other-round at 3.8-4.8 s on the sf0.1
     # linkage graph. DECIMAL(38,0): the sum is bounded by n * max_id,
     # which overflows BIGINT on trillion-row graphs.
+    #
+    # Tail: detection needs TWO equal consecutive probes, so every-
+    # other-round probing near max_iter could exhaust the budget on a
+    # graph that converges in the last couple of rounds (and
+    # max_iter<=2 could never return at all) — the final FOUR rounds
+    # probe every round so a fixpoint reached anywhere inside the
+    # budget is always observed twice before the loop ends (ADVICE
+    # r10).
     prev_sum = None
     for i in range(max_iter):
         labels = (
@@ -101,7 +113,7 @@ def min_label_components(
             .agg(F.min("lbl").alias("lbl"))
             .withColumnRenamed("src", "id")
         ).localCheckpoint(eager=True)
-        if i % 2 == 1 or i >= max_iter - 2:
+        if i % 2 == 1 or i >= max_iter - 4:
             cur_sum = labels.agg(
                 F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]

@@ -27,82 +27,68 @@ from lakeflow.plans import scalar_ops  # noqa: F401
 #: 103 distinct queries; COVERAGE.md's ledger maps every §2 ref to its
 #: certifying round).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-10 ROTATION, generated from CERTIFIED.json (freshly folded
-    # with the 50/50-green CORRECTNESS_r09 rows) via
-    # scripts/certified_ledger.py: oldest-certification-first,
-    # must-certify new builds on top. Composition: 3 must-certify
-    # round-10 builds (q_snapshot_staleness, the drift monitor +
-    # rebuild trigger for the incremental tiers' frozen df snapshot —
-    # VERDICT r9 task #4 — and q_grouped_loghist, the fleet-monitor
-    # per-(source, lang) form of the log-histogram quantile sketch —
-    # task #5), the 6 queries whose latest driver row is still round 5
-    # (the carries annotated in the r9 rotation, each green in the
-    # local gate since), all 34 whose latest row is round 6, and the
-    # first 7 (alphabetical — all r7 rows are equally stale) of the 49
-    # whose latest row is round 7. After this round the ledger's
-    # minimum latest-round is 7, held by the 42 remaining r7 rows that
-    # seed the r11 refresh. The rotated-out r8/r9 rows remain the
-    # evidence of record (COVERAGE.md ledger + CERTIFIED.json).
+    # ROUND-11 ROTATION, generated from CERTIFIED.json (freshly folded
+    # with the 50/50-green CORRECTNESS_r10 rows) via
+    # scripts/certified_ledger.py: oldest-certification-first.
+    # Composition: ALL 42 queries whose latest driver row is round 7
+    # (the refresh backlog VERDICT r10 gap #1 names — this clears it in
+    # one rotation) plus the first 8 (alphabetical — all r8 rows are
+    # equally stale) of the 50 whose latest row is round 8. Round-11
+    # builds displace r8 fills as they land (inline comments below).
+    # After this round the ledger's minimum latest-round is 8.
     #
-    # --- must-certify round-10 builds (3) ---
-    "q_snapshot_staleness",
-    "q_grouped_loghist",
-    # q_band_staleness (r10 continuation): the generic frozen-
-    # partitioning occupancy monitor — displaces the r7 re-cert
-    # q_clean_lines (a new capability's first driver row outranks
-    # re-certifying a stable one; q_clean_lines stays green in the
-    # local gate and seeds the r11 refresh with the other r7 rows)
-    "q_band_staleness",
-    # --- latest row r5 (all 6) ---
-    "q_funnel_steps",
-    "q_heavy_hitters_approx",
-    "q_like_between",
-    "q_pivot_event_types",
-    "q_scalar_funcs_wide",
-    "q_set_ops",
-    # --- latest row r6 (all 34) ---
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q20_potential_promotion",
-    "q2_min_cost_supplier",
-    "q9_profit_by_nation",
-    "q_bigram_surprisal",
-    "q_cluster_purity",
-    "q_cluster_safe_split",
-    "q_corpus_prep",
-    "q_domain_percent_rank",
-    "q_dsir_weights",
-    "q_embedding_dim_stats",
-    "q_entity_resolution",
-    "q_expectations",
-    "q_full_outer_activity",
-    "q_image_dims",
-    "q_incremental_entities",
-    "q_incremental_linkage",
-    "q_interval_join",
-    "q_mad_outliers",
-    "q_multimodal_frames",
-    "q_profile_orders",
-    "q_quality_band_approx",
-    "q_repetition_metrics",
-    "q_resample_locf",
-    "q_shard_assignment",
-    "q_sketch_rollup",
-    "q_stats_moments",
-    "q_stratified_sample",
-    "q_token_budget_mix",
-    "q_ts_gaps",
-    "q_union_drifting",
-    "q_zonemap_scan",
-    "q_zorder_key",
-    # --- latest row r7 (first 7 of 49) ---
-    "q_ann_serving",
-    "q_bitmap_rollup",
-    "q_bloom_prune_join",
-    "q_bm25_search",
-    "q_bpe_merges",
-    "q_cdf_aggregate",
-    "q_chunk_windows",
+    # --- latest row r7 (all 42) ---
+    "q_clean_lines",
+    "q_containment_join",
+    "q_contamination",
+    "q_cosine_topk",
+    "q_data_selection",
+    "q_dedup_survivors",
+    "q_equi_depth_hist",
+    "q_exact_k_sample",
+    "q_flatten_collision",
+    "q_fs_linkage",
+    "q_gopher_rules",
+    "q_hard_negatives",
+    "q_hash_sample",
+    "q_heavy_hitters",
+    "q_hybrid_search",
+    "q_incremental_near_dup",
+    "q_incremental_semantic",
+    "q_incremental_setsim",
+    "q_ks_drift",
+    "q_lang_id",
+    "q_leakage_safe_split",
+    "q_minhash_lsh_pairs",
+    "q_near_dup_pipeline",
+    "q_oov_rate",
+    "q_pagerank",
+    "q_paragraph_dedup",
+    "q_phrase_search",
+    "q_pps_sample",
+    "q_pq_ann",
+    "q_quality_classifier",
+    "q_record_linkage",
+    "q_resample_interp",
+    "q_sanitize_names",
+    "q_semantic_dedup",
+    "q_setsim_join",
+    "q_struct_json",
+    "q_temperature_mix",
+    "q_tokenize_ids",
+    "q_trend_slope",
+    "q_try_casts",
+    "q_wav_meta",
+    "q_winsorize",
+    # --- latest row r8 (first 8 of 50) ---
+    "q17_small_quantity_parts",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q_analytic_windows",
+    "q_anti_join_customers",
+    "q_approx_distinct",
+    "q_apss_join",
 )
 
 

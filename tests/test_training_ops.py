@@ -70,6 +70,36 @@ def test_min_label_components_nonconvergence_raises(spark):
         min_label_components(pairs, "a", "b", max_iter=1)
 
 
+def test_min_label_components_tiny_max_iter_converged_graph(spark):
+    # ADVICE r10: the sum-fixpoint probe needs TWO equal consecutive
+    # probes, so with the old tail condition (final two rounds)
+    # max_iter=2 could never return even on an already-converged graph;
+    # the final-four-rounds tail makes the smallest budgets usable
+    pairs = spark.createDataFrame([Row(a=1, b=2), Row(a=10, b=11)])
+    out = {
+        r["member_id"]: r["cluster_id"]
+        for r in min_label_components(pairs, "a", "b", max_iter=2).collect()
+    }
+    assert out == {1: 1, 2: 1, 10: 10, 11: 10}
+
+
+def test_min_label_components_converges_at_budget_edge(spark):
+    # ADVICE r10: a graph whose labels stabilize in the last couple of
+    # rounds before max_iter must return, not raise — the tail probes
+    # every round for the final four so the fixpoint is observed twice.
+    # A 6-node path (diameter 5) floods one hop per round: the label
+    # sum reaches its fixpoint after round index 4 and the second
+    # equal probe lands at round index 5, so max_iter=6 is the minimum
+    # budget — and both of those probes fall inside the every-round
+    # tail (i >= 2).
+    pairs = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(5)])
+    out = {
+        r["member_id"]: r["cluster_id"]
+        for r in min_label_components(pairs, "a", "b", max_iter=6).collect()
+    }
+    assert out == {i: 0 for i in range(6)}
+
+
 def test_repetition_profile_known_values(spark):
     df = spark.createDataFrame(
         [
