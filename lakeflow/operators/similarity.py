@@ -567,6 +567,79 @@ def banded_signatures(
     return _bands_of(sig, id_col, k, band_size)
 
 
+def band_staleness(
+    stored_bands: DataFrame,
+    new_bands: DataFrame,
+    id_col: str = "doc_id",
+    chi2_micros_threshold: int = 100_000,
+) -> DataFrame:
+    """Drift monitor for a FROZEN LSH band index (r11 — VERDICT r10
+    task #4, completing the staleness family across the frozen-index
+    maintainers): the band-BUCKET space is corpus-sized, so raw bucket
+    occupancy is the wrong bin — a uniform hash keeps it uniform under
+    any drift. The scale-bounded signal is how the batch's band rows
+    distribute over STORED-bucket-size magnitudes (the candidate-cost
+    axis: an ingest row landing in a bucket of size s generates ~s
+    candidates), binned log2 via the ``length(bin(s))`` device, with
+    rows landing in UNSEEN buckets reading bin 0:
+
+    - new-content drift shifts batch mass into bin 0 (unseen buckets
+      generate no candidates — recall risk under the frozen banding);
+    - duplicate floods shift batch mass into high bins (hot buckets
+      blow up candidate generation — the cost risk).
+
+    At steady state both histograms agree: a same-distribution row
+    lands in bucket b with probability ~ |b|/N, exactly the stored
+    side's per-row mass. Exact chi² over the <= ~40 log2 bins
+    (``profile.chi2_from_bin_counts``) + the ``auto_optimize``-style
+    trigger; the CALLER re-bands (recompute ``banded_signatures`` over
+    the current corpus) on rebuild=1. Per-batch cost: one hash agg
+    over the stored relation (bucket sizes — the same keys the
+    candidate join shuffles on), one bounded agg over the sizes, one
+    batch×sizes join. Replay hygiene: the stored side distinct()s
+    (id, band_id, band_hash) so replay-duplicated appends cannot
+    inflate bucket sizes — the ``stream_ivf_assign`` serving-join
+    rule. Returns ONE row: (n_stored, n_batch, chi2_micros, rebuild).
+    """
+    from lakeflow.operators.profile import chi2_from_bin_counts
+
+    keys = ["band_id", "band_hash"]
+    sizes = (
+        stored_bands.select(id_col, *keys)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("__bsz"))
+    )
+    bin_of = F.length(F.bin(F.col("__bsz"))).cast("long")
+    # stored side from the sizes relation directly: a bucket of size s
+    # contributes s rows at bin(s) — no second corpus-wide join
+    per_a = sizes.groupBy(bin_of.alias("__bk")).agg(
+        F.sum("__bsz").cast("long").alias("__na")
+    )
+    per_b = (
+        new_bands.select(*keys)
+        .join(sizes, keys, "left")
+        .groupBy(F.coalesce(bin_of, F.lit(0).cast("long")).alias("__bk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+    )
+    per_bin = per_a.join(per_b, "__bk", "full_outer").select(
+        "__bk",
+        F.coalesce(F.col("__na"), F.lit(0).cast("long")).alias("__na"),
+        F.coalesce(F.col("__nb"), F.lit(0).cast("long")).alias("__nb"),
+    )
+    return chi2_from_bin_counts(per_bin, "__bk", "__na", "__nb").select(
+        F.col("n_a").alias("n_stored"),
+        F.col("n_b").alias("n_batch"),
+        "chi2_micros",
+        F.when(
+            F.col("chi2_micros") > F.lit(int(chi2_micros_threshold)), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rebuild"),
+    )
+
+
 def incremental_candidate_pairs(
     new_bands: DataFrame, stored_bands: DataFrame, id_col: str
 ) -> DataFrame:

@@ -80,6 +80,7 @@ def stream_neardup_index(
     k: int = 8,
     band_size: int = 2,
     trigger_available_now: bool = True,
+    staleness_path: str | None = None,
 ):
     """Continuous near-duplicate index maintenance (§2.10 + §2.12
     composed): as documents stream in, each micro-batch computes banded
@@ -104,7 +105,17 @@ def stream_neardup_index(
     duplicates. Bands are keyed by (id, band_id) and
     duplicate-insensitive for candidate generation. A transactional
     table format (Delta/Iceberg) upgrades this to true exactly-once
-    with txn batch ids."""
+    with txn batch ids.
+
+    ``staleness_path`` (r11, optional — VERDICT r10 task #4): when
+    set, each batch's frozen-BANDING drift row
+    (``similarity.band_staleness`` — exact chi² between the stored
+    and batch distributions over stored-bucket-size magnitudes, + the
+    rebuild trigger) appends there tagged ``batch_id``, measured
+    BEFORE the batch's bands join the index. Skipped while the stored
+    index is absent or either side is empty (first batch). The
+    caller re-bands (recompute the index over the current corpus)
+    when the flag fires."""
     from lakeflow.operators.similarity import banded_signatures
     from lakeflow.sinks.merge import read_target_if_exists
     from lakeflow.streaming.pipeline import stream_ndjson
@@ -120,6 +131,20 @@ def stream_neardup_index(
             stored = read_target_if_exists(spark, index_path)
             if stored is None:
                 stored = bands.limit(0)  # first batch: new x new only
+            elif (
+                staleness_path is not None
+                and not stored.isEmpty()
+                and not bands.isEmpty()
+            ):
+                from lakeflow.operators.similarity import band_staleness
+
+                band_staleness(stored, bands, id_col).select(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    "n_stored",
+                    "n_batch",
+                    "chi2_micros",
+                    "rebuild",
+                ).write.mode("append").parquet(staleness_path)
             pairs = incremental_candidate_pairs(bands, stored, id_col)
             pairs.write.mode("append").parquet(pairs_path)
             bands.write.mode("append").parquet(index_path)
@@ -954,6 +979,7 @@ def stream_semantic_index(
     vec_col: str = "embedding",
     min_cos_micros: int = 950_000,
     trigger_available_now: bool = True,
+    staleness_path: str | None = None,
 ):
     """Streaming SemDeDup intake against a PREBUILT semantic index
     (``kmeans.semantic_index_fit`` on a seed corpus): the centroids
@@ -971,7 +997,20 @@ def stream_semantic_index(
     crashed-and-replayed batch whose ids already reached the index
     produces no self-pairs (``incremental_semantic_pairs`` drops
     same-id matches), so replays degrade to duplicate pair rows that
-    consumers ``distinct()`` away."""
+    consumers ``distinct()`` away.
+
+    ``staleness_path`` (r11, optional — VERDICT r10 task #4): when
+    set, each batch's frozen-CENTROID drift row
+    (``profile.occupancy_staleness`` — exact chi² between the stored
+    assignment relation's cell occupancy and the batch's, + the
+    rebuild trigger) appends there tagged ``batch_id``, measured
+    BEFORE the batch's own rows join the relation — the
+    ``stream_ivf_assign`` arrangement applied to the semantic cells.
+    Skipped while the stored relation is absent or either side is
+    empty (the first batch has nothing to drift FROM). The caller's
+    maintenance loop (``streaming.maintenance.maintain_semantic_index``)
+    refits centroids + rebuilds the index when the flag fires; the
+    monitor never mutates what it measures."""
     from lakeflow.operators.kmeans import (
         incremental_semantic_pairs,
         load_semantic_index,
@@ -991,6 +1030,26 @@ def stream_semantic_index(
             stored = read_target_if_exists(spark, asg_path)
             if stored is None:
                 stored = new_idx.limit(0)  # first batch: new x new only
+            elif (
+                staleness_path is not None
+                and not stored.isEmpty()
+                and not new_idx.isEmpty()
+            ):
+                from lakeflow.operators.profile import occupancy_staleness
+
+                occupancy_staleness(
+                    # replay hygiene: duplicate (id, cell) rows from a
+                    # replayed append must not double-count occupancy
+                    stored.select(id_col, "cell").distinct().select("cell"),
+                    new_idx.select("cell"),
+                    "cell",
+                ).select(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    "n_stored",
+                    "n_batch",
+                    "chi2_micros",
+                    "rebuild",
+                ).write.mode("append").parquet(staleness_path)
             from lakeflow.caching import scoped_cache
 
             with scoped_cache():
@@ -1063,11 +1122,27 @@ def stream_ivf_assign(
     stream = stream_ndjson(spark, path, schema)
 
     def _batch(batch, batch_id: int) -> None:
+        from lakeflow.sinks.merge import read_target_if_exists
+
         asg = ivf_assign(batch, centroids, id_col, vec_col)
-        if staleness_path is not None:
+        # the stored relation is created by THIS stream's own first
+        # append — on a fresh index it does not exist yet (and an
+        # existing-but-empty side would trip chi2's empty-side assert),
+        # so the monitor row is skipped until both sides are non-empty
+        # (ADVICE r10): the first batch has nothing to drift FROM.
+        stored = (
+            read_target_if_exists(spark, assignments_path)
+            if staleness_path is not None
+            else None
+        )
+        if (
+            staleness_path is not None
+            and stored is not None
+            and not stored.isEmpty()
+            and not asg.isEmpty()
+        ):
             from lakeflow.operators.profile import occupancy_staleness
 
-            stored = spark.read.parquet(assignments_path)  # must exist
             occupancy_staleness(
                 # replay hygiene, the serving-join rule: duplicate
                 # (id, cell) rows from a replayed append must not
@@ -1160,7 +1235,19 @@ def stream_apss_index(
     def _batch(batch, batch_id: int) -> None:
         stored_w = spark.read.parquet(weights_path)  # prebuilt: must exist
         stored_p = spark.read.parquet(prefix_path)
-        if monitor_staleness:
+        # an empty or whitespace-only micro-batch has zero non-empty
+        # (doc, term) rows: unseen_ppm would divide by COUNT(*)=0 and
+        # chi2's empty-side assert would fail the WHOLE batch, so the
+        # monitor row is skipped — nothing was scored against the
+        # snapshot, so there is no drift to measure (ADVICE r10)
+        from lakeflow.operators.text import tokens
+
+        batch_has_tokens = monitor_staleness and not (
+            batch.select(F.explode(tokens(text_col)).alias("__t"))
+            .filter(F.col("__t") != "")
+            .isEmpty()
+        )
+        if batch_has_tokens:
             snapshot_staleness(batch, stored_w, id_col, text_col).select(
                 F.lit(int(batch_id)).cast("long").alias("batch_id"),
                 "n_snapshot",

@@ -886,6 +886,120 @@ def test_stream_apss_index_three_waves(spark, tmp_path):
     assert any(r["rebuild"] == 1 for r in st)
 
 
+def test_stream_ivf_assign_staleness_fresh_index(spark, tmp_path):
+    # ADVICE r10 (medium): with staleness_path set on a FRESH index —
+    # no pre-seeded assignment relation — the first micro-batch used to
+    # raise PATH_NOT_FOUND reading the relation this stream's own first
+    # append creates. The monitor must skip batch 1 (nothing to drift
+    # FROM) and start appending rows from batch 2.
+    import random
+
+    from lakeflow.operators.similarity import ivf_assign, ivf_centroids
+    from lakeflow.streaming.corpus_intake import stream_ivf_assign
+
+    rng = random.Random(7)
+
+    def vec():
+        return [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+
+    src = str(tmp_path / "vecs")
+    asg = str(tmp_path / "assignments")
+    ck = str(tmp_path / "ck")
+    stp = str(tmp_path / "staleness")
+    schema = "vec_id long, ts timestamp, embedding array<double>"
+    seed = spark.createDataFrame(
+        [(i, vec()) for i in range(16)], "vec_id long, embedding array<double>"
+    )
+    cents = ivf_centroids(seed, n_cells=4)
+
+    wave1 = [(100 + i, vec()) for i in range(6)]
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"vec_id": i, "ts": "2024-01-01T00:00:00", "embedding": v}
+            for i, v in wave1
+        ],
+    )
+    q = stream_ivf_assign(spark, src, schema, cents, asg, ck, staleness_path=stp)
+    q.awaitTermination(120)
+    # batch 1 appended assignments but no monitor row (and no crash)
+    assert spark.read.parquet(asg).count() == 6
+    import os
+
+    assert not os.path.exists(stp) or spark.read.parquet(stp).count() == 0
+
+    # batch 2 (restart path): now a stored side exists -> one monitor
+    # row, measured against the PRE-batch relation
+    wave2 = [(200 + i, vec()) for i in range(4)]
+    _write_events(
+        src,
+        "w2.json",
+        [
+            {"vec_id": i, "ts": "2024-01-01T01:00:00", "embedding": v}
+            for i, v in wave2
+        ],
+    )
+    q = stream_ivf_assign(spark, src, schema, cents, asg, ck, staleness_path=stp)
+    q.awaitTermination(120)
+    st = spark.read.parquet(stp).collect()
+    assert len(st) == 1
+    assert st[0]["n_stored"] == 6 and st[0]["n_batch"] == 4
+
+
+def test_stream_apss_index_tokenless_batch_skips_monitor(spark, tmp_path):
+    # ADVICE r10 (low): a whitespace-only micro-batch has zero
+    # non-empty (doc, term) rows — snapshot_staleness would divide by
+    # COUNT(*)=0 and trip chi2's empty-side assert, failing the whole
+    # batch under the default monitor_staleness=True. The monitor row
+    # is skipped for such batches; the stream itself must complete.
+    from lakeflow.operators.apss import apss_index_fit
+    from lakeflow.streaming.corpus_intake import stream_apss_index
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    apss_index_fit(seed, idx, "doc_id", "text", 850_000)
+
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"doc_id": 10, "ts": "2024-01-01T00:00:00", "text": "   "},
+            {"doc_id": 11, "ts": "2024-01-01T00:01:00", "text": ""},
+        ],
+    )
+    q = stream_apss_index(spark, src, schema, idx, prs, ck, threshold_micros=850_000)
+    q.awaitTermination(120)
+    import os
+
+    assert not os.path.exists(f"{idx}/staleness") or (
+        spark.read.parquet(f"{idx}/staleness").count() == 0
+    )
+
+    # a real follow-up batch still monitors and pairs normally
+    _write_events(
+        src,
+        "w2.json",
+        [{"doc_id": 20, "ts": "2024-01-01T01:00:00", "text": "alpha beta gamma"}],
+    )
+    q = stream_apss_index(spark, src, schema, idx, prs, ck, threshold_micros=850_000)
+    q.awaitTermination(120)
+    st = spark.read.parquet(f"{idx}/staleness").collect()
+    assert len(st) == 1 and st[0]["n_batch"] > 0
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in spark.read.parquet(prs).distinct().collect()
+    }
+    assert (1, 20) in pairs
+
+
 def test_stream_entity_index_incremental(spark, tmp_path):
     # continuous entity resolution: wave 2's records link against the
     # PERSISTED record set and fold into the persisted assignment
@@ -1894,3 +2008,255 @@ def test_stream_loghist_grouped_fleet_form(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 12  # 2 g1 x 3 g2 x 2 probs
+
+
+# ---------------------------------------------------------------------------
+# r11 maintenance loops (VERDICT r10 tasks #3/#4): the full cycle
+# monitor fires -> maintain_* rebuilds -> the NEXT batch's monitor row
+# clears, for each frozen-index family. Every wave is a fresh stream
+# start on the same checkpoint (the restart path).
+# ---------------------------------------------------------------------------
+
+
+def test_maintain_apss_index_round_trip(spark, tmp_path):
+    from lakeflow.operators.apss import apss_index_fit
+    from lakeflow.streaming.corpus_intake import stream_apss_index
+    from lakeflow.streaming.maintenance import (
+        maintain_apss_index,
+        read_latest_staleness,
+    )
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, ts timestamp, text string"
+    seed_rows = [(1, "a1 a2 a3"), (2, "b1 b2 b3"), (3, "c1 c2 c3")]
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+    apss_index_fit(seed, idx, "doc_id", "text", 850_000)
+    stp = f"{idx}/staleness"
+    assert read_latest_staleness(spark, stp) is None
+
+    # wave 1: pure NEW vocabulary -> unseen_ppm = 1e6 -> monitor fires
+    _write_events(
+        src,
+        "w1.json",
+        [
+            {"doc_id": 10, "ts": "2024-01-01T00:00:00", "text": "x1 x2 x3"},
+            {"doc_id": 11, "ts": "2024-01-01T00:01:00", "text": "x1 x2 x3"},
+        ],
+    )
+    q = stream_apss_index(spark, src, schema, idx, prs, ck, threshold_micros=850_000)
+    q.awaitTermination(120)
+    fired = read_latest_staleness(spark, stp)
+    assert fired["rebuild"] == 1 and fired["unseen_ppm"] == 1_000_000
+
+    # the maintenance turn: rebuild over the CURRENT corpus
+    corpus = spark.createDataFrame(
+        seed_rows + [(10, "x1 x2 x3"), (11, "x1 x2 x3")],
+        "doc_id long, text string",
+    )
+    assert maintain_apss_index(spark, corpus, idx, "doc_id", "text", 850_000)
+    # rebuilt snapshot covers the drifted vocabulary
+    assert {
+        r["term"]
+        for r in spark.read.parquet(f"{idx}/weights")
+        .select("term")
+        .distinct()
+        .collect()
+    } >= {"a1", "x1"}
+
+    # wave 2, composition-matched to the rebuilt snapshot (60% df=1
+    # terms, 40% df=2 terms): unseen collapses to 0 and the df-bucket
+    # chi2 stays under threshold -> the monitor row CLEARS
+    _write_events(
+        src,
+        "w2.json",
+        [
+            {"doc_id": 20, "ts": "2024-01-01T01:00:00", "text": "a1 a2 a3"},
+            {"doc_id": 21, "ts": "2024-01-01T01:01:00", "text": "x1 x2 x3"},
+        ],
+    )
+    q = stream_apss_index(spark, src, schema, idx, prs, ck, threshold_micros=850_000)
+    q.awaitTermination(120)
+    cleared = read_latest_staleness(spark, stp)
+    assert cleared["batch_id"] > fired["batch_id"]
+    assert cleared["unseen_ppm"] == 0 and cleared["rebuild"] == 0
+    # a maintenance turn on a clear monitor is a no-op
+    assert maintain_apss_index(spark, corpus, idx, "doc_id", "text", 850_000) is False
+
+
+def test_maintain_ivf_index_round_trip(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.similarity import ivf_assign
+    from lakeflow.streaming.corpus_intake import stream_ivf_assign
+    from lakeflow.streaming.maintenance import (
+        maintain_ivf_index,
+        read_latest_staleness,
+    )
+
+    src = str(tmp_path / "vecs")
+    asg = str(tmp_path / "assignments")
+    ck = str(tmp_path / "ck")
+    stp = str(tmp_path / "staleness")
+    schema = "vec_id long, ts timestamp, embedding array<double>"
+    A = [1.0, 0.0, 0.0, 0.0]
+    B = [0.0, 1.0, 0.0, 0.0]
+    C = [0.6, 0.0, 0.8, 0.0]  # nearer A than B: drift piles into A's cell
+    cents1 = [A, B]
+    seed_rows = [Row(vec_id=i, embedding=(A if i % 2 else B)) for i in range(16)]
+    seed = spark.createDataFrame(seed_rows)
+    ivf_assign(seed, cents1).write.mode("overwrite").parquet(asg)
+
+    def ev(i, v):
+        return {"vec_id": i, "ts": "2024-01-01T00:00:00", "embedding": v}
+
+    # wave 1: point-mass drift -> occupancy chi2 fires
+    _write_events(src, "w1.json", [ev(100 + i, C) for i in range(16)])
+    q = stream_ivf_assign(
+        spark, src, schema, cents1, asg, ck, staleness_path=stp
+    )
+    q.awaitTermination(120)
+    fired = read_latest_staleness(spark, stp)
+    assert fired["rebuild"] == 1
+
+    # the maintenance turn: re-pick centroids over the CURRENT corpus
+    # and rewrite the assignment relation against them
+    corpus = spark.createDataFrame(
+        seed_rows + [Row(vec_id=100 + i, embedding=C) for i in range(16)]
+    )
+    cents2 = maintain_ivf_index(spark, corpus, asg, stp, n_cells=3)
+    assert cents2 is not None and len(cents2) == 3
+    stored2 = {
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(asg).collect()
+    }
+    want2 = {
+        (r["vec_id"], r["cell"]) for r in ivf_assign(corpus, cents2).collect()
+    }
+    assert stored2 == want2
+
+    # wave 2, composition-matched to the corpus (1/4 A, 1/4 B, 1/2 C):
+    # identical vectors assign identically, so batch occupancy equals
+    # stored occupancy exactly -> chi2 = 0 -> the monitor CLEARS
+    wave2 = [ev(200, A), ev(201, A), ev(202, B), ev(203, B)] + [
+        ev(210 + i, C) for i in range(4)
+    ]
+    _write_events(src, "w2.json", wave2)
+    q = stream_ivf_assign(
+        spark, src, schema, cents2, asg, ck, staleness_path=stp
+    )
+    q.awaitTermination(120)
+    cleared = read_latest_staleness(spark, stp)
+    assert cleared["batch_id"] > fired["batch_id"]
+    assert cleared["chi2_micros"] == 0 and cleared["rebuild"] == 0
+    # no-op on a clear monitor
+    assert maintain_ivf_index(spark, corpus, asg, stp, n_cells=3) is None
+
+
+def test_maintain_semantic_index_round_trip(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from lakeflow.operators.kmeans import semantic_index_fit
+    from lakeflow.streaming.corpus_intake import stream_semantic_index
+    from lakeflow.streaming.maintenance import (
+        maintain_semantic_index,
+        read_latest_staleness,
+    )
+
+    src = str(tmp_path / "vecs")
+    idx = str(tmp_path / "semidx")
+    prs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    stp = str(tmp_path / "staleness")
+    schema = "vec_id long, ts timestamp, embedding array<double>"
+    A = [1.0, 0.1, 0.0]
+    B = [-1.0, 0.2, 0.1]
+    C = [0.1, -1.0, 0.3]
+    seed_rows = [Row(vec_id=i, embedding=(A if i % 2 else B)) for i in range(8)]
+    seed = spark.createDataFrame(seed_rows)
+    semantic_index_fit(spark, seed, idx, k=2, n_iter=2)
+
+    def ev(i, v):
+        return {"vec_id": i, "ts": "2024-01-01T00:00:00", "embedding": v}
+
+    # wave 1 seeds the monitor baseline (first monitored batch against
+    # the seed assignments), wave 2 is point-mass drift -> fires
+    _write_events(src, "w1.json", [ev(100 + i, C) for i in range(8)])
+    q = stream_semantic_index(
+        spark, src, schema, idx, prs, ck,
+        min_cos_micros=900_000, staleness_path=stp,
+    )
+    q.awaitTermination(120)
+    fired = read_latest_staleness(spark, stp)
+    assert fired["rebuild"] == 1
+    assert fired["n_stored"] == 8 and fired["n_batch"] == 8
+
+    corpus = spark.createDataFrame(
+        seed_rows + [Row(vec_id=100 + i, embedding=C) for i in range(8)]
+    )
+    cents2 = maintain_semantic_index(spark, corpus, idx, stp, k=3)
+    assert cents2 is not None and len(cents2) == 3
+
+    # composition-matched wave (corpus is 8A+8B+8C -> one of each)
+    # over the rebuilt index: identical vectors colocate, so batch
+    # occupancy is exactly proportional to stored occupancy whatever
+    # cell layout the refit converged to -> clears
+    wave2 = [ev(200, A), ev(201, B), ev(202, C)]
+    _write_events(src, "w2.json", wave2)
+    q = stream_semantic_index(
+        spark, src, schema, idx, prs, ck,
+        min_cos_micros=900_000, staleness_path=stp,
+    )
+    q.awaitTermination(120)
+    cleared = read_latest_staleness(spark, stp)
+    assert cleared["batch_id"] > fired["batch_id"]
+    assert cleared["rebuild"] == 0
+    assert maintain_semantic_index(spark, corpus, idx, stp, k=3) is None
+
+
+def test_stream_neardup_index_band_staleness(spark, tmp_path):
+    # r11 wiring: the LSH band maintainer appends frozen-banding drift
+    # rows (batch mass over stored-bucket-size magnitudes). Batch 1 has
+    # no stored side -> skipped; a same-distribution batch reads low
+    # (every row lands in its own doc's bucket pattern); a replayed
+    # stream start without new files appends nothing.
+    from lakeflow.streaming.corpus_intake import stream_neardup_index
+    from lakeflow.streaming.maintenance import read_latest_staleness
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    stp = str(tmp_path / "staleness")
+    schema = "doc_id long, ts timestamp, text string"
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+    def ev(i, text):
+        return {"doc_id": i, "ts": "2024-01-01T00:00:00", "text": text}
+
+    _write_events(src, "w1.json", [ev(i, f"{base} v{i}") for i in range(8)])
+    q = stream_neardup_index(
+        spark, src, schema, idx, prs, ck, staleness_path=stp
+    )
+    q.awaitTermination(120)
+    assert read_latest_staleness(spark, stp) is None  # first batch skipped
+
+    # wave 2: near-duplicates of the stored docs -> batch rows land in
+    # EXISTING buckets, so the unseen-bucket (bin 0) mass stays partial
+    _write_events(src, "w2.json", [ev(100 + i, f"{base} v{i}") for i in range(8)])
+    q = stream_neardup_index(
+        spark, src, schema, idx, prs, ck, staleness_path=stp
+    )
+    q.awaitTermination(120)
+    row2 = read_latest_staleness(spark, stp)
+    assert row2 is not None and row2["n_batch"] > 0 and row2["n_stored"] > 0
+    assert 0 <= row2["chi2_micros"] <= 2_000_000
+
+    # restart with no new files: replay appends nothing (offsets held)
+    n_rows = spark.read.parquet(stp).count()
+    q = stream_neardup_index(
+        spark, src, schema, idx, prs, ck, staleness_path=stp
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(stp).count() == n_rows
