@@ -818,3 +818,60 @@ def overlap_matrix_from_signatures(
             "jaccard_est_micros"
         ),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility / compression statistics (r11 —
+    the fleet form of the tokenizer-coverage diagnostics
+    :func:`oov_profile` and :func:`tokenize_to_ids` report per-doc):
+    for each ``group_col`` value (language, source), the corpus-level
+    ratios a tokenization budget planner reads — docs, whitespace
+    tokens, characters, distinct-token vocabulary, and the two exact
+    integer-micro ratios
+
+    - ``chars_per_token_micros`` (fertility: how many characters one
+      token "costs" — rising per-language fertility means the
+      tokenizer undersegments that language),
+    - ``tokens_per_doc_micros`` (mean document length in tokens — the
+      sequence-packing planner's input).
+
+    One explode feeding two map-side-combined hash aggregates (token
+    totals + distinct-vocabulary count) joined to a per-group doc/char
+    aggregate on the bounded group key; all ratios are integer ``div``
+    micros, so any engine replays them bit-for-bit. At 100 TB the
+    explode is the only corpus-sized pass and both aggregates combine
+    before the (|groups|-bounded) shuffle."""
+    from lakeflow.operators.text import tokens
+
+    tok = docs.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("__t")
+    ).where(F.col("__t") != "")
+    per_tok = tok.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct(F.col("__t")).cast("long").alias("vocab"),
+    )
+    per_doc = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+    )
+    return (
+        per_doc.join(per_tok, group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "vocab",
+            F.expr("(n_chars * 1000000) div n_tokens")
+            .cast("long")
+            .alias("chars_per_token_micros"),
+            F.expr("(n_tokens * 1000000) div n_docs")
+            .cast("long")
+            .alias("tokens_per_doc_micros"),
+        )
+    )

@@ -122,3 +122,91 @@ def sql_pagerank(edges_cte: str, iters: int = 3,
         f"pr_final AS (SELECT node, rank AS rank_micros FROM {prev})"
     )
     return ",\n".join(parts)
+
+
+def triangle_count(
+    pairs: DataFrame, id_a: str, id_b: str
+) -> DataFrame:
+    """EXACT global triangle count over an undirected graph given as a
+    pair relation (r11 — the graph-family sibling of :func:`pagerank`
+    and ``clusters.min_label_components``): triangle density is the
+    standard clustering-coefficient numerator a corpus-curation stack
+    reads off its co-occurrence / dup-cluster / link graphs (a
+    near-dup pair graph whose triangles are dense is transitive
+    duplication; one whose triangles are rare is chain-shaped hash
+    noise).
+
+    Scale design — degree-ordered orientation (the Schank/Wagner
+    forward algorithm, the shape every distributed triangle counter
+    uses): orient each undirected edge from its lower-ranked endpoint
+    to its higher-ranked one under the total order (degree, id). Every
+    triangle then has exactly ONE wedge whose center is its
+    lowest-ranked vertex, so counting = one self-join of the oriented
+    relation on ``src`` (wedge generation, bounded by the sum of
+    ORIENTED out-degrees squared — O(m^1.5) total wedges instead of
+    the unoriented sum over deg², which a single hub makes quadratic)
+    plus one semi-join closure check against the same oriented
+    relation. Three shuffles total (degree agg, wedge join, closure
+    join), all on node/edge keys, AQE-splittable. Returns ONE row:
+    (n_nodes, n_edges, n_triangles)."""
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    from lakeflow.caching import active_scope, maybe_persist
+
+    # consumers: degree agg + the orientation join; ambient-scope-only
+    # persist (the bm25_search rule)
+    if active_scope() is not None:
+        e = maybe_persist(e, None)
+    # symmetrize via ONE explode (never union(e, reversed(e)) — the
+    # min_label_components lesson: union branches re-evaluate the
+    # upstream pair pipeline once each)
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    if active_scope() is not None:
+        oriented = maybe_persist(oriented, None)  # wedge (x2) + closure
+    a = oriented.select(
+        F.col("src"), F.col("dst").alias("x"), F.col("dd").alias("dx")
+    )
+    b = oriented.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("dd").alias("dy")
+    )
+    # each unordered wedge once: rank(x) < rank(y) under (degree, id)
+    wedges = a.join(b, "src").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    # closure: {x, y} exists iff the oriented edge x->y exists (x is
+    # lower-ranked, and orientation follows rank)
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -196,6 +196,74 @@ def rrf_fuse(
     return fused.orderBy(F.desc("rrf_micros"), F.asc(id_col)).limit(k)
 
 
+def rm3_expansion(
+    index: DataFrame,
+    terms: list[str],
+    k_docs: int = 10,
+    k_terms: int = 15,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 relevance-
+    model arrangement, Lavrenko & Croft SIGIR'01 as folded into every
+    production keyword stack): run the original query, treat its BM25
+    top-``k_docs`` as the feedback set, and rank the feedback docs'
+    terms by an exact-integer relevance weight
+
+        weight(t) = idf_bits(t) * sum over feedback docs of tf(t, d)
+
+    with ``idf_bits`` the same whole-bit idf quantization as
+    :func:`bm25_search` (``bit_length((2N+2) div (2df+1))`` — no
+    floating log, monotone in true idf), the original query terms
+    excluded, ties broken token-asc. The returned
+    (token, df, fb_tf, weight) top-``k_terms`` relation is what a
+    caller unions with the original terms for the expanded retrieval
+    round.
+
+    100 TB shape: the feedback set is a ``k_docs``-row TakeOrdered
+    relation BROADCAST into the posting join, so the per-query cost
+    beyond the BM25 round itself is the feedback docs' postings (a
+    pruned scan when the index is doc-bucketed) plus one df lookup
+    semi-joined to the feedback vocabulary — never a corpus-wide
+    expansion. All weights are exact integers, so the expansion set is
+    bit-reproducible on any engine."""
+    from lakeflow.caching import active_scope, maybe_persist
+
+    terms = sorted({t.lower() for t in terms})
+    # four consumers of the index (the BM25 round's three + the
+    # feedback-posting join): same ambient-scope-only persist rule as
+    # bm25_search
+    if active_scope() is not None:
+        index = maybe_persist(index, None)
+    fb = bm25_search(index, terms, k_docs).select("doc_id")
+    fbp = index.join(F.broadcast(fb), "doc_id")
+    fb_tokens = fbp.select("token").distinct()
+    dfr = (
+        index.join(fb_tokens, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n_docs = index.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf_bits = F.length(
+        F.conv(F.expr("(2 * n_docs + 2) div (2 * df + 1)").cast("string"), 10, 2)
+    ).cast("long")
+    return (
+        fbp.groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("fb_tf"))
+        .join(dfr, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .where(~F.col("token").isin(terms))
+        .select(
+            "token",
+            "df",
+            "fb_tf",
+            (idf_bits * F.col("fb_tf")).cast("long").alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.asc("token"))
+        .limit(k_terms)
+    )
+
+
 def keyword_search_any(
     index: DataFrame, terms: list[str], min_terms: int = 1
 ) -> DataFrame:

@@ -80,15 +80,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_try_casts",
     "q_wav_meta",
     "q_winsorize",
-    # --- latest row r8 (first 8 of 50) ---
+    # --- must-certify round-11 builds (3) — each displaces an r8
+    # fill (q_anti_join_customers, q_approx_distinct, q_apss_join;
+    # all three stay green in the local gate and roll into the r12
+    # refresh): family pairings for the r7 rows rotated in above
+    # (VERDICT r10 task #5) — rm3 pairs the bm25/hybrid search
+    # family, triangle_count pairs the pagerank graph family,
+    # token_fertility pairs the tokenize_ids/oov_rate family
+    "q_rm3_expansion",
+    "q_triangle_count",
+    "q_token_fertility",
+    # --- latest row r8 (first 5 of 50) ---
     "q17_small_quantity_parts",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q_analytic_windows",
-    "q_anti_join_customers",
-    "q_approx_distinct",
-    "q_apss_join",
 )
 
 

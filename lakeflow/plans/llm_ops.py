@@ -6182,3 +6182,134 @@ def q_mmr_select(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_select(emb, F.col("vec_id") == 0, k=5, lam_micros=700_000)
+
+
+@query(
+    "q_rm3_expansion",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    fb AS (SELECT doc_id FROM bsc
+           ORDER BY score_micros DESC, doc_id ASC LIMIT 10),
+    fbp AS (SELECT i.token, i.doc_id, i.tf FROM idx i JOIN fb USING (doc_id)),
+    fbt AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS fb_tf
+            FROM fbp GROUP BY 1),
+    dfa AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM idx
+            WHERE token IN (SELECT token FROM fbt) GROUP BY 1)
+    SELECT f.token, d.df, f.fb_tf,
+           CAST(CAST(length(bin((2*st.n_docs + 2) // (2*d.df + 1)))
+                     AS BIGINT) * f.fb_tf AS BIGINT) AS weight
+    FROM fbt f JOIN dfa d USING (token) CROSS JOIN st
+    WHERE f.token NOT IN ('spark', 'join', 'merge')
+    ORDER BY weight DESC, token ASC LIMIT 15
+    """,
+    description="Pseudo-relevance-feedback query expansion "
+    "(operators/index.rm3_expansion — the RM3 relevance-model "
+    "arrangement, Lavrenko & Croft SIGIR'01; r11's search-family "
+    "pairing for the q_bm25_search/q_hybrid_search refresh): the BM25 "
+    "top-10 for ['spark','join','merge'] becomes the feedback set, "
+    "and its terms rank by the EXACT-integer relevance weight "
+    "idf_bits(t) * sum of feedback tf — idf quantized to whole bits "
+    "via bit_length((2N+2) div (2df+1)), the same no-floating-log "
+    "device as the BM25 row, so the expansion set is bit-reproducible "
+    "on any engine. Original query terms excluded, ties token-asc, "
+    "top-15. The feedback set is a 10-row TakeOrdered relation "
+    "BROADCAST into the posting join and the df lookup semi-joins to "
+    "the feedback vocabulary, so per-query cost beyond the BM25 round "
+    "is the feedback docs' postings — never a corpus-wide expansion.",
+    refs=("§2.12", "A5", "D3", "J3"),
+)
+def q_rm3_expansion(spark, sf_dir):
+    from lakeflow.operators.index import build_inverted_index, rm3_expansion
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(d)
+    return rm3_expansion(idx, ["spark", "join", "merge"], k_docs=10, k_terms=15)
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+               FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+               WHERE a.l_partkey <> b.l_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_nodes FROM
+          (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) z),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM e e1 JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT n.n_nodes, m.n_edges, t.n_triangles
+    FROM n CROSS JOIN m CROSS JOIN t
+    """,
+    description="Exact global triangle count over the part "
+    "co-purchase graph — distinct part pairs sharing an order — via "
+    "degree-ordered orientation (operators/graph.triangle_count, the "
+    "Schank/Wagner forward algorithm; r11's graph-family pairing for "
+    "the q_pagerank refresh): orient every edge from its (degree, id)-"
+    "lower endpoint to its higher one, so each triangle is exactly ONE "
+    "wedge at its lowest-ranked vertex — wedge generation is then "
+    "bounded by oriented out-degrees (O(m^1.5) total) instead of the "
+    "hub-quadratic unoriented deg^2, the property that keeps the count "
+    "feasible on power-law co-occurrence graphs at corpus scale. One "
+    "degree aggregate, one wedge self-join, one semi-join closure "
+    "check — all equi-shuffles on node keys, AQE-splittable. The "
+    "oracle replays the count orientation-free (a plain 3-way join "
+    "under u<v<w normalization) since the count is "
+    "orientation-invariant. Triangle density over near-dup pair "
+    "graphs separates transitive duplication from chain-shaped hash "
+    "noise; clustering-coefficient features rank curation domains.",
+    refs=("§2.12", "J2", "A5"),
+)
+def q_triangle_count(spark, sf_dir):
+    from lakeflow.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+    )
+    return triangle_count(pairs, "pa", "pb")
+
+
+@query(
+    "q_token_fertility",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest({_SQL_TOKS}) AS t FROM documents),
+    t2 AS (SELECT lang, t FROM tok WHERE t <> ''),
+    pt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab
+           FROM t2 GROUP BY 1),
+    pd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+           FROM documents GROUP BY 1)
+    SELECT d.lang, d.n_docs, t.n_tokens, d.n_chars, t.vocab,
+           CAST((d.n_chars * 1000000) // t.n_tokens AS BIGINT)
+             AS chars_per_token_micros,
+           CAST((t.n_tokens * 1000000) // d.n_docs AS BIGINT)
+             AS tokens_per_doc_micros
+    FROM pd d JOIN pt t USING (lang)
+    """,
+    description="Per-language tokenizer fertility / compression "
+    "statistics (operators/corpus.tokenizer_fertility; r11's "
+    "tokenize-family pairing for the q_tokenize_ids/q_oov_rate "
+    "refresh): docs, whitespace tokens, characters, distinct-token "
+    "vocabulary, and the two exact integer-micro ratios a "
+    "tokenization budget planner reads — chars_per_token_micros "
+    "(fertility: rising per-language fertility means the tokenizer "
+    "undersegments that language) and tokens_per_doc_micros (the "
+    "sequence-packing planner's mean-length input). One explode "
+    "feeding two map-side-combined hash aggregates joined on the "
+    "bounded language key; integer div micros throughout, so any "
+    "engine replays the ratios bit-for-bit.",
+    refs=("§2.12", "A5", "N7", "F1"),
+)
+def q_token_fertility(spark, sf_dir):
+    from lakeflow.operators.corpus import tokenizer_fertility
+
+    d = load_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(d, "lang")
