@@ -7,18 +7,42 @@ Each query executes to completion through the noop sink (full distributed
 execution, no driver-side materialization cost in the measurement).
 
 Load robustness (round 4, after BENCH_r03's 2.7x anomaly on unchanged
-code — adjudicated environmental by the r3 judge): a fixed CPU-bound
-calibration job is timed at the start, middle, and end of the session
-and reported in the JSON. ``calibration_sec`` is the MINIMUM probe
-(see CALIBRATION_REF_SEC for why min, not median);
-``queries_normalized`` rescales each raw timing by
-``CALIBRATION_REF_SEC / calibration_sec`` so a contended machine reads
-the same as an idle one. Raw timings stay the headline ``value`` for
-round-over-round continuity; the normalized block is the
-load-independent record. Per-query timing is min-of-3 (was 2), and the
-Spark cache is cleared between queries so operators that persist
-intermediates (near-dup pipeline, LSH index) cannot pressure later
-queries' memory.
+code — adjudicated environmental by the r3 judge; REWORKED round 11,
+VERDICT r10 defect #1): a fixed calibration job is timed at the
+start, middle, and end of each pass and reported in the JSON.
+``calibration_sec`` is the MINIMUM probe (see the REF constants for
+why min, not median); ``queries_normalized`` rescales each raw timing
+by ``CALIBRATION_MID_REF_SEC / calibration_sec`` so a contended
+machine reads the same as an idle one. Raw timings stay the headline
+``value`` for round-over-round continuity; the normalized block is
+the load-independent record.
+
+Round-11 rework: the anchor probe is now a MID-SIZE shuffle+codegen
+query (``_calibration_mid_job`` — two wide hash aggregates + a sort
+over 48M generated rows, ~1 s idle), not the old ~0.1 s CPU-only
+reduction. Round 10 proved the small probe blind: two same-code
+sessions differed by a median 1.28x per query across 147 common
+queries while the CPU probe moved ~1% — whole-session load that
+throttles shuffle/codegen-heavy queries never touched it, so the
+artifact of record regressed 13% while the code got ~10% faster.
+The mid probe exercises the same resource mix the headline queries
+do (codegen, exchange write/read, hash tables), so session-level
+throttling shows up in the anchor and divides back out. The old CPU
+probe is still recorded (``calibration_cpu_sec``) for cross-round
+attribution, as is the shuffle micro-probe.
+
+A second, independent noise detector: ``vs_history_median_ratio``
+compares this session's normalized per-query timings against the
+per-query MINIMUM across prior recorded sessions
+(bench_history.jsonl, same sf) — the median ratio over common
+queries. A clean session reads ~1.0-1.15 (history-min is a floor);
+``session_load_suspect`` flags > 1.25, which machine-detects a
+session the normalization failed to correct (code regressions move
+individual queries, not the median of 140+).
+
+Per-query timing is min-of-3, and the Spark cache is scoped per query
+so operators that persist intermediates (near-dup pipeline, LSH
+index) cannot pressure later queries' memory.
 """
 
 from __future__ import annotations
@@ -29,15 +53,35 @@ import re
 import sys
 import time
 
-#: Wall seconds the calibration job takes on an idle 32-thread sandbox.
+#: Wall seconds the LEGACY CPU-only calibration job takes on an idle
+#: 32-thread sandbox. Recorded for cross-round attribution only since
+#: round 11; see CALIBRATION_MID_REF_SEC for the normalization anchor.
 #: Anchor = the session MINIMUM of the start/middle/end probes: C2-JIT
 #: tiering keeps lowering later probes toward the true steady state, so
 #: the session median swings ~50% between otherwise-identical runs
 #: (measured 0.195 vs 0.130) while the minimum is stable within ~5%
 #: (0.106 vs 0.111). Contention raises ALL probes, so the minimum still
-#: detects a loaded machine. Normalization anchor only — no effect on
-#: raw timings.
+#: detects a loaded machine.
 CALIBRATION_REF_SEC = 0.108
+
+#: Wall seconds the round-11 MID-SIZE shuffle+codegen calibration job
+#: (_calibration_mid_job) takes on an idle 32-thread sandbox. The
+#: normalization anchor: queries_normalized = raw * (this /
+#: session-min-probe). DERIVED, not directly measured: the sandbox was
+#: persistently host-throttled when round 11 landed (the legacy CPU
+#: probe read 0.45-0.53 vs its 0.108 idle anchor — 4-5x — while six
+#: re-run r10 bench queries read 1.3-3.8x their r10 times, median
+#: 2.9x; no local process explained it), so no idle window was
+#: observable. Derivation: best observed mid probe 2.67 s / the ~3.7x
+#: slowdown of its closest query analogues (q3_shipping_priority
+#: 3.72x, q_exact_dedup_docs 3.75x — the shuffle+agg shapes) ~= 0.72;
+#: the CPU-probe-ratio derivation (2.67 * 0.108/0.447) gives 0.65.
+#: Anchored at 0.7. The constant only sets the ABSOLUTE scale of the
+#: normalized record (cross-round continuity); the two-session
+#: agreement criterion and the vs-history detector are both
+#: anchor-independent. Tighten from bench_history minima if an idle
+#: window reappears.
+CALIBRATION_MID_REF_SEC = 0.7
 
 
 def _sf_from_dir(d: str) -> float:
@@ -60,6 +104,38 @@ def _calibrate(spark) -> float:
     for _ in range(3):
         t0 = time.perf_counter()
         _calibration_job(spark)
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
+def _calibration_mid_job(spark) -> None:
+    """q3-shaped mid-size probe (round 11): 48M generated rows through
+    whole-stage codegen, a 1M-group partial+final hash aggregate
+    (32-partition exchange), a re-keyed second aggregate, and a sort —
+    the resource mix (CPU + shuffle write/read + hash tables) the
+    headline queries actually exercise, sized ~1 s idle so
+    whole-session load that throttles real queries is visible to it.
+    Deterministic, no I/O, no data dependence."""
+    (
+        spark.range(0, 48_000_000, 1, 32)
+        .selectExpr("id % 1000003 as k", "id")
+        .groupBy("k")
+        .agg({"id": "sum"})
+        .selectExpr("k % 9973 as k2", "`sum(id)` as s")
+        .groupBy("k2")
+        .agg({"s": "sum"})
+        .orderBy("k2")
+        .collect()
+    )
+
+
+def _calibrate_mid(spark) -> float:
+    """Timed min-of-3 of the mid-size probe; callers warm it untimed
+    first (JIT tiering shifts first executions)."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration_mid_job(spark)
         runs.append(time.perf_counter() - t0)
     return min(runs)
 
@@ -279,6 +355,13 @@ BENCH_QUERIES = [
     # round 10 continuation: the discrete-bucket occupancy monitor
     # (bounded aggregates over the frozen banding — steady-state shape)
     "q_band_staleness",
+    # round 11: RM3 query expansion (a BM25 round + broadcast feedback
+    # join), degree-oriented triangle counting over the part
+    # co-purchase graph (the round's heaviest new row — a genuine
+    # wedge-join graph workload), per-language tokenizer fertility
+    "q_rm3_expansion",
+    "q_triangle_count",
+    "q_token_fertility",
     # q_apss_join stays OUT of the headline (the q_cdf_aggregate rule:
     # not a steady-state query shape on this data): the synthetic
     # documents table draws uniform tokens from a tiny shared
@@ -328,14 +411,16 @@ def main() -> None:
     spark = get_spark("lakeflow-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM warm-up outside the measurement; the calibration job itself is
+    # JVM warm-up outside the measurement; the calibration jobs are
     # warmed untimed so JIT tiering doesn't bias the first probe high
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for _ in range(3):
         _calibration_job(spark)
+    for _ in range(2):
+        _calibration_mid_job(spark)
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
-    probes: list[float] = [_calibrate(spark)]
+    probes: list[float] = [_calibrate_mid(spark)]
 
     # steady-state timing: min of 3 runs per query — the first run pays
     # one-time whole-stage-codegen JIT compilation (~1s/query), which at
@@ -378,8 +463,8 @@ def main() -> None:
             timings[name] = round(min(runs), 3)
             print(f"# p{pass_no} {name}: {timings[name]:.3f}s", file=sys.stderr)
             if i == len(names) // 2:
-                probes.append(_calibrate(spark))
-        probes.append(_calibrate(spark))
+                probes.append(_calibrate_mid(spark))
+        probes.append(_calibrate_mid(spark))
         return timings
 
     # The RECORDED artifact is the SESSION MIN (VERDICT r7 task #2):
@@ -399,6 +484,7 @@ def main() -> None:
     for _ in range(2):
         _calibration_shuffle_job(spark)  # warm untimed
     shuffle_probe = _calibrate_shuffle(spark)
+    cpu_probe = _calibrate(spark)  # legacy anchor, recorded for attribution
 
     # Separate BUILD benchmark (outside the headline sum): one IVF-PQ
     # index fit over the embeddings table into a throwaway dir — the
@@ -434,8 +520,41 @@ def main() -> None:
         shutil.rmtree(build_dir, ignore_errors=True)
 
     calibration = min(probes)
-    scale = CALIBRATION_REF_SEC / calibration
+    scale = CALIBRATION_MID_REF_SEC / calibration
     normalized = {n: round(t * scale, 3) for n, t in timings.items()}
+
+    # second, anchor-independent noise detector: this session's
+    # normalized timings vs the per-query MINIMUM across prior
+    # recorded sessions at the same sf (see module docstring)
+    repo_dir = os.path.dirname(__file__) or "."
+    hist_min: dict[str, float] = {}
+    hist_sessions = 0
+    sf_val = _sf_from_dir(sf_dir)
+    try:
+        with open(os.path.join(repo_dir, "bench_history.jsonl")) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                # artifact (session-min) lines only, same scale
+                if rec.get("metric") is None or rec.get("sf") != sf_val:
+                    continue
+                hist_sessions += 1
+                qn = rec.get("queries_normalized") or rec.get("queries") or {}
+                for n, t in qn.items():
+                    if t > 0 and (n not in hist_min or t < hist_min[n]):
+                        hist_min[n] = t
+    except OSError:
+        pass
+    ratios = sorted(
+        normalized[n] / hist_min[n]
+        for n in normalized
+        if n in hist_min and normalized[n] > 0
+    )
+    vs_history = (
+        round(ratios[len(ratios) // 2], 3) if ratios else None
+    )
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -443,11 +562,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_from_dir(sf_dir),
+        "sf": sf_val,
         "calibration_sec": round(calibration, 3),
         "calibration_probes": [round(p, 3) for p in probes],
-        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "calibration_ref_sec": CALIBRATION_MID_REF_SEC,
+        "calibration_cpu_sec": round(cpu_probe, 3),
+        "calibration_cpu_ref_sec": CALIBRATION_REF_SEC,
         "calibration_shuffle_sec": round(shuffle_probe, 3),
+        "vs_history_median_ratio": vs_history,
+        "history_sessions": hist_sessions,
+        "session_load_suspect": bool(vs_history and vs_history > 1.25),
         "value_normalized": round(sum(normalized.values()), 3),
         "queries_normalized": normalized,
         "build_ivf_pq_fit_sec": build_ivf_pq_fit_sec,
@@ -465,7 +589,6 @@ def main() -> None:
     # So: the FULL record goes to a sidecar file and an EARLIER stdout
     # line; the LAST stdout line is a compact summary that always
     # survives tail capture.
-    repo_dir = os.path.dirname(__file__) or "."
     with open(os.path.join(repo_dir, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
     # append-only in-repo history so round-over-round diffs never depend
@@ -495,9 +618,11 @@ def main() -> None:
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "sf": _sf_from_dir(sf_dir),
+                "sf": sf_val,
                 "calibration_sec": round(calibration, 3),
                 "calibration_shuffle_sec": round(shuffle_probe, 3),
+                "vs_history_median_ratio": vs_history,
+                "session_load_suspect": bool(vs_history and vs_history > 1.25),
                 "value_normalized": round(sum(normalized.values()), 3),
                 "n_queries": len(timings),
                 "detail": "bench_detail.json",

@@ -90,38 +90,53 @@ def min_label_components(
     # edge keeps min() bounded by the node's own current label), so the
     # label SUM strictly decreases every round until the fixpoint — one
     # 1-row aggregate over the fresh checkpoint replaces the old
-    # changed-count filter-join. Probed every SECOND round: a probe
-    # costs a driver round-trip like the propagation itself, and the
-    # worst case of probing late is ONE wasted (idempotent) propagation
-    # round — the r10 interleaved measurement put every-round probing
-    # at 4.6-6.4 s and every-other-round at 3.8-4.8 s on the sf0.1
-    # linkage graph. DECIMAL(38,0): the sum is bounded by n * max_id,
-    # which overflows BIGINT on trillion-row graphs.
+    # changed-count filter-join. Probed once per CHECKPOINT (every
+    # second round under fusion below — the cadence r10 measured best:
+    # every-round probing 4.6-6.4 s vs every-other-round 3.8-4.8 s on
+    # the sf0.1 linkage graph; a probe costs a driver round-trip like
+    # the propagation itself, and the worst case of probing late is
+    # ONE wasted idempotent round). DECIMAL(38,0): the sum is bounded
+    # by n * max_id, which overflows BIGINT on trillion-row graphs.
     #
-    # Tail: detection needs TWO equal consecutive probes, so every-
-    # other-round probing near max_iter could exhaust the budget on a
-    # graph that converges in the last couple of rounds (and
-    # max_iter<=2 could never return at all) — the final FOUR rounds
-    # probe every round so a fixpoint reached anywhere inside the
-    # budget is always observed twice before the loop ends (ADVICE
-    # r10).
+    # ROUND FUSION (r11 — VERDICT r10 task #6): outside the tail, TWO
+    # propagation join+agg rounds share ONE eager checkpoint and ONE
+    # probe — the per-round fixed cost the r10 decomposition measured
+    # (~0.35-0.45 s/round locally) is mostly checkpoint + probe
+    # round-trips, and `sym` is reused as-is so fusion adds no join
+    # (unlike pointer jumping, measured & rejected in r10). Interleaved
+    # A/B on the sf0.1 linkage match graph (scripts/er_fusion_probe.py,
+    # outputs asserted identical): min 9.34 s -> 6.02 s, 0.645x.
+    # Convergence stays sound: the label sum is non-increasing per
+    # round, so equal sums two rounds apart still certify a fixpoint.
+    #
+    # Tail: detection needs TWO equal consecutive probes, so the final
+    # FOUR rounds run single-round with a probe each (ADVICE r10) — a
+    # fixpoint reached anywhere inside the budget is always observed
+    # twice before the loop ends, and a fused cycle never starts
+    # inside the tail (checked before each cycle), so the documented
+    # max_iter >= d + 1 budget is sufficient in every parity case.
     prev_sum = None
-    for i in range(max_iter):
-        labels = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("lbl").alias("lbl"))
-            .withColumnRenamed("src", "id")
-        ).localCheckpoint(eager=True)
-        if i % 2 == 1 or i >= max_iter - 4:
-            cur_sum = labels.agg(
-                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-            if cur_sum == prev_sum:
-                return labels.select(
-                    F.col("id").alias(out_id), F.col("lbl").alias(out_label)
-                )
-            prev_sum = cur_sum
+    i = 0
+    while i < max_iter:
+        steps = 1 if i >= max_iter - 4 else 2
+        cur = labels
+        for _ in range(steps):
+            cur = (
+                sym.join(cur, sym["dst"] == cur["id"])
+                .groupBy("src")
+                .agg(F.min("lbl").alias("lbl"))
+                .withColumnRenamed("src", "id")
+            )
+        labels = cur.localCheckpoint(eager=True)
+        i += steps
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            return labels.select(
+                F.col("id").alias(out_id), F.col("lbl").alias(out_label)
+            )
+        prev_sum = cur_sum
     raise RuntimeError(
         f"min_label_components did not converge in {max_iter} rounds "
         "(unexpectedly large component diameter; use star_contraction_components)"
