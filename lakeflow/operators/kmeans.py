@@ -328,6 +328,94 @@ def kmeans_assign(
     )
 
 
+def _cell_pair_scores(
+    assigned: DataFrame, id_col: str, min_cos_micros: int
+) -> DataFrame:
+    """All within-cell pairs (id_a < id_b, cell, cos_micros >= t) from
+    an assigned relation (``id_col``, __v array<long>, cell) — the
+    SemDeDup pair stage as a grouped vectorized kernel instead of a
+    self-join: one shuffle of N rows keyed by cell, then per cell one
+    int64 matmul for every pairwise dot and one vectorized IEEE
+    double sequence identical to :func:`similarity.cosine_micros`
+    (cast double, /(sqrt*sqrt), *1e6, +0.5, floor — floor(NaN) maps
+    to 0 exactly like Spark's long cast). Ragged / null-bearing cells
+    fall back to a per-pair exact path replicating the join's
+    zip_with semantics (mismatched lengths or null elements yield a
+    null dot -> pair dropped)."""
+    import pandas as pd
+
+    threshold = int(min_cos_micros)
+    out_schema = (
+        f"{id_col}_a long, {id_col}_b long, cell long, cos_micros long"
+    )
+    cols = [f"{id_col}_a", f"{id_col}_b", "cell", "cos_micros"]
+
+    def score_cell(pdf):
+        import numpy as np
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        try:
+            X = np.vstack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["__v"]]
+            )
+        except (TypeError, ValueError):
+            X = None
+        if X is not None:
+            mx = int(np.abs(X).max(initial=0))
+            dim = X.shape[1]
+            if mx and dim * mx * mx > 2**62:
+                raise ValueError(
+                    "semantic pairs: |micro component| too large for "
+                    f"exact int64 dot products ({mx})"
+                )
+            g = X @ X.T
+            d = np.sqrt(g.diagonal().astype(np.float64))
+            c = np.floor(
+                g.astype(np.float64) / (d[:, None] * d[None, :]) * 1e6 + 0.5
+            )
+            c = np.where(np.isnan(c), 0.0, c)
+            iu, ju = np.triu_indices(m, k=1)
+            cos = c[iu, ju]
+            keep = cos >= threshold
+            return pd.DataFrame(
+                {
+                    cols[0]: ids[iu[keep]],
+                    cols[1]: ids[ju[keep]],
+                    "cell": np.full(int(keep.sum()), cell, dtype=np.int64),
+                    "cos_micros": cos[keep].astype(np.int64),
+                }
+            )
+        # ragged / null elements: exact per-pair replication of the
+        # join's zip_with semantics
+        import math
+
+        vecs = [list(v) if v is not None else None for v in pdf["__v"]]
+        rows = []
+        for i in range(m):
+            for j in range(i + 1, m):
+                va, vb = vecs[i], vecs[j]
+                if va is None or vb is None or len(va) != len(vb):
+                    continue
+                if any(x is None for x in va) or any(x is None for x in vb):
+                    continue
+                dot = sum(int(x) * int(y) for x, y in zip(va, vb))
+                n2a = sum(int(x) * int(x) for x in va)
+                n2b = sum(int(x) * int(x) for x in vb)
+                denom = math.sqrt(float(n2a)) * math.sqrt(float(n2b))
+                v = float(dot) / denom if denom else float("nan")
+                cosv = math.floor(v * 1e6 + 0.5) if v == v else 0
+                if cosv >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), cell, cosv))
+        return pd.DataFrame(rows, columns=cols).astype("int64")
+
+    return assigned.groupBy("cell").applyInPandas(score_cell, out_schema)
+
+
 def semantic_dup_pairs(
     emb: DataFrame,
     k: int = 8,
@@ -359,36 +447,19 @@ def semantic_dup_pairs(
     base = _with_best(_with_vectors(emb, id_col, vec_col), cents, id_col).select(
         F.col(id_col),
         "__v",
-        "__n2",
         F.col("__m").getField("i").cast("long").alias("cell"),
     )
-    a = base.select(
-        F.col(id_col).alias("vec_id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n2").alias("__n2a"),
-        "cell",
-    )
-    b = base.select(
-        F.col(id_col).alias("vec_id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n2").alias("__n2b"),
-        "cell",
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select(
-            "vec_id_a",
-            "vec_id_b",
-            "cell",
-            cosine_micros(
-                dot_long(F.col("__va"), F.col("__vb")),
-                F.col("__n2a"),
-                F.col("__n2b"),
-            ).alias("cos_micros"),
-        )
-        .filter(F.col("cos_micros") >= F.lit(min_cos_micros))
-    )
+    # Within-cell pairwise scoring as ONE numpy matmul per cell
+    # (guide §4.2): the former within-cell self-join shipped both
+    # vectors on every candidate row and folded each 64-term dot
+    # product through an interpreted zip_with+aggregate — measured
+    # 2.6 s for the ~250k sf0.1 pairs vs ~0.3 s for the grouped
+    # matmul. Cells are bounded by target_cell_size, so per-group
+    # work is O(cell^2) regardless of corpus size — the same bound
+    # the join relied on. Exactness is unchanged: integer dots via
+    # int64 matmul (overflow-guarded), then the identical IEEE
+    # double sequence as cosine_micros.
+    return _cell_pair_scores(base, id_col, min_cos_micros)
 
 
 def semantic_index(

@@ -52,6 +52,7 @@ _NODES: dict[str, str] = {
     "FlatMapGroupsInPandas": "python_eval",
     "FlatMapGroupsInPandasWithState": "python_eval",
     "PythonMapInArrow": "python_eval",
+    "MapInArrow": "python_eval",
 }
 
 # detail-section entries: one "(id) NodeName" line per physical node
