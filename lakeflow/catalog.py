@@ -40,7 +40,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds — the same flavor the other tables load as.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # only when the file really is ns-longs — a re-materialized copy
         # already carries a proper timestamp column
@@ -48,6 +49,61 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
+
+
+#: fan-out floor skips scans this small — a dimension table's rows fit
+#: one task's first scheduling quantum, so spreading them only adds
+#: empty-ish tasks
+_FANOUT_MIN_BYTES = 256 * 1024
+
+
+def fanout_scan(df: DataFrame) -> DataFrame:
+    """Round-robin fan-out for under-parallel scans feeding COMPUTE-
+    HEAVY per-row work (optimization guide §2.5 "input skew": one huge
+    unsplittable file — gzip, or parquet written as a single row
+    group, which Spark cannot split below row-group granularity — caps
+    the scan at file count, serializing every downstream map stage).
+
+    Deliberately NOT applied inside ``load_table``: for plain
+    aggregate/join queries the map-side partial aggregation already
+    collapses the scan output, and a blanket repartition would move
+    every byte through an exchange that partial aggregation avoids
+    (measured: q1 0.31s -> 0.77s, q21 0.96s -> 2.25s). Operators whose
+    per-row work dominates (shingle + md5 minhash families, wide
+    profiling) call this on their input instead — there the shuffle of
+    the raw rows is tiny next to the per-row compute it parallelizes
+    (measured: q_corpus_overlap 2.46s -> 0.82s, q_minhash_lsh_pairs
+    1.51s -> 0.75s).
+
+    Conditions make it a no-op on a properly laid-out lake: only LOCAL
+    file scans (a remote store's layout is the lake's job), only when
+    the scan yields fewer tasks than the session's parallelism, only
+    past a small-size floor. The target tracks
+    ``defaultParallelism``, never a constant. Results everywhere in
+    this repo are partitioning-invariant by construction (hash-based
+    sampling, salt-split aggregates, per-partition partial tiers), so
+    fan-out is safe on any input."""
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df  # in-memory relation (tests): nothing to fan out
+    size = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df
+        try:
+            size += os.path.getsize(f[len("file:") :])
+        except OSError:
+            return df
+    if size < _FANOUT_MIN_BYTES:
+        return df
+    floor = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= floor:
+        return df
+    return df.repartition(floor)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -58,6 +58,11 @@ def boilerplate_profile(
     materializing it (measured; see module git history) — and the hot
     relation is doc-frequency-bounded (boilerplate vocabulary), never
     corpus-sized."""
+    from lakeflow.catalog import fanout_scan
+
+    # the un-persisted two-pass design recomputes the shingle+hash scan
+    # twice — fanning the scan out parallelizes both passes (guide §2.5)
+    df = fanout_scan(df)
     hs = _hashed_shingles(df, id_col, text_col, n, "bp")
     per = hs.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
     hot = (
@@ -677,7 +682,11 @@ def corpus_minhash_signature(
     if k % 4 != 0:
         raise ValueError("k must be a multiple of 4 (4 slices per digest)")
     seeds = tuple(f"cs{i}" for i in range(k // 4))
-    pre = docs.select(tokens(text_col).alias("__toks"))
+    from lakeflow.catalog import fanout_scan
+
+    # per-row shingle+md5 work dominates an under-parallel scan —
+    # fan out first (guide §2.5; no-op on a well-laid-out lake table)
+    pre = fanout_scan(docs).select(tokens(text_col).alias("__toks"))
     ex = pre.select(
         F.explode(shingles_from_tokens("__toks", shingle_n)).alias("s")
     )
@@ -748,7 +757,12 @@ def grouped_minhash_signatures(
     if k % 4 != 0:
         raise ValueError("k must be a multiple of 4 (4 slices per digest)")
     seeds = tuple(f"cs{i}" for i in range(k // 4))
-    pre = docs.select(F.col(group_col), tokens(text_col).alias("__toks"))
+    from lakeflow.catalog import fanout_scan
+
+    # same fan-out rationale as corpus_minhash_signature
+    pre = fanout_scan(docs).select(
+        F.col(group_col), tokens(text_col).alias("__toks")
+    )
     ex = pre.select(
         group_col,
         F.explode(shingles_from_tokens("__toks", shingle_n)).alias("s"),

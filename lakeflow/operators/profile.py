@@ -27,6 +27,12 @@ def profile_table(
     """Per-column profile: (column, n_rows, n_null, n_distinct,
     min_value, max_value) — min/max stringified so heterogeneous
     column types share one schema. One scan, one aggregation."""
+    from lakeflow.catalog import fanout_scan
+
+    # four exact count_distincts expand every row 5-fold before the
+    # first exchange — parallelizing an under-parallel scan feeds the
+    # expand from every core (guide §2.5; no-op on a real lake table)
+    df = fanout_scan(df)
     cols = columns if columns is not None else df.columns
     aggs = [F.count(F.lit(1)).alias("__n")]
     nd = (

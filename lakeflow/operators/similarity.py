@@ -530,7 +530,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """k min-hashes over word n-gram shingles: explode + single hash-agg
     (map-side partial min). Returns (id_col, mh0..)."""
-    ex = explode_shingles(df, id_col, text_col, shingle_n)
+    from lakeflow.catalog import fanout_scan
+
+    # per-row shingle+md5 work dominates an under-parallel scan — fan
+    # out first (guide §2.5; no-op on a well-laid-out lake table)
+    ex = explode_shingles(fanout_scan(df), id_col, text_col, shingle_n)
     return minhash_from_shingles(ex, id_col, k)
 
 
