@@ -241,8 +241,13 @@ def rm3_expansion(
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
-    n_docs = index.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).alias("n_docs")
+    # shaped EXACTLY like bm25_search's doc-length aggregate so the
+    # planner reuses that exchange (ReusedExchange) instead of paying a
+    # third full-index pass for a count the BM25 round already grouped
+    n_docs = (
+        index.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     idf_bits = F.length(
         F.conv(F.expr("(2 * n_docs + 2) div (2 * df + 1)").cast("string"), 10, 2)
