@@ -617,3 +617,92 @@ def test_ivf_pq_fit_two_level_serves_with_recall(spark, tmp_path):
         spark, emb, F.col("vec_id") < 3, idx, n_probe=4, k=5, shortlist=100
     )
     assert out.count() == 15
+
+
+def test_cell_pair_scores_ragged_and_null_fallback(spark):
+    # r11 optimization round: the grouped-numpy pair kernel falls back
+    # to an exact per-pair path on ragged / null-bearing cells,
+    # replicating the former join's zip_with semantics — a pair whose
+    # vectors differ in length (or carry a null element) yields a null
+    # dot and is DROPPED, never scored wrong
+    from lakeflow.operators.kmeans import _cell_pair_scores
+
+    rows = [
+        # cell 0: two clean identical 2-vectors + one ragged 3-vector
+        (0, [1_000_000, 0], 0),
+        (1, [1_000_000, 0], 0),
+        (2, [1_000_000, 0, 0], 0),
+        # cell 1: a null element poisons every pair touching row 4
+        (3, [0, 1_000_000], 1),
+        (4, [0, None], 1),
+        (5, [0, 1_000_000], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, __v array<long>, cell long"
+    )
+    got = sorted(
+        (r["vec_id_a"], r["vec_id_b"], r["cell"], r["cos_micros"])
+        for r in _cell_pair_scores(df, "vec_id", 500_000).collect()
+    )
+    # ragged row 2 and null row 4 pair with nothing; the clean pairs
+    # score exactly
+    assert got == [(0, 1, 0, 1_000_000), (3, 5, 1, 1_000_000)]
+
+
+def test_cell_pair_scores_matches_join_form_exactly(spark):
+    # the numpy kernel must reproduce the former within-cell join's
+    # integer cosines bit-for-bit (same int64 dots, same IEEE double
+    # sequence) — cross-check against dot_long/cosine_micros on a
+    # corpus whose cosines straddle the threshold
+    from lakeflow.operators.kmeans import _cell_pair_scores
+    from lakeflow.operators.similarity import cosine_micros, dot_long
+
+    vecs = [
+        [(i * 7 % 13) / 13.0, (i * 5 % 11) / 11.0, ((i * 3 % 7) / 7.0)]
+        for i in range(1, 30)
+    ]
+    base = _emb_df(spark, vecs).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1_000_000) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("__v"),
+        (F.col("vec_id") % 3).cast("long").alias("cell"),
+    )
+    got = sorted(
+        map(tuple, _cell_pair_scores(base, "vec_id", 700_000).collect())
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("__v").alias("__va"),
+        "cell",
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("__v").alias("__vb"),
+        "cell",
+    )
+    n2 = lambda c: dot_long(F.col(c), F.col(c))  # noqa: E731
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, "cell")
+            .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select(
+                "vec_id_a",
+                "vec_id_b",
+                "cell",
+                cosine_micros(
+                    dot_long(F.col("__va"), F.col("__vb")),
+                    n2("__va"),
+                    n2("__vb"),
+                ).alias("cos_micros"),
+            )
+            .filter(F.col("cos_micros") >= 700_000)
+            .select("vec_id_a", "vec_id_b", "cell", "cos_micros")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -124,3 +124,35 @@ def test_double_encoded_corrupt_observability(spark, froot, tmp_path):
 
     with pytest.raises(ValueError):
         read_double_encoded_ndjson(spark, base, on_corrupt="explode")
+
+
+def test_fanout_scan_conditions(spark, tmp_path):
+    # r11 optimization round: fanout_scan fans out ONLY big-enough
+    # under-parallel local file scans — in-memory relations and tiny
+    # files pass through untouched, and results are unchanged
+    from lakeflow.catalog import fanout_scan
+
+    mem = spark.range(10)
+    assert fanout_scan(mem) is mem  # no input files -> untouched
+
+    tiny = str(tmp_path / "tiny.parquet")
+    spark.range(5).write.parquet(tiny)
+    t = spark.read.parquet(tiny)
+    assert fanout_scan(t) is t  # below the size floor -> untouched
+
+    big = str(tmp_path / "big.parquet")
+    spark.range(200_000).selectExpr(
+        "id", "repeat('x', 64) as pad"
+    ).coalesce(1).write.parquet(big)
+    b = spark.read.parquet(big)
+    if b.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        fb = fanout_scan(b)
+        assert (
+            fb.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+        assert fb.count() == 200_000
+        assert (
+            fb.selectExpr("sum(id) s").first()["s"]
+            == b.selectExpr("sum(id) s").first()["s"]
+        )
