@@ -144,6 +144,81 @@ def pq_codebooks(
     return books
 
 
+def _pq_encode_fn(codebooks: list[list[list[int]]]):
+    """Per-task Arrow encoder (r11 optimization round, guide §4.2):
+    the folded-literal argmin built an m * k_sub * sub expression tree
+    whose analysis + codegen dominated the encode at bench scale; one
+    numpy matmul per (batch, subspace) computes the identical exact
+    integers. Tie-break matches ``kmeans._best_struct`` exactly: max
+    score 2*v.c - c.c, ties to the LARGER cell id (argmax over the
+    reversed score matrix). Int64 products are overflow-guarded the
+    same way the gram pass is."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        m = len(codebooks)
+        sub = len(codebooks[0][0])
+        dim = m * sub
+        k_sub = len(codebooks[0])
+        cmats = [
+            np.asarray(b, dtype=np.int64) for b in codebooks
+        ]  # each k_sub x sub
+        c2s = [(c * c).sum(axis=1) for c in cmats]
+        cmax = max(int(np.abs(c).max(initial=0)) for c in cmats)
+        for b in batches:
+            ids = b.column(0)
+            arr = b.column(1)
+            n = len(arr)
+            if n == 0:
+                continue
+            if arr.null_count:
+                raise ValueError(
+                    "pq_encode: null vector rows are not encodable"
+                )
+            values = arr.flatten()
+            if values.null_count:
+                raise ValueError(
+                    "pq_encode: null vector elements are not encodable"
+                )
+            if len(values) != n * dim:
+                raise ValueError(
+                    "INVALID_ARRAY_INDEX: pq_encode saw a vector whose "
+                    f"length differs from m*sub = {dim}"
+                )
+            v = values.to_numpy(zero_copy_only=False).astype(np.float64)
+            x = np.floor(v * 1_000_000.0 + 0.5).astype(np.int64)
+            X = x.reshape(n, dim)
+            mx = int(np.abs(X).max(initial=0))
+            if mx and 2 * sub * mx * max(mx, cmax) > 2**62:
+                raise ValueError(
+                    "pq_encode: |micro component| too large for exact "
+                    f"int64 scores ({mx})"
+                )
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                sv = X[:, s * sub : (s + 1) * sub]
+                scores = 2 * (sv @ cmats[s].T) - c2s[s][None, :]
+                # ties -> LARGER cell id (the _best_struct contract):
+                # argmax over the column-reversed matrix picks the
+                # rightmost maximum
+                codes[:, s] = (k_sub - 1) - np.argmax(
+                    scores[:, ::-1], axis=1
+                )
+            offs = pa.array(
+                range(0, (n + 1) * m, m), type=pa.int32()
+            )
+            codes_arr = pa.ListArray.from_arrays(
+                offs, pa.array(codes.reshape(-1), type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, codes_arr], names=["__id", "codes"]
+            )
+
+    return fn
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[int]]],
@@ -151,18 +226,16 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<long>): per subspace, the nearest sub-centroid
-    id with the codebook constant-folded — one narrow projection over
-    the scan, no join, no shuffle."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    base = _with_vectors(emb, id_col, vec_col)
-    codes = F.array(
-        *[
-            _argbest_cell(_slice(F.col("__v"), s, sub), codebooks[s])
-            for s in range(m)
-        ]
+    id — one narrow ``mapInArrow`` pass over the scan, no join, no
+    shuffle (see :func:`_pq_encode_fn` for why it is not a folded-
+    literal projection anymore; the integers and the larger-id
+    tie-break are unchanged, so every PQ oracle replays it)."""
+    id_type = dict(emb.dtypes)[id_col]
+    out = emb.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        _pq_encode_fn(codebooks),
+        f"__id {id_type}, codes array<long>",
     )
-    return base.select(F.col(id_col), codes.alias("codes"))
+    return out.withColumnRenamed("__id", id_col)
 
 
 def _adc_term(qv: Column, codes: Column, s: int, cents: list[list[int]]) -> Column:
