@@ -17,18 +17,20 @@ Spark realization — everything is built-in expressions:
   assignment pass + one hash-aggregate per Lloyd's round — see
   ``pq_codebooks``); exact micro-int arithmetic, so codebooks are
   deterministic and reproducible cross-engine.
-- ENCODE: nearest-subcentroid per subspace with the codebook
-  constant-folded into the plan (same ``_best_struct`` argmax shape as
-  k-means assignment) — a narrow, whole-stage-codegen'd map over the
-  scan; the corpus is never shuffled to be encoded.
+- ENCODE: nearest-subcentroid per subspace as one ``mapInArrow``
+  kernel over the scan (r11: one int64 matmul per batch/subspace with
+  the exact ``_best_struct`` score and tie-break — the folded-literal
+  projection it replaced spent its time in analysis+codegen of the
+  m*k_sub*sub expression tree); the corpus is never shuffled to be
+  encoded.
 - SEARCH (ADC, asymmetric distance): for a query q and an encoded row
-  with codes (j_1..j_m), approx ||q - x||^2 = sum_s ||q_s - c_{s,j_s}||^2.
-  Each subspace term is a CASE over the k_sub folded centroids using
-  only the stored code — the corpus side touches codes, never raw
-  vectors. Top-k per query is the bounded two-phase heap merge
-  (``operators.topk.topk_per_key``), never a per-``q_id`` window over
-  the full scored relation — with few query keys such a window funnels
-  O(corpus) rows through one task's sorter.
+  with codes (j_1..j_m), approx ||q - x||^2 = sum_s ||q_s - c_{s,j_s}||^2,
+  computed by the same kernel shape (``_adc_scored``: the stored code
+  fancy-indexes the constant codebook; exact longs) — the corpus side
+  touches codes, never raw vectors. Top-k per query is the bounded
+  two-phase heap merge (``operators.topk.topk_per_key``), never a
+  per-``q_id`` window over the full scored relation — with few query
+  keys such a window funnels O(corpus) rows through one task's sorter.
 
 Exactness policy: vectors are exact integer micro-units end to end
 (``to_micro_ints``), centroid averaging truncates toward zero, and ADC
@@ -238,22 +240,77 @@ def pq_encode(
     return out.withColumnRenamed("__id", id_col)
 
 
-def _adc_term(qv: Column, codes: Column, s: int, cents: list[list[int]]) -> Column:
-    """||q_s - c_{s, codes[s]}||^2 as a CASE over the folded centroids:
-    qs.qs - 2*qs.c_j + c_j.c_j, with qs.qs shared across branches."""
-    sub = len(cents[0])
-    qs = _slice(qv, s, sub)
-    qs2 = dot_long(qs, qs)
-    code = F.element_at(codes, s + 1)
-    expr = F.lit(None).cast("long")
-    for j, c in enumerate(cents):
-        c_arr = F.array([F.lit(int(x)) for x in c])
-        c2 = int(sum(x * x for x in c))
-        expr = (
-            F.when(code == j, qs2 - F.lit(2) * dot_long(qs, c_arr) + F.lit(c2))
-            .otherwise(expr)
-        )
-    return expr
+def _adc_scored(
+    joined: DataFrame, codebooks: list[list[list[int]]], id_col: str
+) -> DataFrame:
+    """(q_id, id, adc_d2) from a joined (q_id, id, codes, __qv)
+    relation via one ``mapInArrow`` kernel (r11 optimization round,
+    guide §4.2): the folded-CASE ``_adc_term`` chain evaluated up to
+    2m interpreted zip_with dot folds PER ROW (~10 µs each — the ADC
+    stage dominated both serving rows); the kernel computes the
+    identical exact integers vectorized — per subspace,
+    qs.qs - 2*qs.c_code + c_code.c_code with the stored code fancy-
+    indexing the constant codebook. Everything is already micro-int
+    (codes from pq_encode, __qv from _with_vectors), so there is no
+    quantization step to mirror."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    in_df = joined.select("q_id", F.col(id_col), "codes", "__qv")
+    types = dict(in_df.dtypes)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cm = [np.asarray(b, dtype=np.int64) for b in codebooks]
+        c2 = [(c * c).sum(axis=1) for c in cm]
+        cmax = max(int(np.abs(c).max(initial=0)) for c in cm)
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            codes_col, qv_col = b.column(2), b.column(3)
+            if (
+                codes_col.null_count
+                or qv_col.null_count
+                or codes_col.flatten().null_count
+                or qv_col.flatten().null_count
+            ):
+                raise ValueError("adc: null codes/query vectors")
+            C = codes_col.flatten().to_numpy(zero_copy_only=False)
+            C = C.astype(np.int64).reshape(n, m)
+            Q = qv_col.flatten().to_numpy(zero_copy_only=False)
+            if Q.size != n * m * sub:
+                raise ValueError(
+                    "INVALID_ARRAY_INDEX: adc query vector length differs "
+                    f"from m*sub = {m * sub}"
+                )
+            Q = Q.astype(np.int64).reshape(n, m * sub)
+            mx = int(np.abs(Q).max(initial=0))
+            if mx and sub * (mx + cmax) * (mx + cmax) > 2**61:
+                raise ValueError(
+                    "adc: |micro component| too large for exact int64 "
+                    f"distances ({mx})"
+                )
+            adc = np.zeros(n, dtype=np.int64)
+            for s in range(m):
+                qs = Q[:, s * sub : (s + 1) * sub]
+                cc = cm[s][C[:, s]]
+                adc += (
+                    (qs * qs).sum(axis=1)
+                    - 2 * (qs * cc).sum(axis=1)
+                    + c2[s][C[:, s]]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), pa.array(adc, type=pa.int64())],
+                names=["q_id", "__out_id", "adc_d2"],
+            )
+
+    out = in_df.mapInArrow(
+        fn,
+        f"q_id {types['q_id']}, __out_id {types[id_col]}, adc_d2 long",
+    )
+    return out.withColumnRenamed("__out_id", id_col)
 
 
 def pq_adc_topk(
@@ -281,11 +338,7 @@ def pq_adc_topk(
         .drop("__n2")
     )
     joined = codes.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
-    adc = None
-    for s in range(m):
-        t = _adc_term(F.col("__qv"), F.col("codes"), s, codebooks[s])
-        adc = t if adc is None else adc + t
-    scored = joined.select("q_id", id_col, adc.alias("adc_d2"))
+    scored = _adc_scored(joined, codebooks, id_col)
     return topk_per_key(scored, "q_id", "adc_d2", id_col, k)
 
 
@@ -490,11 +543,7 @@ def _ivf_search(
     joined = codes.join(F.broadcast(probes), "cell").filter(
         F.col(id_col) != F.col("q_id")
     )
-    adc = None
-    for s in range(m):
-        t = _adc_term(F.col("__qv"), F.col("codes"), s, codebooks[s])
-        adc = t if adc is None else adc + t
-    scored = joined.select("q_id", id_col, adc.alias("adc_d2"))
+    scored = _adc_scored(joined, codebooks, id_col)
     short = topk_per_key(scored, "q_id", "adc_d2", id_col, shortlist).select(
         "q_id", id_col
     )
