@@ -353,6 +353,15 @@ def bigram_surprisal_profile(
         )
         .filter(F.col("cur") != "")
     )
+    # three consumers (unigram counts -> total, bigram counts, the
+    # scoring join) re-derive the tokenize+bigram explode without a
+    # persist — ambient-scope-only, the bm25_search rule (r11: measured
+    # 1.49 -> 1.23 s at sf0.1; a scan fan-out was neutral here and
+    # fan-out+persist was WORSE, so only the persist ships)
+    from lakeflow.caching import active_scope, maybe_persist
+
+    if active_scope() is not None:
+        ex = maybe_persist(ex, None)
     uni = ex.groupBy("cur").agg(F.count(F.lit(1)).alias("__cn"))
     tot = uni.agg(F.sum("__cn").alias("total"))
     bi = (
