@@ -640,30 +640,45 @@ def main() -> None:
             )
         f.write(json.dumps({"ts": time.time(), **detail}) + "\n")
     print(json.dumps(detail))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "calibration_sec": round(calibration, 3),
-                "calibration_shuffle_sec": round(shuffle_probe, 3),
-                "vs_history_median_ratio": vs_history,
-                "session_load_suspect": bool(
-                    vs_history and (vs_history > 1.25 or vs_history < 0.8)
-                ),
-                "value_history_anchored": (
-                    round(total / vs_history, 3)
-                    if vs_history
-                    else None
-                ),
-                "value_normalized": round(sum(normalized.values()), 3),
-                "n_queries": len(timings),
-                "detail": "bench_detail.json",
-            }
-        )
-    )
+    # Final (parsed) line: the driver captures only the LAST ~2000
+    # chars of stdout and parses the last line (BENCH_r04 "parsed":
+    # null is what a longer line produces — the full 151-entry map is
+    # ~3.6 KB compact, so it can NEVER ride this line whole). VERDICT
+    # r11 asked for a driver-parseable per-query record here; the
+    # budget-respecting form is a PARTIAL map — the largest rows
+    # first (the ones a per-query perf comparison is about), added
+    # while the whole line stays under 1850 chars, with the elided
+    # count declared. The FULL map still goes to the detail line
+    # above, bench_detail.json and bench_history.jsonl.
+    summary = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "calibration_sec": round(calibration, 3),
+        "calibration_shuffle_sec": round(shuffle_probe, 3),
+        "vs_history_median_ratio": vs_history,
+        "session_load_suspect": bool(
+            vs_history and (vs_history > 1.25 or vs_history < 0.8)
+        ),
+        "value_history_anchored": (
+            round(total / vs_history, 3) if vs_history else None
+        ),
+        "value_normalized": round(sum(normalized.values()), 3),
+        "n_queries": len(timings),
+        "queries": {},
+        "queries_elided": len(timings),
+        "queries_partial": True,
+        "detail": "bench_detail.json",
+    }
+    for n in sorted(timings, key=lambda x: (-timings[x], x)):
+        summary["queries"][n] = timings[n]
+        summary["queries_elided"] = len(timings) - len(summary["queries"])
+        if len(json.dumps(summary, separators=(",", ":"))) > 1850:
+            del summary["queries"][n]
+            summary["queries_elided"] = len(timings) - len(summary["queries"])
+            break
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

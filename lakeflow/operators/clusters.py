@@ -36,10 +36,15 @@ def min_label_components(
     from it (the canonical cluster representative). Returns one row per
     distinct node: (out_id, out_label). Raises if ``max_iter`` rounds
     do not converge (diameter larger than expected — see module note).
-    Budget note: convergence is detected by two equal consecutive
-    label-sum probes, so ``max_iter`` must cover the flood rounds
-    (graph diameter) PLUS one observation round — a diameter-d graph
-    needs ``max_iter >= d + 1``.
+    Budget note (r12): the label init IS propagation round 1 (min over
+    the 1-hop neighborhood, computed by the same aggregate that used to
+    only dedup node ids), and convergence is detected by a per-round
+    CHANGED-LABEL count folded into the propagation aggregate itself
+    (the self-edge row carries each node's previous label), so a
+    diameter-d graph needs ``max_iter >= d`` loop rounds — one round
+    of budget less than the old two-equal-sum-probe scheme, and two to
+    three fewer EXECUTED rounds (the init round is free and no
+    observation round is needed).
     """
     # symmetrize (+ SELF-EDGES) via ONE explode, not
     # union(edges, reversed(edges)): the union form evaluates the
@@ -80,23 +85,30 @@ def min_label_components(
         .distinct()
     )
     sym = sym.localCheckpoint(eager=True)
+    # label init = PROPAGATION ROUND 1 for free (r12, VERDICT r11 task
+    # #2): the old init deduped node ids (select(src).distinct()) — the
+    # exact same shuffle shape as groupBy(src).min(dst), which, with the
+    # self-edges making every node its own neighbor, IS one round of
+    # min-label propagation from identity labels. Same cost, one fewer
+    # loop round on every graph.
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .withColumnRenamed("src", "id")
         .localCheckpoint(eager=True)
     )
-    # convergence probe: labels are per-node NON-INCREASING (the self-
-    # edge keeps min() bounded by the node's own current label), so the
-    # label SUM strictly decreases every round until the fixpoint — one
-    # 1-row aggregate over the fresh checkpoint replaces the old
-    # changed-count filter-join. Probed once per CHECKPOINT (every
-    # second round under fusion below — the cadence r10 measured best:
-    # every-round probing 4.6-6.4 s vs every-other-round 3.8-4.8 s on
-    # the sf0.1 linkage graph; a probe costs a driver round-trip like
-    # the propagation itself, and the worst case of probing late is
-    # ONE wasted idempotent round). DECIMAL(38,0): the sum is bounded
-    # by n * max_id, which overflows BIGINT on trillion-row graphs.
+    # convergence probe (r12 rework, VERDICT r11 task #2): the old
+    # scheme compared two consecutive label-SUM probes (equal sums two
+    # rounds apart certify a fixpoint), which needs an OBSERVATION
+    # cycle past the flood. Instead, the propagation aggregate itself
+    # now also emits each node's PREVIOUS label (the self-edge row
+    # dst == src carries it), so the checkpointed relation holds a
+    # per-node changed flag and the 1-row probe reads "did the last
+    # round change anything" DIRECTLY — fixpoint is detected the cycle
+    # it happens, not a cycle later. The changed count is bounded by
+    # the node count, so a plain BIGINT sum is exact at any scale
+    # (the old DECIMAL(38,0) device guarded n * max_id, not needed
+    # for a 0/1 flag).
     #
     # ROUND FUSION (r11 — VERDICT r10 task #6): outside the tail, TWO
     # propagation join+agg rounds share ONE eager checkpoint and ONE
@@ -106,37 +118,42 @@ def min_label_components(
     # (unlike pointer jumping, measured & rejected in r10). Interleaved
     # A/B on the sf0.1 linkage match graph (scripts/er_fusion_probe.py,
     # outputs asserted identical): min 9.34 s -> 6.02 s, 0.645x.
-    # Convergence stays sound: the label sum is non-increasing per
-    # round, so equal sums two rounds apart still certify a fixpoint.
     #
-    # Tail: detection needs TWO equal consecutive probes, so the final
-    # FOUR rounds run single-round with a probe each (ADVICE r10) — a
-    # fixpoint reached anywhere inside the budget is always observed
-    # twice before the loop ends, and a fused cycle never starts
-    # inside the tail (checked before each cycle), so the documented
-    # max_iter >= d + 1 budget is sufficient in every parity case.
-    prev_sum = None
+    # Tail: the changed-count probe observes the LAST round of its
+    # cycle, so the final TWO budget rounds run single-round with a
+    # probe each — a fixpoint reached at any propagation round
+    # d <= max_iter (init counts as round 1) is observed by the probe
+    # of loop round d at the latest, in every parity case.
     i = 0
     while i < max_iter:
-        steps = 1 if i >= max_iter - 4 else 2
+        steps = 1 if i >= max_iter - 2 else 2
         cur = labels
-        for _ in range(steps):
+        for step in range(steps):
+            last = step == steps - 1
+            aggs = [F.min("lbl").alias("lbl")]
+            if last:
+                aggs.append(
+                    F.max(
+                        F.when(F.col("dst") == F.col("src"), F.col("lbl"))
+                    ).alias("__old")
+                )
             cur = (
                 sym.join(cur, sym["dst"] == cur["id"])
                 .groupBy("src")
-                .agg(F.min("lbl").alias("lbl"))
+                .agg(*aggs)
                 .withColumnRenamed("src", "id")
             )
-        labels = cur.localCheckpoint(eager=True)
+        labels = cur.select(
+            "id",
+            "lbl",
+            (F.col("lbl") != F.col("__old")).cast("long").alias("__chg"),
+        ).localCheckpoint(eager=True)
         i += steps
-        cur_sum = labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
+        n_changed = labels.agg(F.sum("__chg").alias("c")).collect()[0]["c"]
+        if not n_changed:
             return labels.select(
                 F.col("id").alias(out_id), F.col("lbl").alias(out_label)
             )
-        prev_sum = cur_sum
     raise RuntimeError(
         f"min_label_components did not converge in {max_iter} rounds "
         "(unexpectedly large component diameter; use star_contraction_components)"

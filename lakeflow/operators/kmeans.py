@@ -345,8 +345,13 @@ def _cell_pair_scores(
     import pandas as pd
 
     threshold = int(min_cos_micros)
+    # derive the id type from the input (ADVICE r11 — the pq_encode
+    # arrangement): a hardcoded `long` would silently mis-type any
+    # non-long id caller where the old join preserved the type
+    id_type = assigned.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col}_a long, {id_col}_b long, cell long, cos_micros long"
+        f"{id_col}_a {id_type}, {id_col}_b {id_type}, "
+        "cell long, cos_micros long"
     )
     cols = [f"{id_col}_a", f"{id_col}_b", "cell", "cos_micros"]
 
@@ -355,7 +360,14 @@ def _cell_pair_scores(
 
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+            return pd.DataFrame(
+                {
+                    cols[0]: pdf[id_col].iloc[:0],
+                    cols[1]: pdf[id_col].iloc[:0],
+                    "cell": pd.Series(dtype="int64"),
+                    "cos_micros": pd.Series(dtype="int64"),
+                }
+            )
         pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy()
         cell = int(pdf["cell"].iloc[0])
@@ -410,8 +422,11 @@ def _cell_pair_scores(
                 v = float(dot) / denom if denom else float("nan")
                 cosv = math.floor(v * 1e6 + 0.5) if v == v else 0
                 if cosv >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), cell, cosv))
-        return pd.DataFrame(rows, columns=cols).astype("int64")
+                    rows.append((ids[i], ids[j], cell, cosv))
+        out = pd.DataFrame(rows, columns=cols)
+        out["cell"] = out["cell"].astype("int64")
+        out["cos_micros"] = out["cos_micros"].astype("int64")
+        return out
 
     return assigned.groupBy("cell").applyInPandas(score_cell, out_schema)
 

@@ -98,12 +98,28 @@ def _gram_partials_fn(dim: int):
             else:
                 values = None
             if values is not None and values.null_count == 0:
-                if len(values) != m * dim:
+                # per-ROW length validation (ADVICE r11): the flattened
+                # total alone admits mixed-length rows whose lengths
+                # compensate (dim-1 + dim+1), which reshape would then
+                # silently misalign — every later row's products wrong
+                lens = pa.compute.list_value_length(arr).to_numpy(
+                    zero_copy_only=False
+                )
+                if not (lens == dim).all():
                     raise ValueError(
                         "INVALID_ARRAY_INDEX: gram_sums saw a vector whose "
                         f"length differs from the probed dimension {dim}"
                     )
                 v = values.to_numpy(zero_copy_only=False).astype(np.float64)
+                if not np.isfinite(v).all():
+                    # the old expression path raised under ANSI for a
+                    # NaN/Inf -> long cast; np.floor(NaN).astype(int64)
+                    # is undefined (INT64_MIN, which also breaks the
+                    # abs() overflow guard) — fail loudly instead
+                    raise ValueError(
+                        "gram_sums: non-finite embedding component "
+                        "(NaN/Inf) is not representable in exact micros"
+                    )
                 x = np.floor(v * 1_000_000.0 + 0.5)
                 xi = x.astype(np.int64).reshape(m, dim)
                 mx = int(np.abs(xi).max(initial=0))

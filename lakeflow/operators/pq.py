@@ -167,8 +167,16 @@ def _pq_encode_fn(codebooks: list[list[list[int]]]):
         cmats = [
             np.asarray(b, dtype=np.int64) for b in codebooks
         ]  # each k_sub x sub
-        c2s = [(c * c).sum(axis=1) for c in cmats]
         cmax = max(int(np.abs(c).max(initial=0)) for c in cmats)
+        # codebook-only guard (ADVICE r11): c2s below is computed from
+        # the codebook alone, so huge centroids must fail here even if
+        # every batch value is small
+        if sub * cmax * cmax > 2**62:
+            raise ValueError(
+                "pq_encode: |codebook micro component| too large for "
+                f"exact int64 norms ({cmax})"
+            )
+        c2s = [(c * c).sum(axis=1) for c in cmats]
         for b in batches:
             ids = b.column(0)
             arr = b.column(1)
@@ -184,16 +192,29 @@ def _pq_encode_fn(codebooks: list[list[list[int]]]):
                 raise ValueError(
                     "pq_encode: null vector elements are not encodable"
                 )
-            if len(values) != n * dim:
+            # per-ROW length validation (ADVICE r11): compensating
+            # mixed-length rows pass a flattened-total check and then
+            # reshape misaligns every subsequent row's codes
+            lens = pa.compute.list_value_length(arr).to_numpy(
+                zero_copy_only=False
+            )
+            if not (lens == dim).all():
                 raise ValueError(
                     "INVALID_ARRAY_INDEX: pq_encode saw a vector whose "
                     f"length differs from m*sub = {dim}"
                 )
             v = values.to_numpy(zero_copy_only=False).astype(np.float64)
+            if not np.isfinite(v).all():
+                raise ValueError(
+                    "pq_encode: non-finite vector component (NaN/Inf) "
+                    "is not representable in exact micros"
+                )
             x = np.floor(v * 1_000_000.0 + 0.5).astype(np.int64)
             X = x.reshape(n, dim)
             mx = int(np.abs(X).max(initial=0))
-            if mx and 2 * sub * mx * max(mx, cmax) > 2**62:
+            # |2*sv.c - c.c| <= sub*cmax*(2*mx + cmax) <= sub*(mx+cmax)^2
+            # — bound the WHOLE score, not just the cross term
+            if mx and sub * (mx + cmax) * (mx + cmax) > 2**62:
                 raise ValueError(
                     "pq_encode: |micro component| too large for exact "
                     f"int64 scores ({mx})"
@@ -263,8 +284,15 @@ def _adc_scored(
         import pyarrow as pa
 
         cm = [np.asarray(b, dtype=np.int64) for b in codebooks]
-        c2 = [(c * c).sum(axis=1) for c in cm]
         cmax = max(int(np.abs(c).max(initial=0)) for c in cm)
+        # codebook-only guard (ADVICE r11): c2 is computed from the
+        # codebook alone — huge centroids must fail at construction
+        if sub * cmax * cmax > 2**62:
+            raise ValueError(
+                "adc: |codebook micro component| too large for exact "
+                f"int64 norms ({cmax})"
+            )
+        c2 = [(c * c).sum(axis=1) for c in cm]
         for b in batches:
             n = len(b)
             if n == 0:
@@ -277,17 +305,34 @@ def _adc_scored(
                 or qv_col.flatten().null_count
             ):
                 raise ValueError("adc: null codes/query vectors")
-            C = codes_col.flatten().to_numpy(zero_copy_only=False)
-            C = C.astype(np.int64).reshape(n, m)
-            Q = qv_col.flatten().to_numpy(zero_copy_only=False)
-            if Q.size != n * m * sub:
+            # per-ROW length validation (ADVICE r11): flattened totals
+            # admit compensating mixed-length rows that reshape then
+            # silently misaligns
+            clens = pa.compute.list_value_length(codes_col).to_numpy(
+                zero_copy_only=False
+            )
+            if not (clens == m).all():
+                raise ValueError(
+                    "INVALID_ARRAY_INDEX: adc codes length differs "
+                    f"from m = {m}"
+                )
+            qlens = pa.compute.list_value_length(qv_col).to_numpy(
+                zero_copy_only=False
+            )
+            if not (qlens == m * sub).all():
                 raise ValueError(
                     "INVALID_ARRAY_INDEX: adc query vector length differs "
                     f"from m*sub = {m * sub}"
                 )
+            C = codes_col.flatten().to_numpy(zero_copy_only=False)
+            C = C.astype(np.int64).reshape(n, m)
+            Q = qv_col.flatten().to_numpy(zero_copy_only=False)
             Q = Q.astype(np.int64).reshape(n, m * sub)
             mx = int(np.abs(Q).max(initial=0))
-            if mx and sub * (mx + cmax) * (mx + cmax) > 2**61:
+            # the distance accumulates m non-negative |qs-c|^2 terms,
+            # each <= sub*(mx+cmax)^2 — guard the full m-term sum
+            # (ADVICE r11), not one subspace term
+            if mx and m * sub * (mx + cmax) * (mx + cmax) > 2**62:
                 raise ValueError(
                     "adc: |micro component| too large for exact int64 "
                     f"distances ({mx})"
