@@ -84,6 +84,83 @@ def r11_min_label_components(
     raise RuntimeError("did not converge")
 
 
+def doubling_min_label_components(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iter: int = 25,
+    out_id: str = "member_id",
+    out_label: str = "cluster_id",
+) -> DataFrame:
+    """r12 candidate: min-label propagation with POINTER DOUBLING
+    folded into every round — lbl'(x) = min(neighbor labels,
+    label-of-label) — so the propagation radius at least doubles per
+    round and a diameter-d graph converges in O(log d) rounds instead
+    of d. Same fixpoint (the component min), changed-count detection
+    like the r12 shipped loop."""
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                    F.struct(F.col(id_a).alias("src"), F.col(id_a).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_b).alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
+    i = 0
+    rounds = 0
+    while i < max_iter:
+        cur = labels
+        t1 = (
+            sym.join(cur, sym["dst"] == cur["id"])
+            .groupBy("src")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.max(
+                    F.when(F.col("dst") == F.col("src"), F.col("lbl"))
+                ).alias("__old"),
+            )
+            .withColumnRenamed("src", "id")
+        )
+        a = cur.select(F.col("id"), F.col("lbl").alias("__l"))
+        b = cur.select(F.col("id").alias("__l2"), F.col("lbl").alias("__ll"))
+        t2 = a.join(b, a["__l"] == b["__l2"]).select(
+            "id", F.col("__ll").alias("lbl"), F.lit(None).cast("long").alias("__old")
+        )
+        labels = (
+            t1.unionByName(t2)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"), F.max("__old").alias("__old"))
+            .select(
+                "id",
+                "lbl",
+                (F.col("lbl") != F.col("__old")).cast("long").alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        i += 1
+        n_changed = labels.agg(F.sum("__chg").alias("c")).collect()[0]["c"]
+        if not n_changed:
+            print(f"#   doubling variant: {rounds} rounds")
+            return labels.select(
+                F.col("id").alias(out_id), F.col("lbl").alias(out_label)
+            )
+    raise RuntimeError("did not converge")
+
+
 def main() -> None:
     n_reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     from lakeflow import get_spark
@@ -107,13 +184,21 @@ def main() -> None:
         for r in r11_min_label_components(pairs, "p_partkey", "cat_id").collect()
     }
     assert a == b, f"outputs differ: {len(a)} vs {len(b)} rows"
+    c = {
+        (r["member_id"], r["cluster_id"])
+        for r in doubling_min_label_components(
+            pairs, "p_partkey", "cat_id"
+        ).collect()
+    }
+    assert a == c, f"doubling outputs differ: {len(a)} vs {len(c)} rows"
     print(f"# outputs identical ({len(a)} rows)")
 
-    times: dict[str, list[float]] = {"r12": [], "r11": []}
+    times: dict[str, list[float]] = {"r12": [], "r11": [], "dbl": []}
     for rep in range(n_reps):
         for tag, fn in (
             ("r12", min_label_components),
             ("r11", r11_min_label_components),
+            ("dbl", doubling_min_label_components),
         ):
             t0 = time.perf_counter()
             fn(pairs, "p_partkey", "cat_id").write.format("noop").mode(

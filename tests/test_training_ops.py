@@ -1395,6 +1395,32 @@ def test_kcenter_select_matches_python_greedy(spark):
     assert got == picked
 
 
+def test_selection_shortlist_fallback_identical(spark, monkeypatch):
+    # r12: mmr/kcenter run rounds 2..k locally over a collected
+    # shortlist with a certification bound; a tiny shortlist forces
+    # the certification to fail and the distributed fallback to run —
+    # output must be bit-identical to the wide-shortlist (pure-local)
+    # run in both modes
+    from lakeflow.operators import similarity as S
+
+    df, _ = _quant_corpus(spark, n=40, dim=5)
+    wide_mmr = [
+        tuple(r)
+        for r in S.mmr_select(df, F.col("vec_id") == 0, k=5).orderBy("rank").collect()
+    ]
+    wide_kc = [
+        tuple(r) for r in S.kcenter_select(df, k=5).orderBy("rank").collect()
+    ]
+    monkeypatch.setattr(S, "_SHORTLIST", 2)
+    assert [
+        tuple(r)
+        for r in S.mmr_select(df, F.col("vec_id") == 0, k=5).orderBy("rank").collect()
+    ] == wide_mmr
+    assert [
+        tuple(r) for r in S.kcenter_select(df, k=5).orderBy("rank").collect()
+    ] == wide_kc
+
+
 def test_kcenter_select_spreads_over_clusters(spark):
     # three tight clusters; k=3 must pick one member from each (pure
     # diversity — unlike MMR there is no relevance to trade against)
